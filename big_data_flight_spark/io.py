@@ -1,0 +1,67 @@
+"""Fixture-table catalog and loaders (SURVEY.md §1, FIXTURES.md).
+
+The data model is the ten driver-provisioned parquet tables: a TPC-H-ish
+star schema (region→nation→{customer,supplier}, part, orders→lineitem),
+an append-only ``events`` stream table, a ``documents`` text corpus and
+an ``embeddings`` vector store. Parquet is self-describing, so loaders
+trust the footers — no schema inference, no casts at scan time (casting
+at scan would defeat parquet predicate pushdown).
+
+Scale note: each table is one parquet file at fixture scale; at 100 TB
+these become partitioned directories. ``table()`` takes any path Spark
+can scan, so nothing here changes — partition pruning and row-group
+pushdown come from Catalyst for free when filters are declarative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast at ANY scale factor (they grow
+# slowly or not at all with sf); used by join builders as hint targets.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. SURVEY.md §2.1 `scan_parquet`.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer — Spark
+    reads it as int64 nanos (``spark.sql.legacy.parquet.nanosAsLong``)
+    and we floor-divide to a µs TimestampType, exactly matching the
+    DuckDB oracle's ns→µs truncating cast. The conversion is a cheap
+    codegen'd projection; min/max row-group pruning on ts still works
+    because the int64 ordering equals the timestamp ordering.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every fixture table (lazy — just plan nodes, no IO yet)."""
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views for the SQL entry path
+    (SURVEY.md §2.1 `table_register`, §3.3) — mirrors the DuckDB
+    oracle's pre-registered view names."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

