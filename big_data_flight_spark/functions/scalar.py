@@ -1,1 +1,305 @@
-"""Placeholder — operators land incrementally (SURVEY.md §7.1)."""
+"""Scalar function families — SURVEY.md §2.8.
+
+One composite gate query per family (a wide SELECT over one table)
+keeps queries() compact while covering the surface. All expressions
+are JVM-side builtins inside whole-stage codegen — zero Python in the
+hot path.
+
+Cross-engine dialect traps handled here (each noted inline):
+  - substring is 1-based on BOTH engines (checked);
+  - Spark split → DuckDB string_split, element [0] → [1];
+  - Spark dayofweek (1=Sun) vs DuckDB dayofweek (0=Sun): +1;
+  - Spark floor/ceil(double) → LONG vs DuckDB → DOUBLE: cast oracle;
+  - Spark CAST(double AS INT) truncates, DuckDB ROUNDS: never bare-cast
+    floats to ints — go through floor/round explicitly;
+  - transcendentals (exp/ln/pow) may differ by 1 ulp across libm
+    builds: round(…, 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from big_data_flight_spark.io import table
+from big_data_flight_spark.registry import gate_query
+
+
+@gate_query(
+    "fn_string",
+    oracle="""
+    SELECT
+      p_partkey,
+      upper(p_name)                                   AS name_uc,
+      lower(p_brand)                                  AS brand_lc,
+      trim(concat('  ', p_type, ' '))                 AS trimmed,
+      substring(p_name, 1, 5)                         AS name_head,
+      length(p_name)                                  AS name_len,
+      replace(p_type, ' ', '_')                       AS type_snake,
+      string_split(p_type, ' ')[1]                    AS type_first_word,
+      lpad(CAST(p_size AS VARCHAR), 4, '0')           AS size_padded,
+      concat_ws('|', p_brand, p_type)                 AS brand_pipe_type,
+      regexp_extract(p_type, '([A-Z]+)$', 1)          AS type_last_word,
+      regexp_replace(p_name, '[aeiou]', '*', 'g')     AS name_devowel,
+      levenshtein(p_brand, 'Brand#11')                AS brand_dist,
+      starts_with(p_type, 'ECONOMY')                  AS is_economy
+    FROM part
+    """,
+    tags=("scalar",),
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-family composite: case, trim, substring (1-based), split,
+    pad, concat, regex extract/replace, edit distance, prefix test."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_uc"),
+        F.lower("p_brand").alias("brand_lc"),
+        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit(" "))).alias("trimmed"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_first_word"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_pipe_type"),
+        F.regexp_extract(F.col("p_type"), r"([A-Z]+)$", 1).alias("type_last_word"),
+        # Spark regexp_replace replaces all matches; DuckDB needs the 'g' flag.
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "*").alias("name_devowel"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#11")).alias("brand_dist"),
+        F.startswith(F.col("p_type"), F.lit("ECONOMY")).alias("is_economy"),
+    )
+
+
+@gate_query(
+    "fn_date",
+    oracle="""
+    SELECT
+      o_orderkey,
+      year(o_orderdate)                                    AS yr,
+      month(o_orderdate)                                   AS mo,
+      day(o_orderdate)                                     AS dom,
+      dayofweek(o_orderdate) + 1                           AS dow,      -- DuckDB 0=Sun → Spark 1=Sun
+      CAST(quarter(o_orderdate) AS INTEGER)                AS qtr,
+      date_trunc('month', o_orderdate)                     AS month_start,
+      o_orderdate + INTERVAL 30 DAY                        AS due_date,
+      CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+      date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_95,
+      CAST(epoch(o_orderdate) AS BIGINT)                   AS unix_sec,
+      strftime(o_orderdate, '%Y-%m-%d')                    AS iso_day
+    FROM orders
+    WHERE o_orderkey < 200
+    """,
+    tags=("scalar",),
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time-family composite (flight-canonical: delay by month /
+    day-of-week). Note dayofweek convention bridged on the oracle
+    side; fixture 'dates' are midnight timestamps."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        F.dayofweek(d).alias("dow"),
+        F.quarter(d).alias("qtr"),
+        F.date_trunc("month", d).alias("month_start"),
+        (d + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        # DATE values surface differently in pandas across engines
+        # (datetime.date vs datetime64) — emit timestamps for parity.
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.datediff(d, F.lit("1995-01-01").cast("timestamp")).alias("days_since_95"),
+        F.unix_timestamp(d).alias("unix_sec"),
+        F.date_format(d, "yyyy-MM-dd").alias("iso_day"),
+    )
+
+
+@gate_query(
+    "fn_math",
+    oracle="""
+    SELECT
+      l_orderkey, l_linenumber,
+      ROUND(l_extendedprice, 1)                            AS price_r1,
+      CAST(floor(l_extendedprice) AS BIGINT)               AS price_floor,
+      CAST(ceil(l_extendedprice)  AS BIGINT)               AS price_ceil,
+      abs(l_discount - 0.05)                               AS disc_dev,
+      ROUND(sqrt(l_extendedprice), 6)                      AS price_sqrt,
+      ROUND(ln(l_extendedprice), 6)                        AS price_ln,
+      ROUND(log10(l_extendedprice), 6)                     AS price_log10,
+      ROUND(pow(1.0 + l_discount, 2), 9)                   AS disc_sq,
+      ROUND(exp(l_discount), 9)                            AS disc_exp,
+      sign(l_discount - 0.05)                              AS disc_sign,
+      greatest(l_quantity, 25.0)                           AS qty_hi,
+      least(l_quantity, 25.0)                              AS qty_lo,
+      CAST(l_quantity AS BIGINT) % 7                       AS qty_mod,
+      CASE WHEN l_quantity > 40 THEN 'bulk'
+           WHEN l_quantity > 10 THEN 'mid' ELSE 'small' END AS qty_band
+    FROM lineitem
+    WHERE l_orderkey < 300
+    """,
+    tags=("scalar",),
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-family composite. floor/ceil cast to BIGINT on the oracle
+    (Spark returns LONG, DuckDB DOUBLE); transcendentals rounded to
+    absorb potential 1-ulp libm differences; sign() returns double on
+    both. l_quantity is integral-valued so the BIGINT cast for %
+    is exact (never bare-cast a fractional double — DuckDB rounds,
+    Spark truncates)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    p = F.col("l_extendedprice")
+    q = F.col("l_quantity")
+    disc = F.col("l_discount")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(p, 1).alias("price_r1"),
+        F.floor(p).alias("price_floor"),
+        F.ceil(p).alias("price_ceil"),
+        F.abs(disc - 0.05).alias("disc_dev"),
+        F.round(F.sqrt(p), 6).alias("price_sqrt"),
+        F.round(F.log(p), 6).alias("price_ln"),
+        F.round(F.log10(p), 6).alias("price_log10"),
+        F.round(F.pow(F.lit(1.0) + disc, 2), 9).alias("disc_sq"),
+        F.round(F.exp(disc), 9).alias("disc_exp"),
+        F.signum(disc - 0.05).alias("disc_sign"),
+        F.greatest(q, F.lit(25.0)).alias("qty_hi"),
+        F.least(q, F.lit(25.0)).alias("qty_lo"),
+        (q.cast("long") % 7).alias("qty_mod"),
+        F.when(q > 40, "bulk").when(q > 10, "mid").otherwise("small").alias("qty_band"),
+    )
+
+
+@gate_query(
+    "fn_cast_null",
+    oracle="""
+    SELECT
+      o_orderkey,
+      CAST(o_totalprice AS VARCHAR)                        AS price_str,
+      CAST(floor(o_totalprice) AS BIGINT)                  AS price_int,
+      CAST(o_orderkey AS DOUBLE)                           AS key_dbl,
+      coalesce(nullif(o_orderstatus, 'O'), 'OPEN')         AS status_decoded,
+      CASE WHEN nullif(o_orderstatus, 'O') IS NOT NULL
+           THEN 'closed-ish' ELSE 'open' END               AS nvl2_equiv,
+      CAST(CAST(o_orderdate AS DATE) AS VARCHAR)           AS order_day
+    FROM orders
+    WHERE o_orderkey < 200
+    """,
+    tags=("scalar",),
+)
+def fn_cast_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast + null-handling composite: to-string/int/double/date casts,
+    coalesce, nullif, nvl2 (as CASE — nvl2 exists in Spark but not
+    DuckDB, so the portable form gates). Double→string formatting is
+    engine-identical for these shortest-roundtrip printers (checked in
+    compare); int casts go through floor explicitly."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("string").alias("price_str"),
+        F.floor("o_totalprice").alias("price_int"),
+        F.col("o_orderkey").cast("double").alias("key_dbl"),
+        F.coalesce(status_or_null, F.lit("OPEN")).alias("status_decoded"),
+        F.when(status_or_null.isNotNull(), "closed-ish").otherwise("open").alias("nvl2_equiv"),
+        # date→string (not bare DATE: pandas reps differ across engines)
+        F.col("o_orderdate").cast("date").cast("string").alias("order_day"),
+    )
+
+
+@gate_query(
+    "fn_array",
+    oracle="""
+    SELECT
+      vec_id,
+      len(embedding)                                        AS dim,
+      CAST(embedding[1] AS DOUBLE)                          AS first_elem,
+      CAST(embedding[64] AS DOUBLE)                         AS last_elem,
+      ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS vec_sum,
+      ROUND(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS vec_max,
+      len(list_filter(embedding, x -> x > 0))               AS n_positive,
+      ROUND(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sum_sq
+    FROM embeddings
+    """,
+    tags=("scalar", "array"),
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-family composite over the 64-dim embedding column: size,
+    element_at (1-based on both engines), higher-order transform /
+    filter / aggregate. Elements are float32 — every arithmetic path
+    casts to double FIRST so both engines fold in float64 (the fold
+    order over a list is the stored order: deterministic)."""
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    as_dbl = F.transform(emb, lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.element_at(emb, 1).cast("double").alias("first_elem"),
+        F.element_at(emb, 64).cast("double").alias("last_elem"),
+        F.round(
+            F.aggregate(as_dbl, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("vec_sum"),
+        F.round(F.array_max(as_dbl), 6).alias("vec_max"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+        F.round(
+            F.aggregate(as_dbl, F.lit(0.0), lambda acc, x: acc + x * x), 6
+        ).alias("sum_sq"),
+    )
+
+
+@gate_query(
+    "fn_json",
+    oracle="""
+    SELECT
+      event_id,
+      CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
+      CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+           THEN 'high' ELSE 'low' END AS k_band,
+      json_extract_string(props, '$.missing') AS absent_key
+    FROM events
+    WHERE event_id < 500
+    """,
+    tags=("scalar", "json"),
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-string extraction (events.props = '{"k": <int>}'):
+    path extraction, typed cast, missing-key → NULL."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    k = F.get_json_object(F.col("props"), "$.k")
+    return e.select(
+        "event_id",
+        k.cast("int").alias("k_value"),
+        F.when(k.cast("int") >= 50, "high").otherwise("low").alias("k_band"),
+        F.get_json_object(F.col("props"), "$.missing").alias("absent_key"),
+    )
+
+
+@gate_query(
+    "fn_map",
+    oracle="""
+    SELECT
+      event_id,
+      array_to_string(json_keys(props), ',')             AS prop_keys,
+      CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_via_map,
+      len(json_keys(props))                              AS n_keys
+    FROM events
+    WHERE event_id < 500
+    """,
+    tags=("scalar", "json"),
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read map: from_json(props) → MapType, then map_keys /
+    element_at. Explicit value type (int) keeps the output schema
+    stable for the oracle comparison."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    m = F.from_json(F.col("props"), T.MapType(T.StringType(), T.IntegerType()))
+    return e.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("prop_keys"),
+        F.element_at(m, "k").alias("k_via_map"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )

@@ -1,1 +1,166 @@
-"""Placeholder — operators land incrementally (SURVEY.md §7.1)."""
+"""Projection / filter / predicate operators — SURVEY.md §2.2.
+
+Everything here is pure Catalyst surface: filters and projections are
+declarative, so predicate pushdown and column pruning reach the
+parquet scan with zero custom work (`.explain()` shows PushedFilters
+and a narrow ReadSchema). At 100 TB these ops cost exactly what the
+scan costs — no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_flight_spark.io import table
+from big_data_flight_spark.registry import gate_query
+
+
+@gate_query(
+    "project_select",
+    oracle="""
+    SELECT
+      p_partkey,
+      upper(p_brand) AS brand_uc,
+      p_retailprice,
+      CAST(p_retailprice * 1.1 AS DOUBLE) AS price_with_tax,
+      p_size % 10 AS size_mod,
+      concat(p_brand, ':', p_type) AS brand_type
+    FROM part
+    """,
+    tags=("relational",),
+)
+def project_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column selection + computed columns + aliasing. Catalyst prunes
+    the parquet scan to exactly the referenced columns."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_uc"),
+        "p_retailprice",
+        (F.col("p_retailprice") * 1.1).alias("price_with_tax"),
+        (F.col("p_size") % 10).alias("size_mod"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+    )
+
+
+@gate_query(
+    "filter_pred",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND (l_returnflag = 'R' OR l_returnflag = 'A')
+      AND NOT (l_discount < 0.02)
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    """,
+    tags=("relational",),
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicates (AND/OR/NOT, BETWEEN, comparison) — all
+    pushed into the parquet row-group filter by Catalyst."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & ((F.col("l_returnflag") == "R") | (F.col("l_returnflag") == "A"))
+        & ~(F.col("l_discount") < 0.02)
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+
+
+@gate_query(
+    "filter_null",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             nullif(o_orderstatus, 'P') AS status_or_null,
+             o_totalprice
+      FROM orders
+    )
+    SELECT
+      COUNT(*) AS n_rows,
+      CAST(SUM(CASE WHEN status_or_null IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      CAST(SUM(CASE WHEN status_or_null IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_not_null,
+      CAST(SUM(CASE WHEN status_or_null IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_nullsafe_eq_null
+    FROM t
+    """,
+    tags=("relational",),
+)
+def filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics: IS [NOT] NULL and null-safe equality. The
+    fixtures carry no NULLs, so nulls are synthesized with nullif —
+    the three-valued-logic behavior is what's under test."""
+    o = table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_or_null"),
+        "o_totalprice",
+    )
+    s = F.col("status_or_null")
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(s.isNull(), 1).otherwise(0)).alias("n_null"),
+        F.sum(F.when(s.isNotNull(), 1).otherwise(0)).alias("n_not_null"),
+        F.sum(F.when(s.eqNullSafe(F.lit(None).cast("string")), 1).otherwise(0)).alias(
+            "n_nullsafe_eq_null"
+        ),
+    )
+
+
+@gate_query(
+    "filter_like",
+    oracle="""
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE p_type LIKE '%BRASS%'
+       OR p_name LIKE 'a%'
+       OR regexp_matches(p_type, '^ECONOMY.*(TIN|COPPER)$')
+    """,
+    tags=("relational",),
+)
+def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern predicates: LIKE, prefix LIKE, and full regex (Spark
+    rlike and DuckDB regexp_matches are both unanchored searches;
+    the pattern anchors itself)."""
+    p = table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_type").like("%BRASS%")
+        | F.col("p_name").like("a%")
+        | F.col("p_type").rlike("^ECONOMY.*(TIN|COPPER)$")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+@gate_query(
+    "filter_in_subquery",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+    )
+    """,
+    tags=("relational",),
+)
+def filter_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery) — expressed as a left-semi join, which is exactly
+    what Catalyst's RewritePredicateSubquery produces for the SQL
+    form. Semi-join never duplicates or widens rows."""
+    li = table(spark, sf_dir, "lineitem")
+    big = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return li.join(big, li.l_orderkey == big.o_orderkey, "left_semi").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+@gate_query(
+    "distinct_rows",
+    oracle="""
+    SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+    """,
+    tags=("relational",),
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate elimination — Spark plans distinct as a groupBy on all
+    columns (partial+final hash agg, one shuffle on the distinct key)."""
+    return table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()

@@ -1,1 +1,160 @@
-"""Placeholder — operators land incrementally (SURVEY.md §7.1)."""
+"""Sorts / limits / top-k (§2.6) and set operations (§2.7).
+
+Top-k queries order by a TOTAL key (tie-break on the primary key):
+the driver's value-hash is order-insensitive but LIMIT changes the
+row *set*, so ties must resolve identically on both engines.
+Spark plans orderBy().limit(k) as TakeOrderedAndProject — per-
+partition heaps + driver merge, no global sort. That IS the 100 TB
+top-k algorithm."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_flight_spark.io import table
+from big_data_flight_spark.registry import gate_query
+
+
+@gate_query(
+    "sort_order",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, bal_or_null,
+           row_number() OVER (
+             ORDER BY c_mktsegment ASC, bal_or_null DESC NULLS LAST, c_custkey ASC
+           ) AS pos
+    FROM (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_or_null
+      FROM customer
+    )
+    """,
+    tags=("sort",),
+)
+def sort_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with asc/desc and NULLS LAST (nulls synthesized
+    from negative balances). The sort is made hash-observable via a
+    row_number over the same total order."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")).alias("bal_or_null"),
+    )
+    w = Window.orderBy(
+        F.col("c_mktsegment").asc(),
+        F.col("bal_or_null").desc_nulls_last(),
+        F.col("c_custkey").asc(),
+    )
+    return c.select("c_custkey", "c_mktsegment", "bal_or_null", F.row_number().over(w).alias("pos"))
+
+
+@gate_query(
+    "limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("sort",),
+)
+def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 orders by price (TakeOrderedAndProject; o_orderkey
+    tie-break keeps the row set stable across engines)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@gate_query("sample_rows", oracle=None, tags=("sort", "approx"))
+def sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli sample (seeded). Sampling algorithms are engine-
+    specific → weak rows-only check; the query self-audits by
+    returning the sampled count alongside the expected count."""
+    li = table(spark, sf_dir, "lineitem")
+    sampled = li.sample(fraction=0.1, seed=42)
+    return sampled.agg(
+        F.count(F.lit(1)).alias("sampled_rows"),
+        F.round(F.count(F.lit(1)) / F.lit(0.1), 0).alias("implied_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations — customer vs supplier nation footprints
+# ---------------------------------------------------------------------------
+
+@gate_query(
+    "set_union_all",
+    oracle="""
+    SELECT nationkey, kind, COUNT(*) AS n FROM (
+      SELECT c_nationkey AS nationkey, 'customer' AS kind FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nationkey, 'supplier' AS kind FROM supplier
+    )
+    GROUP BY nationkey, kind
+    """,
+    tags=("set",),
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union (unionByName) — no dedup, counts add up."""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("kind")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("kind")
+    )
+    return c.unionByName(s).groupBy("nationkey", "kind").agg(F.count(F.lit(1)).alias("n"))
+
+
+@gate_query(
+    "set_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("set",),
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set union: nations having customers or suppliers."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@gate_query(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("set",),
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nations with both customers and suppliers."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@gate_query(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("set",),
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics — subtract() dedups): nations with
+    customers but no suppliers. exceptAll would be wrong here: it
+    subtracts per-occurrence, leaving keys that merely appear more
+    often on the left."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)

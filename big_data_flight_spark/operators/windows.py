@@ -1,1 +1,248 @@
-"""Placeholder — operators land incrementally (SURVEY.md §7.1)."""
+"""Window-function operators — SURVEY.md §2.5.
+
+Every window here orders by a TOTAL key (measure + id tie-break) so
+results are deterministic across engines — rank ties are the classic
+oracle-flap source. Window partitions shuffle on partitionBy keys;
+at 100 TB the partition key choice IS the scale story (per-user and
+per-nation partitions are naturally bounded; a global orderBy window
+with no partition is a single-task antipattern — only win_running
+uses one, and its docstring says why that's still OK at fixture scale
+and what to do at cluster scale)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_flight_spark.io import table
+from big_data_flight_spark.registry import gate_query
+
+
+@gate_query(
+    "win_rank",
+    oracle="""
+    SELECT n_name, c_custkey, c_acctbal,
+           row_number()  OVER w AS rn,
+           rank()        OVER w AS rnk,
+           dense_rank()  OVER w AS drnk
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    tags=("window",),
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank per nation, richest customer
+    first; c_custkey tie-break makes row_number deterministic."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+    )
+
+
+@gate_query(
+    "win_topk_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (
+               PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey
+             ) AS rn
+      FROM part
+    ) WHERE rn <= 3
+    """,
+    tags=("window",),
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 priciest parts per brand (flight-canonical 'top routes per
+    airport' shape). Spark pushes the rank filter into the window sort
+    (WindowGroupLimit) — no full materialization of ranked rows."""
+    p = table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return (
+        p.select("p_brand", "p_partkey", "p_retailprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@gate_query(
+    "win_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           epoch_us(ts) - epoch_us(lag(ts)  OVER w) AS gap_us,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window", "event"),
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap (lag) and next event type (lead).
+    Gap computed in integer microseconds — exact on both engines."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@gate_query(
+    "win_running",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                OVER (ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_revenue
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+    """,
+    tags=("window",),
+)
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) revenue over time. Unpartitioned window =
+    single task: fine on a filtered slice; at 100 TB partition by a
+    coarse time bucket and add the previous buckets' grand totals
+    (two-pass pattern) instead of a global window."""
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp")
+    )
+    w = (
+        Window.orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w).cast("double").alias(
+            "running_revenue"
+        ),
+    )
+
+
+@gate_query(
+    "win_moving",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             / COUNT(value) OVER w AS moving_avg_7,
+           COUNT(*) OVER w AS frame_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "event"),
+)
+def win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over the trailing 7-row frame per user (exact
+    decimal sum / count so both engines agree bit-for-bit)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (
+            F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
+            / F.count("value").over(w)
+        ).alias("moving_avg_7"),
+        F.count(F.lit(1)).over(w).alias("frame_n"),
+    )
+
+
+@gate_query(
+    "win_range_frame",
+    oracle="""
+    SELECT o_orderkey, day_no,
+           COUNT(*) OVER (ORDER BY day_no RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+             AS n_last_30d
+    FROM (
+      SELECT o_orderkey, date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS day_no
+      FROM orders WHERE o_orderkey < 400
+    )
+    """,
+    tags=("window",),
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric day number: how many of the last 30
+    days' orders precede each order (value-based frame, includes ties,
+    unlike ROWS)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    t = o.select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias("day_no"),
+    )
+    w = Window.orderBy("day_no").rangeBetween(-30, 0)
+    return t.select("o_orderkey", "day_no", F.count(F.lit(1)).over(w).alias("n_last_30d"))
+
+
+@gate_query(
+    "win_ntile_percent",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           ntile(4)       OVER w AS quartile,
+           ROUND(percent_rank() OVER w, 9) AS pct_rank,
+           ROUND(cume_dist()    OVER w, 9) AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("window",),
+)
+def win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution functions: quartile bucket, percent_rank, cume_dist
+    over account balance (rank arithmetic → deterministic doubles;
+    rounded to 9dp defensively)."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
+
+
+@gate_query(
+    "win_first_last",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_acctbal,
+           first_value(s_acctbal) OVER w AS best_bal,
+           last_value(s_acctbal)  OVER w AS worst_bal,
+           nth_value(s_acctbal, 2) OVER w AS second_bal
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window",),
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value over the FULL partition frame (the default
+    frame stops at CURRENT ROW — explicit frame or last_value lies)."""
+    s = table(spark, sf_dir, "supplier")
+    w = (
+        Window.partitionBy("s_nationkey")
+        .orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.first("s_acctbal").over(w).alias("best_bal"),
+        F.last("s_acctbal").over(w).alias("worst_bal"),
+        F.nth_value("s_acctbal", 2).over(w).alias("second_bal"),
+    )
