@@ -1,1 +1,275 @@
-"""Placeholder — operators land incrementally (SURVEY.md §7.1)."""
+"""Event-time operators over the ``events`` stream table — SURVEY.md §2.9.
+
+Batch-first (the driver's correctness gate materializes batch
+DataFrames); each op has a Structured-Streaming twin in
+streaming/twins.py where semantics carry over (watermarks,
+dropDuplicatesWithinWatermark, session_window).
+
+Determinism contract used throughout: event order within a user is
+``(ts, event_id)`` — ts alone is not unique; sessions start strictly
+when ``gap > timeout``. The oracle SQL encodes the identical
+definitions.
+
+Scale notes: every op here shuffles at most once, on either the
+window bucket or user_id. Per-user windows are naturally bounded
+partitions; tumbling/sliding buckets are time-bounded. The sliding
+window multiplies rows by (window/slide) BEFORE the shuffle — that
+×4 blowup is the accepted cost of the declarative form (same as
+Spark's own window() implementation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_flight_spark.io import table
+from big_data_flight_spark.registry import DSUM, dsum, gate_query
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+@gate_query(
+    "evt_tumbling_window",
+    oracle=f"""
+    SELECT
+      time_bucket(INTERVAL '1 day', ts) AS day_start,
+      event_type,
+      COUNT(*) AS n,
+      {DSUM("value", "sum_value")}
+    FROM events
+    GROUP BY day_start, event_type
+    """,
+    tags=("event",),
+)
+def evt_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day tumbling window counts/sums per event_type. Spark's
+    window() aligns buckets to the epoch in UTC — identical to
+    DuckDB's time_bucket for day/hour intervals."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(F.col("w.start").alias("day_start"), "event_type", "n", "sum_value")
+    )
+
+
+@gate_query(
+    "evt_sliding_window",
+    oracle=f"""
+    SELECT
+      time_bucket(INTERVAL '6 hours', ts) - k * INTERVAL '6 hours' AS w_start,
+      COUNT(*) AS n,
+      {DSUM("value", "sum_value")}
+    FROM events CROSS JOIN (SELECT unnest(range(4)) AS k)
+    GROUP BY w_start
+    """,
+    tags=("event",),
+)
+def evt_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day window sliding every 6h: each event lands in exactly 4
+    windows (window/slide). The oracle reconstructs the same window
+    assignment arithmetically."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(F.col("w.start").alias("w_start"), "n", "sum_value")
+    )
+
+
+# Shared session-id construction (lag → gap flag → running sum).
+def _with_session_id(e: DataFrame) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.withColumn("session_id", F.sum(is_new).over(run))
+
+
+_SESSION_CTE = """
+  sess AS (
+    SELECT
+      user_id, event_id, ts, event_type, value,
+      SUM(CASE WHEN prev_ts IS NULL
+                 OR epoch_us(ts) - epoch_us(prev_ts) > 30*60*1000000
+               THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM (
+      SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+  )
+"""
+
+
+@gate_query(
+    "evt_session_window",
+    oracle=f"""
+    WITH {_SESSION_CTE}
+    SELECT user_id, event_id, session_id FROM sess
+    """,
+    tags=("event", "custom"),
+)
+def evt_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min gap timeout) via the classic
+    lag → new-session flag → running-sum pattern. A session breaks
+    strictly when gap > timeout; ties ordered by event_id. The
+    streaming twin uses session_window() (streaming/twins.py)."""
+    e = table(spark, sf_dir, "events")
+    return _with_session_id(e).select("user_id", "event_id", "session_id")
+
+
+@gate_query(
+    "evt_sessionize_stats",
+    oracle=f"""
+    WITH {_SESSION_CTE}
+    SELECT
+      user_id, session_id,
+      COUNT(*) AS n_events,
+      MIN(ts) AS session_start,
+      epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+      {DSUM("value", "sum_value")}
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    tags=("event", "custom"),
+)
+def evt_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session stats on top of the sessionization: event count,
+    start, duration (integer µs — exact), value sum (exact decimal)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        _with_session_id(e)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+            dsum("value", "sum_value"),
+        )
+    )
+
+
+@gate_query(
+    "evt_dedup",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts FROM (
+      SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("event",),
+)
+def evt_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dedup: first event per (user, type) by (ts,
+    event_id). dropDuplicates() keeps an ARBITRARY row — fine for
+    exactly-once semantics on a unique key, wrong for an oracle
+    comparison — so the gate uses the rank form. The streaming twin
+    (dropDuplicatesWithinWatermark on event_id) is in
+    streaming/twins.py."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+@gate_query(
+    "evt_late_data",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS max_ts FROM events)
+    SELECT
+      event_type,
+      COUNT(*) AS n_total,
+      CAST(SUM(CASE WHEN ts >= max_ts - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(SUM(CASE WHEN ts <  max_ts - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM events, mx
+    GROUP BY event_type
+    """,
+    tags=("event",),
+)
+def evt_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics, batch-emulated: events older than
+    max(ts) - 7d would be dropped by a 7-day watermark. The 1-row max
+    is broadcast — no shuffle of the fact side."""
+    e = table(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("max_ts"))
+    cutoff = F.col("max_ts") - F.expr("INTERVAL 7 DAYS")
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("ts") >= cutoff, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("ts") < cutoff, 1).otherwise(0)).alias("n_dropped"),
+        )
+    )
+
+
+@gate_query(
+    "evt_stateful_funnel",
+    oracle="""
+    SELECT
+      user_id,
+      MIN(CASE WHEN event_type = 'signup'   THEN ts END) AS first_signup,
+      MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase,
+      coalesce(
+        MIN(CASE WHEN event_type = 'signup' THEN ts END)
+          < MIN(CASE WHEN event_type = 'purchase' THEN ts END),
+        FALSE) AS converted
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("event",),
+)
+def evt_stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup→purchase conversion funnel per user, as a conditional
+    aggregation (the batch-declarative form of a stateful operator;
+    the streaming form would be transformWithStateInPandas)."""
+    e = table(spark, sf_dir, "events")
+    first_signup = F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+    first_purchase = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    return e.groupBy("user_id").agg(
+        first_signup.alias("first_signup"),
+        first_purchase.alias("first_purchase"),
+        F.coalesce(first_signup < first_purchase, F.lit(False)).alias("converted"),
+    )
+
+
+@gate_query(
+    "evt_rate_alert",
+    oracle="""
+    SELECT * FROM (
+      SELECT
+        time_bucket(INTERVAL '1 day', ts) AS day_start,
+        COUNT(*) AS n,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+        ROUND(AVG(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END), 6) AS err_rate
+      FROM events
+      GROUP BY day_start
+    ) WHERE err_rate > 0.15 AND n >= 5
+    """,
+    tags=("event",),
+)
+def evt_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-rate alarm: daily windows whose error rate exceeds the
+    threshold (alarm-verification pattern — window agg + filter)."""
+    e = table(spark, sf_dir, "events")
+    is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(is_err).alias("n_err"),
+            F.round(F.avg(is_err.cast("double")), 6).alias("err_rate"),
+        )
+        .filter((F.col("err_rate") > 0.15) & (F.col("n") >= 5))
+        .select(F.col("w.start").alias("day_start"), "n", "n_err", "err_rate")
+    )

@@ -1,1 +1,338 @@
-"""Placeholder — operators land incrementally (SURVEY.md §7.1)."""
+"""Vector-similarity operators over ``embeddings`` — SURVEY.md §2.11.
+
+Embedding column is array<float> (64-dim). Parity rule for every
+arithmetic path: cast float32 elements to double FIRST, then fold —
+both engines then do identical IEEE float64 math over the identical
+element order. Cross-vector reductions (centroid sums, dot products
+computed via groupBy) go through exact decimals because groupBy
+summation order is nondeterministic.
+
+Scale story (the part that matters at 100 TB):
+  - brute-force cosine is quadratic → every pairwise op here either
+    has an inverted-index/blocking structure or a documented LSH
+    variant (sim_ann_lsh);
+  - top-k per query is rank-per-group — linear scans, no global sort;
+  - centroids are a posexplode + groupBy — one shuffle keyed by
+    (label, pos), 640 output rows regardless of input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_flight_spark.io import table
+from big_data_flight_spark.registry import gate_query
+
+DIM = 64  # fixed embedding dimensionality (FIXTURES.md, verified)
+
+
+def _norm(col):  # double L2 norm of a float array, deterministic fold
+    as_dbl = F.transform(col, lambda x: x.cast("double"))
+    return F.sqrt(F.aggregate(as_dbl, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _dot(a, b):  # double dot product, deterministic left-to-right fold
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _ordered_mean(col):
+    """Order-canonical float64 mean across group rows: collect → sort →
+    left fold. Both engines then add the same doubles in the same
+    order — bit-identical, no decimal quantization involved."""
+    vals = F.sort_array(F.collect_list(col.cast("double")))
+    return F.aggregate(vals, F.lit(0.0), lambda acc, x: acc + x) / F.size(vals)
+
+
+# DuckDB twins of the folds above: list comprehension over 1..64 keeps
+# the same element order; list_sum folds in order.
+_DUCK_DOT = (
+    "list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) "
+    f"for i in range(1, {DIM + 1})])"
+)
+
+
+def _duck_norm(alias: str) -> str:
+    return (
+        f"sqrt(list_sum([CAST({alias}.embedding[i] AS DOUBLE) * "
+        f"CAST({alias}.embedding[i] AS DOUBLE) for i in range(1, {DIM + 1})]))"
+    )
+
+
+@gate_query(
+    "sim_cosine_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_DUCK_DOT} / ({_duck_norm('a')} * {_duck_norm('b')}), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 1000 AND b.vec_id < 1000
+      AND {_DUCK_DOT} / ({_duck_norm('a')} * {_duck_norm('b')}) >= 0.3
+    """,
+    tags=("similarity",),
+)
+def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine similarity ≥ 0.3 (brute force over a bounded
+    id slice). Norms are precomputed per vector before the pair join
+    so each pair costs one dot product, not three folds.
+
+    This exact quadratic form is the correctness baseline; the scale
+    path is sim_ann_lsh (LSH-blocked candidates, then this same exact
+    scoring on candidates only)."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    v = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    a = v.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("norm_a"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("norm_b"),
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim_raw", cos)
+        .filter(F.col("cos_sim_raw") >= 0.3)
+        .select("vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
+    )
+
+
+@gate_query(
+    "sim_topk_neighbors",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND({_DUCK_DOT} / ({_duck_norm('a')} * {_duck_norm('b')}), 6) AS cos_sim
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, cos_sim, rn FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS rn FROM scored
+    ) WHERE rn <= 5
+    """,
+    tags=("similarity",),
+)
+def sim_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN (k=5) for 10 query vectors: broadcast the queries
+    against the full corpus, score, rank per query. Ranking happens on
+    the ROUNDED score so rank ties resolve identically on both engines
+    (tie-break: neighbor_id). This query-side-broadcast shape is
+    exactly how batch k-NN scales: the corpus streams, queries ride
+    along."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("emb_q")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_c"))
+    cos = _dot(F.col("emb_q"), F.col("emb_c")) / (
+        _norm(F.col("emb_q")) * _norm(F.col("emb_c"))
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(cos, 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
+@gate_query(
+    "sim_label_centroids",
+    oracle=f"""
+    SELECT label, i - 1 AS pos,
+           list_sum(list_sort(list(CAST(embedding[i] AS DOUBLE)))) / COUNT(*) AS centroid
+    FROM embeddings CROSS JOIN range(1, {DIM + 1}) t(i)
+    GROUP BY label, i
+    """,
+    tags=("similarity",),
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids: posexplode the vectors, average each
+    position (exact decimal sum / count — groupBy order-independent).
+    Output is |labels|×DIM rows however large the input: the classic
+    mergeable-aggregate shape."""
+    e = table(spark, sf_dir, "embeddings")
+    pos = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    # Order-canonical float64 mean: collect → sort → ordered fold.
+    # (A decimal-quantized sum is NOT safe for float data: a value can
+    # land exactly on a decimal rounding boundary and the engines'
+    # HALF_UP vs HALF_EVEN then diverge — observed at scale 12.)
+    # Group sizes here are |vectors-per-label|; at 100 TB swap for a
+    # two-level mean (per-partition sorted partials, then a sorted
+    # final fold) — same determinism argument, bounded memory.
+    return pos.groupBy("label", "pos").agg(_ordered_mean(F.col("val")).alias("centroid"))
+
+
+@gate_query(
+    "sim_centroid_assign",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label AS c_label, i AS pos,
+             list_sum(list_sort(list(CAST(embedding[i] AS DOUBLE)))) / COUNT(*) AS cv
+      FROM embeddings CROSS JOIN range(1, {DIM + 1}) t(i)
+      GROUP BY label, i
+    ),
+    vec AS (
+      SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS vv
+      FROM embeddings CROSS JOIN range(1, {DIM + 1}) t(i)
+      WHERE vec_id < 200
+    ),
+    dots AS (
+      SELECT vec_id, label, c_label,
+             CAST(SUM(CAST(vv * cv AS DECIMAL(38,12))) AS DOUBLE) AS dot,
+             CAST(SUM(CAST(vv * vv AS DECIMAL(38,12))) AS DOUBLE) AS v_sq,
+             CAST(SUM(CAST(cv * cv AS DECIMAL(38,12))) AS DOUBLE) AS c_sq
+      FROM vec JOIN cent USING (pos)
+      GROUP BY vec_id, label, c_label
+    )
+    SELECT vec_id, label AS true_label, c_label AS assigned_label,
+           ROUND(cos_sim, 6) AS cos_sim
+    FROM (
+      SELECT vec_id, label, c_label, dot / sqrt(v_sq * c_sq) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY dot / sqrt(v_sq * c_sq) DESC, c_label
+             ) AS rn
+      FROM dots
+    ) WHERE rn = 1
+    """,
+    tags=("similarity",),
+)
+def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each vector (id slice) to its nearest label centroid by
+    cosine — the clustering-assignment step. Computed relationally:
+    posexplode → join on position → exact-decimal dot products →
+    rank. One shuffle keyed by (vec, label); the 640-row centroid
+    table broadcasts."""
+    e = table(spark, sf_dir, "embeddings")
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy(F.col("label").alias("c_label"), "pos")
+        .agg(_ordered_mean(F.col("val")).alias("cv"))
+    )
+    vec = (
+        e.filter(F.col("vec_id") < 200)
+        .select("vec_id", "label", F.posexplode("embedding").alias("pos", "val"))
+        .select("vec_id", "label", "pos", F.col("val").cast("double").alias("vv"))
+    )
+    def dsum12(expr, alias):
+        return F.sum(expr.cast("decimal(38,12)")).cast("double").alias(alias)
+
+    dots = (
+        vec.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(
+            dsum12(F.col("vv") * F.col("cv"), "dot"),
+            dsum12(F.col("vv") * F.col("vv"), "v_sq"),
+            dsum12(F.col("cv") * F.col("cv"), "c_sq"),
+        )
+    )
+    cos = F.col("dot") / F.sqrt(F.col("v_sq") * F.col("c_sq"))
+    w = Window.partitionBy("vec_id").orderBy(cos.desc(), F.col("c_label"))
+    return (
+        dots.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("label").alias("true_label"),
+            F.col("c_label").alias("assigned_label"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+
+
+@gate_query("sim_ann_lsh", oracle=None, tags=("similarity", "approx"))
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via random-projection LSH
+    (pyspark.ml BucketedRandomProjectionLSH): bucket vectors, join
+    only within buckets — the 100 TB path that replaces the quadratic
+    exact join. Approximation is engine-specific → weak rows-only
+    check; the result self-audits by reporting candidate-pair counts
+    and the recall of LSH candidates against the exact ≥0.3-cosine
+    pair set on the same slice."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 500)
+        .select("vec_id", array_to_vector(F.col("embedding")).alias("features"))
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+    )
+    model = lsh.fit(e)
+    cand = (
+        model.approxSimilarityJoin(e, e, threshold=8.0, distCol="dist")
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+        )
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .distinct()
+    )
+    # exact ≥0.3 pairs on the same slice, for recall accounting
+    v = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    truth = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.3)
+        .select("vec_a", "vec_b")
+    )
+    n_cand = cand.count()
+    n_truth = truth.count()
+    n_hit = truth.join(cand, ["vec_a", "vec_b"], "left_semi").count()
+    return spark.createDataFrame(
+        [
+            (
+                n_cand,
+                n_truth,
+                n_hit,
+                round(n_hit / n_truth, 4) if n_truth else 1.0,
+            )
+        ],
+        "n_lsh_candidates long, n_true_pairs long, n_recalled long, recall double",
+    )
+
+
+@gate_query(
+    "multimodal_join",
+    oracle=f"""
+    SELECT d.doc_id, d.lang, d.source, d.n_chars, e.label,
+           ROUND({_duck_norm('e')}, 6) AS vec_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE d.lang IN ('en', 'de') AND d.n_chars > 250 AND e.label < 5
+    """,
+    tags=("similarity", "multimodal"),
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame: text corpus ⋈ vector store (doc_id = vec_id),
+    filtered by a text predicate AND a vector predicate together —
+    the join that makes a training-data pipeline 'multimodal'."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .filter(
+            F.col("lang").isin("en", "de") & (F.col("n_chars") > 250) & (F.col("label") < 5)
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            "label",
+            F.round(_norm(F.col("embedding")), 6).alias("vec_norm"),
+        )
+    )

@@ -1,1 +1,356 @@
-"""Placeholder — operators land incrementally (SURVEY.md §7.1)."""
+"""Text-analysis / dedup operators over ``documents`` — SURVEY.md §2.11.
+
+The LLM-training-data-pipeline text surface: tokenization, corpus
+stats, TF-IDF, language/quality heuristics, fingerprinting, exact and
+near dedup. Everything is built-in-function DataFrame code (explode /
+groupBy / window) — no Python in the hot path; near-dup's MinHash-LSH
+scale variant lives in similarity.py alongside the other approximate
+ops.
+
+Fixture text is space-separated lowercase words (FIXTURES.md), so
+``split(text, ' ')`` is a faithful tokenizer; the shapes below are
+exactly what they'd be with a real tokenizer UDF swapped in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_flight_spark.io import table
+from big_data_flight_spark.registry import DAVG, davg, gate_query
+
+
+def tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, token) — one row per token occurrence."""
+    return docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+
+
+@gate_query(
+    "text_tokenize_counts",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+    )
+    SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+    FROM tok WHERE token <> ''
+    GROUP BY token
+    """,
+    tags=("text",),
+)
+def text_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token frequencies + document frequencies. explode →
+    groupBy is the distributed word-count shape: partial counts
+    map-side, one shuffle on token."""
+    t = tokens(table(spark, sf_dir, "documents"))
+    return t.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+@gate_query(
+    "text_doc_token_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT token) AS n_unique,
+           ROUND(COUNT(DISTINCT token) * 1.0 / COUNT(*), 6) AS type_token_ratio
+    FROM tok WHERE token <> ''
+    GROUP BY doc_id
+    """,
+    tags=("text",),
+)
+def text_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts + lexical diversity (type/token ratio
+    — a standard quality-scoring signal)."""
+    t = tokens(table(spark, sf_dir, "documents"))
+    return t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("n_unique"),
+        F.round(F.countDistinct("token") / F.count(F.lit(1)), 6).alias("type_token_ratio"),
+    )
+
+
+@gate_query(
+    "text_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok WHERE token <> '' GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok WHERE token <> '' GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             ROUND(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf, rn FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, token
+      ) AS rn FROM scored
+    ) WHERE rn <= 3
+    """,
+    tags=("text",),
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document, DataFrame-native two-pass
+    (tf groupBy + df groupBy + broadcast join — df table is |vocab|
+    rows, always broadcastable). MLlib HashingTF+IDF would hash-bucket
+    terms (not oracle-reproducible); this form is exact."""
+    docs = table(spark, sf_dir, "documents")
+    t = tokens(docs)
+    tf = t.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = t.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar; one tiny job — acceptable at any scale (it's a count of the corpus table)
+    scored = tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tfidf", "rn")
+    )
+
+
+@gate_query(
+    "text_lang_stats",
+    oracle=f"""
+    SELECT
+      lang,
+      COUNT(*) AS n_docs,
+      COUNT(DISTINCT source) AS n_sources,
+      {DAVG("n_chars", "avg_chars")},
+      CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+      CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+      CAST(COUNT(*) FILTER (n_chars >= 300) AS BIGINT) AS n_long
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text",),
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats (count, source spread, length
+    distribution) — the triage query a data pipeline runs first."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        davg("n_chars", "avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum(F.when(F.col("n_chars") >= 300, 1).otherwise(0)).alias("n_long"),
+    )
+
+
+@gate_query(
+    "text_quality_score",
+    oracle="""
+    SELECT
+      doc_id,
+      n_chars,
+      len(string_split(text, ' ')) AS n_words,
+      ROUND(n_chars * 1.0 / len(string_split(text, ' ')), 6) AS avg_word_len,
+      CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 100
+            AND n_chars * 1.0 / len(string_split(text, ' ')) BETWEEN 3 AND 10
+           THEN 'keep' ELSE 'review' END AS quality_bucket
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length + average word length bands —
+    the stopword/punctuation-ratio shape without needing a lexicon).
+    Pure projection: zero shuffle, runs at scan speed at any scale."""
+    d = table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    awl = F.col("n_chars") / n_words
+    return d.select(
+        "doc_id",
+        "n_chars",
+        n_words.alias("n_words"),
+        F.round(awl, 6).alias("avg_word_len"),
+        F.when(
+            n_words.between(20, 100) & awl.between(3, 10), "keep"
+        ).otherwise("review").alias("quality_bucket"),
+    )
+
+
+@gate_query(
+    "text_lang_id",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             CAST(SUM(CASE WHEN token IN ('the','and','of','to','a') THEN 1 ELSE 0 END) AS BIGINT)
+               AS en_hits,
+             COUNT(*) AS n_tokens
+      FROM tok GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang, en_hits, n_tokens,
+           ROUND(en_hits * 1.0 / n_tokens, 6) AS en_score,
+           en_hits * 1.0 / n_tokens > 0.05 AS looks_english
+    FROM scored
+    """,
+    tags=("text",),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-hit-rate n-gram scoring (the
+    fixture vocabulary is synthetic, so the score is the mechanism
+    under test, not a real classifier — swap the token list for a
+    per-language lexicon in production)."""
+    d = table(spark, sf_dir, "documents")
+    t = tokens(d).join(d.select("doc_id", "lang"), "doc_id")
+    hit = F.when(F.col("token").isin("the", "and", "of", "to", "a"), 1).otherwise(0)
+    scored = t.groupBy("doc_id", "lang").agg(
+        F.sum(hit).alias("en_hits"), F.count(F.lit(1)).alias("n_tokens")
+    )
+    rate = F.col("en_hits") / F.col("n_tokens")
+    return scored.select(
+        "doc_id",
+        "lang",
+        "en_hits",
+        "n_tokens",
+        F.round(rate, 6).alias("en_score"),
+        (rate > 0.05).alias("looks_english"),
+    )
+
+
+@gate_query(
+    "text_fingerprint",
+    oracle="""
+    SELECT
+      doc_id,
+      sha256(lower(trim(text))) AS content_hash,
+      md5(lower(trim(text)))    AS content_md5,
+      length(text) % 997        AS cheap_bucket
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: cryptographic content hash (sha256/md5
+    — identical hex on both engines) + a cheap modular bucket for
+    partitioned processing."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.sha2(norm, 256).alias("content_hash"),
+        F.md5(norm).alias("content_md5"),
+        (F.length("text") % 997).alias("cheap_bucket"),
+    )
+
+
+@gate_query(
+    "text_exact_dedup",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, sha256(lower(trim(text))) AS content_hash FROM documents
+    )
+    SELECT content_hash, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+    FROM h GROUP BY content_hash
+    """,
+    tags=("text", "dedup"),
+)
+def text_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact/normalized dedup: hash-groupBy on sha256(normalized text),
+    keep the lowest doc_id per hash. At 100 TB this is the canonical
+    first dedup pass — the shuffle key is the 32-byte hash, never the
+    document body."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection: exact shingle-Jaccard (gate) — MinHash-LSH
+# approximation for the 100 TB path is sim_minhash_lsh in similarity.py.
+# ---------------------------------------------------------------------------
+
+def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct k-word shingles per document.
+    Shingling (not raw tokens) is what makes Jaccard discriminative:
+    the fixture vocabulary is ~31 words, so token sets are near-
+    identical across docs while shingle sets collide only for true
+    near-duplicates."""
+    w = F.split(F.lower(F.col("text")), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(w) - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(k)]),
+    )
+    return docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+@gate_query(
+    "text_near_dedup_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS shingles
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.shingles, b.shingles)) AS n_common
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    """,
+    tags=("text", "dedup"),
+)
+def text_near_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs: 3-word shingles → inverted-index self-join
+    on shingle → per-pair intersection count → Jaccard ≥ 0.5.
+
+    This IS the scalable exact algorithm: the self-join is blocked by
+    the shingle inverted index (pairs sharing no shingle never meet),
+    intersection counts come from one groupBy — no cross join anywhere.
+    At 100 TB, add a frequency cap (drop shingles appearing in > X
+    docs — stop-shingles create quadratic hot keys) and/or switch to
+    the MinHash-LSH variant (sim_minhash_lsh) which bounds candidate
+    pairs by banding."""
+    docs = table(spark, sf_dir, "documents")
+    sh = shingles(docs, 3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -1,1 +1,189 @@
-"""Placeholder — operators land incrementally (SURVEY.md §7.1)."""
+"""UDF / UDAF / UDTF surface — SURVEY.md §2.10.
+
+The Python boundary is the engine's slow path: everything crossing it
+here is Arrow-batched (pandas_udf / applyInPandas), never row-at-a-
+time. Each UDF gate query computes something ALSO expressible in SQL,
+so the oracle isolates UDF-mechanism bugs from logic bugs.
+
+Ordering discipline: Spark gives no row-order guarantee into grouped
+UDFs, so any order-sensitive computation sorts INSIDE the function on
+a total key. The oracles sort the same way — both engines then fold
+float64 in the identical sequence.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from big_data_flight_spark.io import table
+from big_data_flight_spark.registry import gate_query
+
+
+# -- scalar pandas UDF -------------------------------------------------------
+
+@F.pandas_udf(T.DoubleType())
+def _logistic_score(v: pd.Series) -> pd.Series:
+    """Vectorized logistic squash (Arrow in, numpy math, Arrow out)."""
+    import numpy as np
+
+    return 1.0 / (1.0 + np.exp(-v / 100.0))
+
+
+@gate_query(
+    "udf_scalar_arrow",
+    oracle="""
+    SELECT event_id, value,
+           ROUND(1.0 / (1.0 + exp(-value / 100.0)), 6) AS score
+    FROM events
+    WHERE event_id < 2000
+    """,
+    tags=("udf",),
+)
+def udf_scalar_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF vs the same formula in SQL.
+    Rounded to 6dp: numpy's and DuckDB's exp may differ by 1 ulp."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return e.select(
+        "event_id", "value", F.round(_logistic_score(F.col("value")), 6).alias("score")
+    )
+
+
+# -- grouped-aggregate pandas UDF (UDAF) ------------------------------------
+
+@F.pandas_udf(T.DoubleType())
+def _geo_mean(v: pd.Series) -> float:
+    """Geometric mean of |v|+1 — a custom aggregate Spark lacks."""
+    import numpy as np
+
+    x = v.abs() + 1.0
+    return float(np.exp(np.log(x).mean()))
+
+
+@gate_query(
+    "udaf_grouped_agg",
+    oracle="""
+    SELECT event_type,
+           ROUND(exp(AVG(ln(abs(value) + 1.0))), 6) AS geo_mean_value,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("udf",),
+)
+def udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped aggregate (geometric mean) as a grouped-agg
+    pandas UDF, usable in groupBy().agg() — the UDAF surface. The
+    log-sum is order-dependent in the last ulps; 6dp rounding
+    absorbs it (error ~1e-12, granularity 1e-6)."""
+    e = table(spark, sf_dir, "events")
+    # Grouped-agg pandas UDFs can't mix with JVM aggregates in one
+    # agg() (INVALID_PANDAS_UDF_PLACEMENT) — compute counts separately
+    # and join (both aggs share the same shuffle key).
+    geo = e.groupBy("event_type").agg(
+        F.round(_geo_mean(F.col("value")), 6).alias("geo_mean_value")
+    )
+    counts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return geo.join(counts, "event_type")
+
+
+# -- grouped-map applyInPandas ----------------------------------------------
+
+def _per_user_running(pdf: pd.DataFrame) -> pd.DataFrame:
+    # Total-order sort INSIDE the UDF — input order is not guaranteed.
+    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    pdf["running_value"] = pdf["value"].cumsum().round(6)
+    pdf["seq"] = range(1, len(pdf) + 1)
+    return pdf[["user_id", "event_id", "seq", "running_value"]]
+
+
+@gate_query(
+    "udf_grouped_map",
+    oracle="""
+    SELECT user_id, event_id,
+           row_number() OVER w AS seq,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS running_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("udf",),
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group pandas transform (applyInPandas): per-user running sum
+    + sequence number. pandas cumsum and the SQL running window both
+    add float64 sequentially in the same (ts, event_id) order —
+    bit-compatible, rounded anyway. This grouped-map shape is also the
+    as-of-join fallback (pd.merge_asof per group)."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return e.groupBy("user_id").applyInPandas(
+        _per_user_running,
+        schema="user_id long, event_id long, seq long, running_value double",
+    )
+
+
+# -- UDTF (table function) ---------------------------------------------------
+
+@gate_query(
+    "udtf_explode_like",
+    oracle="""
+    SELECT doc_id, i - 1 AS pos, w[i] AS token
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+          FROM documents WHERE doc_id < 50)
+    CROSS JOIN range(1, 1000) t(i)
+    WHERE i <= len(w)
+    """,
+    tags=("udf",),
+)
+def udtf_explode_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table function: one row in → N rows out (doc → positioned
+    tokens). The gate uses the built-in posexplode (Spark's native
+    UDTF of this shape — always prefer it); a real Python @udtf
+    twin is registered by :func:`register_python_udtf` and exercised
+    in tests/test_udfs.py."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "token")
+    ).select("doc_id", "pos", "token")
+
+
+def register_python_udtf(spark: SparkSession) -> None:
+    """Register a genuine Python UDTF (Spark 3.5+/4.x) named
+    ``split_tokens`` for the SQL surface:
+    ``SELECT t.* FROM documents, LATERAL split_tokens(text) t``."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class SplitTokens:
+        def eval(self, text: str):  # noqa: D401 - Spark UDTF protocol
+            if text is None:
+                return
+            for pos, tok in enumerate(text.lower().split(" ")):
+                yield pos, tok
+
+    spark.udtf.register("split_tokens", SplitTokens)
+
+
+# -- haversine: the flight-analytics classic, as a pandas UDF ----------------
+
+@F.pandas_udf(T.DoubleType())
+def haversine_km(
+    lat1: pd.Series, lon1: pd.Series, lat2: pd.Series, lon2: pd.Series
+) -> pd.Series:
+    """Great-circle distance (km) — the canonical flight-data scalar.
+    No coordinate columns exist in the fixtures, so this ships as API
+    surface with unit tests (tests/test_udfs.py) rather than a gate
+    query; synthetic coordinates are derived there from keys."""
+    import numpy as np
+
+    rlat1, rlat2 = np.radians(lat1), np.radians(lat2)
+    dlat = rlat2 - rlat1
+    dlon = np.radians(lon2) - np.radians(lon1)
+    a = np.sin(dlat / 2) ** 2 + np.cos(rlat1) * np.cos(rlat2) * np.sin(dlon / 2) ** 2
+    return 2 * 6371.0088 * np.arcsin(np.sqrt(a))

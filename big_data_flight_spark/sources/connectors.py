@@ -1,1 +1,140 @@
-"""Placeholder — operators land incrementally (SURVEY.md §7.1)."""
+"""Sources & sinks — SURVEY.md §2.1.
+
+Parquet is the primary format (io.table). This module covers the
+other connector surfaces: CSV and JSON-lines ingest with explicit
+schemas (never inferSchema in production — it's an extra full scan),
+and the partitioned parquet sink. No CSV/JSON fixtures exist, so each
+gate query round-trips fixture data through the format into
+``.tmp/`` inside the repo and verifies the re-read against the
+source-of-truth parquet via the oracle — which checks BOTH the writer
+and the reader.
+
+JDBC: no database exists in this environment; the connector surface
+is documented here for completeness —
+``spark.read.format("jdbc").option("url", ...).option("dbtable", ...)
+.option("partitionColumn"/"lowerBound"/"upperBound"/"numPartitions",
+...)`` is the parallel-read shape (never omit partitionColumn: a
+single-connection JDBC scan is a driver bottleneck at any scale).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from big_data_flight_spark.io import table
+from big_data_flight_spark.registry import DSUM, dsum, gate_query
+
+_TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp")
+
+
+_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]
+)
+
+
+@gate_query(
+    "scan_csv",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n, {DSUM("o_totalprice", "sum_price")},
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key, CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders WHERE o_orderkey < 1000
+    GROUP BY o_orderstatus
+    """,
+    tags=("source",),
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip: write an orders slice as headered CSV, read it
+    back with an EXPLICIT schema (the flight-CSV ingest shape), and
+    aggregate. The oracle aggregates the original parquet — a value
+    match proves the CSV writer/reader preserved every value (doubles
+    survive via Spark's shortest-roundtrip formatting)."""
+    out = os.path.join(_TMP, "csv_orders")
+    src = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    )
+    src.write.mode("overwrite").option("header", True).csv(out)
+    df = spark.read.schema(_CSV_SCHEMA).option("header", True).csv(out)
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", "sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+@gate_query(
+    "scan_json",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, {DSUM("value", "sum_value")},
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+    FROM events WHERE event_id < 2000
+    GROUP BY event_type
+    """,
+    tags=("source",),
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round-trip with explicit schema; the nested-JSON
+    props column survives as a string and is re-extracted after the
+    round trip — covering writer, reader, and schema-on-read."""
+    out = os.path.join(_TMP, "json_events")
+    src = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", "event_type", "value", "props")
+    )
+    src.write.mode("overwrite").json(out)
+    df = spark.read.schema(_JSON_SCHEMA).json(out)
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", "sum_value"),
+        F.sum(F.get_json_object("props", "$.k").cast("int")).alias("sum_k"),
+    )
+
+
+@gate_query(
+    "sink_parquet",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n, {DSUM("l_extendedprice", "sum_price")}
+    FROM lineitem WHERE l_orderkey < 2000
+    GROUP BY l_returnflag
+    """,
+    tags=("source", "sink"),
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink: write a lineitem slice partitioned by
+    l_returnflag (hive-style directories), re-read, aggregate by the
+    partition column. At scale partitionBy enables partition PRUNING
+    on read — filters on l_returnflag skip whole directories
+    (visible as 'PartitionFilters' in explain)."""
+    out = os.path.join(_TMP, "parquet_lineitem")
+    src = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 2000)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag")
+    )
+    src.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    df = spark.read.parquet(out)
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "sum_price")
+    )

@@ -1,1 +1,124 @@
-"""Placeholder — operators land incrementally (SURVEY.md §7.1)."""
+"""Structured-Streaming twins of the event-time operators — SURVEY.md §2.9.
+
+The correctness gate runs batch DataFrames; these twins prove the same
+logic runs as streams. Each uses ``trigger(availableNow=True)`` so a
+bounded parquet-backed stream drains and terminates — the local-mode
+stand-in for a Kafka-style unbounded source. The gate entry
+(stream_source_sink) gets the STRONG oracle because counts are
+deterministic; watermark/session twins live here as library functions
+exercised by tests/test_streaming.py (their late-data semantics
+depend on arrival order, which a batch oracle can't pin down).
+
+At scale the only changes are the source (kafka.bootstrap.servers),
+a real trigger interval, and a checkpointLocation on durable storage
+— the transformation code is identical, which is the point of the
+DataFrame/Streaming unification.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_flight_spark.registry import gate_query
+
+# events.parquet stores ts as TIMESTAMP(NANOS) → read as long
+# (nanosAsLong), convert after (same convention as io.table).
+_EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-backed streaming source over the events table."""
+    raw = (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Drain a bounded stream into a memory sink; return the result
+    as a batch DataFrame. availableNow processes everything then
+    stops — deterministic for file sources."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+@gate_query(
+    "stream_source_sink",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming",),
+)
+def stream_source_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream(parquet) → streaming aggregation → memory sink,
+    drained with availableNow. Counts per event_type must equal the
+    batch result exactly — the strong oracle holds because counting
+    is arrival-order-insensitive."""
+    agg = events_stream(spark, sf_dir).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return run_to_memory(agg, mode="complete")
+
+
+def tumbling_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of evt_tumbling_window: watermarked event-time
+    windows. With availableNow over a bounded source, all windows
+    emit (nothing is later than the final watermark)."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("day_start"), "event_type", "n")
+    )
+    return run_to_memory(agg, mode="complete")
+
+
+def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of evt_dedup: exactly-once by event_id within
+    the watermark horizon (state is bounded by the watermark — the
+    100 TB requirement for any streaming dedup)."""
+    deduped = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return run_to_memory(deduped, mode="append")
+
+
+def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of evt_session_window using the native
+    session_window(ts, gap) — per-user sessions with a 30-minute gap,
+    closed by the watermark."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, mode="complete")

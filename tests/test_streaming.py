@@ -1,0 +1,51 @@
+"""Streaming twins must agree with their batch counterparts."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+
+
+def test_stream_counts_equal_batch(spark):
+    from big_data_flight_spark.io import table
+    from big_data_flight_spark.streaming.twins import stream_source_sink
+
+    stream = {
+        (r["event_type"],): r["n"]
+        for r in stream_source_sink(spark, SF_SMOKE).collect()
+    }
+    batch = {
+        (r["event_type"],): r["count"]
+        for r in table(spark, SF_SMOKE, "events").groupBy("event_type").count().collect()
+    }
+    assert stream == batch
+
+
+def test_stream_tumbling_equals_batch(spark):
+    from big_data_flight_spark.operators.events import evt_tumbling_window
+    from big_data_flight_spark.streaming.twins import tumbling_window_stream
+
+    stream = {
+        (r["day_start"], r["event_type"]): r["n"]
+        for r in tumbling_window_stream(spark, SF_SMOKE).collect()
+    }
+    batch = {
+        (r["day_start"], r["event_type"]): r["n"]
+        for r in evt_tumbling_window(spark, SF_SMOKE).collect()
+    }
+    assert stream == batch
+
+
+def test_stream_dedup_unique(spark):
+    from big_data_flight_spark.streaming.twins import dedup_stream
+
+    out = dedup_stream(spark, SF_SMOKE).toPandas()
+    assert out["event_id"].is_unique
+    assert len(out) > 0
+
+
+def test_stream_session_window_bounds(spark):
+    from big_data_flight_spark.streaming.twins import session_window_stream
+
+    out = session_window_stream(spark, SF_SMOKE).toPandas()
+    assert (out["session_end"] >= out["session_start"]).all()
+    assert (out["n_events"] >= 1).all()

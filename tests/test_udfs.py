@@ -1,0 +1,64 @@
+"""UDF-surface tests: python UDTF registration, haversine, grouped map."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_python_udtf_matches_builtin(spark):
+    from big_data_flight_spark.operators.udfs import register_python_udtf
+
+    register_python_udtf(spark)
+    out = spark.sql(
+        "SELECT t.pos, t.token FROM (SELECT 'A quick Fox' AS text), "
+        "LATERAL split_tokens(text) t"
+    ).collect()
+    assert [(r["pos"], r["token"]) for r in out] == [(0, "a"), (1, "quick"), (2, "fox")]
+
+
+def test_haversine_known_distance(spark):
+    from big_data_flight_spark.operators.udfs import haversine_km
+
+    # JFK (40.64, -73.78) -> LHR (51.47, -0.45) ≈ 5540 km
+    df = spark.createDataFrame(
+        [(40.6413, -73.7781, 51.4700, -0.4543)], "lat1 double, lon1 double, lat2 double, lon2 double"
+    )
+    (row,) = df.select(
+        haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("km")
+    ).collect()
+    assert row["km"] == pytest.approx(5539, rel=0.01)
+
+
+def test_haversine_zero_distance(spark):
+    from big_data_flight_spark.operators.udfs import haversine_km
+
+    df = spark.createDataFrame([(10.0, 20.0, 10.0, 20.0)], "lat1 double, lon1 double, lat2 double, lon2 double")
+    (row,) = df.select(haversine_km("lat1", "lon1", "lat2", "lon2").alias("km")).collect()
+    assert row["km"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_grouped_map_running_sum(spark):
+    import datetime as dt
+
+    import big_data_flight_spark.operators.udfs as udfs_mod
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0), 7, 1.5),
+        (2, dt.datetime(2024, 1, 1, 0, 1), 7, 2.5),
+        (3, dt.datetime(2024, 1, 1, 0, 2), 7, -1.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    orig = udfs_mod.table
+    udfs_mod.table = lambda s, d, n: df
+    try:
+        out = sorted(
+            (r["seq"], r["running_value"])
+            for r in udfs_mod.udf_grouped_map(spark, "ignored").collect()
+        )
+    finally:
+        udfs_mod.table = orig
+    assert out == [(1, 1.5), (2, 4.0), (3, 3.0)]
