@@ -1,0 +1,249 @@
+"""Multimodal (binary) columns — SURVEY.md §2.11 / BASELINE.json north star.
+
+Pattern: image/audio/video are opaque ``binary`` columns with typed
+metadata structs riding alongside; decode / feature-extract / resize /
+frame-sample run as Arrow-batched pandas functions over mapInPandas.
+No real codecs exist in this container (no PIL/libav), so the decode
+kernels are STUBS — ``_decode_image_real`` raises NotImplementedError
+and the pipeline routes through a deterministic fake decoder instead.
+Everything Spark-side is real and load-bearing: the binary synthesis,
+schemas, UDF signatures, Arrow batch shapes, and partitioning are
+exactly what a production pipeline would use; only the innermost
+bytes→pixels call is swapped.
+
+Binary payloads are synthesized deterministically from the documents
+fixture (sha256-seeded), so stats computed over them are stable across
+runs and engines — which is what lets mm_metadata keep a STRONG oracle
+while the pandas-side ops take the rows-only check.
+
+Scale notes: binary columns make row size the partitioning constraint
+— set spark.sql.files.maxPartitionBytes so a partition holds a sane
+number of assets, and NEVER groupBy/shuffle the binary column itself
+(shuffle metadata + ids, re-join the bytes by key afterwards; the
+queries below follow that rule)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_flight_spark.io import table
+from big_data_flight_spark.registry import gate_query
+
+
+def with_assets(docs: DataFrame) -> DataFrame:
+    """Attach synthetic binary 'image'/'audio' payloads + typed metadata.
+
+    image_bin: utf8 bytes of sha256(text) repeated (96-byte payload) —
+    an opaque stand-in with deterministic content. Metadata mirrors
+    what an ingest service would attach (dims, channels, sample rate).
+    """
+    h = F.sha2(F.col("text"), 256)
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.encode(F.concat(h, F.substring(h, 1, 32)), "utf-8").alias("image_bin"),
+        F.struct(
+            ((F.col("n_chars") % 64) + 1).cast("int").alias("width"),
+            ((F.col("n_chars") % 48) + 1).cast("int").alias("height"),
+            F.lit(3).alias("channels"),
+            F.lit("fake/rgb8").alias("format"),
+        ).alias("image_meta"),
+        F.encode(F.reverse(h), "utf-8").alias("audio_bin"),
+        F.struct(
+            F.lit(16000).alias("sample_rate"),
+            ((F.col("n_chars") % 30) + 1).cast("int").alias("duration_s"),
+        ).alias("audio_meta"),
+    )
+
+
+@gate_query(
+    "mm_metadata",
+    oracle="""
+    SELECT
+      doc_id,
+      octet_length(encode(sha256(text) || substring(sha256(text), 1, 32))) AS image_bytes,
+      (n_chars % 64) + 1 AS width,
+      (n_chars % 48) + 1 AS height,
+      ROUND(((n_chars % 64) + 1) * 1.0 / ((n_chars % 48) + 1), 6) AS aspect,
+      ((n_chars % 64) + 1) * ((n_chars % 48) + 1) * 3 AS n_pixels_x_channels
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata query over binary assets: byte sizes and
+    dimension arithmetic — the catalog scan a multimodal pipeline
+    runs before touching any payload (and the reason metadata lives
+    in columns, not inside the blob)."""
+    a = with_assets(table(spark, sf_dir, "documents"))
+    w = F.col("image_meta.width")
+    hgt = F.col("image_meta.height")
+    return a.select(
+        "doc_id",
+        F.octet_length("image_bin").alias("image_bytes"),
+        w.alias("width"),
+        hgt.alias("height"),
+        F.round(w.cast("double") / hgt, 6).alias("aspect"),
+        (w * hgt * F.col("image_meta.channels")).alias("n_pixels_x_channels"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decode kernels: real codec path is stubbed, deterministic fake is used.
+# ---------------------------------------------------------------------------
+
+def _decode_image_real(payload: bytes, meta: dict):
+    """Real decoder — requires an image codec library.
+
+    Kept as the documented integration point: swap the import for PIL /
+    torchvision.io in an environment that has them. Raises so nobody
+    silently gets fake pixels in production."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image codec not available in this container - use the "
+            "deterministic fake decoder (decode_backend='stub')"
+        ) from exc
+    raise NotImplementedError("real decode path intentionally unimplemented in v1")
+
+
+def _decode_image_fake(payload: bytes) -> tuple[float, float, int]:
+    """Deterministic fake decode: treat the payload bytes as pixels.
+    (mean, 'contrast' = max-min, n_bytes) — stable for any engine."""
+    if not payload:
+        return 0.0, 0.0, 0
+    mean = sum(payload) / len(payload)
+    contrast = float(max(payload) - min(payload))
+    return float(mean), contrast, len(payload)
+
+
+def decode_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: binary in → per-asset features out. The
+    Arrow batch shape (bytes objects in an object column) and the
+    output schema are the real production plumbing."""
+    for pdf in batches:
+        feats = [_decode_image_fake(b) for b in pdf["image_bin"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "mean_byte": [f[0] for f in feats],
+                "contrast": [f[1] for f in feats],
+                "n_bytes": [f[2] for f in feats],
+                "decode_backend": "stub",
+            }
+        )
+
+
+_DECODE_SCHEMA = (
+    "doc_id long, mean_byte double, contrast double, n_bytes long, decode_backend string"
+)
+
+
+@gate_query("mm_decode_image", oracle=None, tags=("multimodal", "udf"))
+def mm_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract over the binary column via mapInPandas
+    (Arrow-batched; one python worker per partition, payloads never
+    shuffle). Deterministic fake decoder → rows-only driver check,
+    but values are run-stable and unit-tested."""
+    a = with_assets(table(spark, sf_dir, "documents"))
+    return a.select("doc_id", "image_bin").mapInPandas(decode_images, _DECODE_SCHEMA)
+
+
+def resize_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """'Resize' kernel: recompute metadata for the target box and emit
+    a (fake) downsampled payload — every asset keeps its bytes within
+    the task, nothing crosses the wire twice."""
+    for pdf in batches:
+        out_w = (pdf["width"].clip(upper=32)).astype("int32")
+        out_h = (pdf["height"].clip(upper=32)).astype("int32")
+        payload = [b[: max(1, (w * h) % 97)] for b, w, h in zip(pdf["image_bin"], out_w, out_h)]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "out_width": out_w,
+                "out_height": out_h,
+                "thumb_bytes": [len(p) for p in payload],
+            }
+        )
+
+
+@gate_query("mm_resize", oracle=None, tags=("multimodal", "udf"))
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail/resize pass (stubbed kernel, real plumbing): metadata
+    joins the binary inside one mapInPandas so the payload is read
+    exactly once."""
+    a = with_assets(table(spark, sf_dir, "documents"))
+    src = a.select(
+        "doc_id",
+        "image_bin",
+        F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"),
+    )
+    return src.mapInPandas(
+        resize_images, "doc_id long, out_width int, out_height int, thumb_bytes long"
+    )
+
+
+@gate_query(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id, (i - 1) AS frame_idx
+    FROM (SELECT doc_id, octet_length(encode(sha256(text) || substring(sha256(text), 1, 32)))
+                   AS n_bytes
+          FROM documents)
+    CROSS JOIN range(1, 100) t(i)
+    WHERE (i - 1) * 16 < n_bytes AND (i - 1) % 3 = 0
+    """,
+    tags=("multimodal",),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: chunk the payload into 16-byte
+    'frames', keep every 3rd. Declarative (sequence + explode — no
+    Python), so the frame *selection* gets a strong oracle; per-frame
+    pixel decode would chain into decode_images."""
+    a = with_assets(table(spark, sf_dir, "documents"))
+    n_frames = F.ceil(F.octet_length("image_bin") / 16).cast("int")
+    frames = a.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    )
+    return frames.filter(F.col("frame_idx") % 3 == 0).select("doc_id", "frame_idx")
+
+
+def audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Audio feature kernel (stub): bytes → pseudo-RMS/zero-crossings.
+    Swap for librosa/torchaudio where available."""
+    import numpy as np
+
+    for pdf in batches:
+        rms, zc = [], []
+        for b in pdf["audio_bin"]:
+            x = np.frombuffer(b, dtype=np.uint8).astype(np.float64) - 127.0
+            rms.append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+            zc.append(int(((x[:-1] * x[1:]) < 0).sum()) if len(x) > 1 else 0)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "rms": [round(v, 6) for v in rms],
+                "zero_crossings": zc,
+                "duration_s": pdf["duration_s"],
+            }
+        )
+
+
+@gate_query("mm_audio_features", oracle=None, tags=("multimodal", "udf"))
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over the binary column (stub kernel,
+    real mapInPandas plumbing + metadata passthrough)."""
+    a = with_assets(table(spark, sf_dir, "documents"))
+    src = a.select("doc_id", "audio_bin", F.col("audio_meta.duration_s").alias("duration_s"))
+    return src.mapInPandas(
+        audio_features, "doc_id long, rms double, zero_crossings long, duration_s int"
+    )

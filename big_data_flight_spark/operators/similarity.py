@@ -81,11 +81,14 @@ def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring on candidates only)."""
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
     v = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    # The fixture is one parquet split → 1 partition, and a nested-loop
+    # join inherits the LEFT side's partitioning: repartition the left
+    # side or the whole quadratic stage runs on a single core.
     a = v.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("norm_a"),
-    )
+    ).repartition(32)
     b = v.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
@@ -128,7 +131,9 @@ def sim_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("emb_q")
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_c"))
+    # corpus side drives parallelism (queries are broadcast): fan the
+    # single parquet split out to all cores
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_c")).repartition(32)
     cos = _dot(F.col("emb_q"), F.col("emb_c")) / (
         _norm(F.col("emb_q")) * _norm(F.col("emb_c"))
     )

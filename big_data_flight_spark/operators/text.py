@@ -334,7 +334,9 @@ def text_near_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs — stop-shingles create quadratic hot keys) and/or switch to
     the MinHash-LSH variant (sim_minhash_lsh) which bounds candidate
     pairs by banding."""
-    docs = table(spark, sf_dir, "documents")
+    # single-file fixture → 1 input partition; fan out before the
+    # shingle explode so tokenization and the join build parallelize
+    docs = table(spark, sf_dir, "documents").repartition(32, "doc_id")
     sh = shingles(docs, 3)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")

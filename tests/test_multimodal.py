@@ -1,0 +1,51 @@
+"""Multimodal binary-column tests: plumbing is real, codecs are stubs."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def test_assets_deterministic(spark):
+    from big_data_flight_spark.io import table
+    from big_data_flight_spark.operators.multimodal import with_assets
+
+    a = with_assets(table(spark, SF_SMOKE, "documents")).orderBy("doc_id").limit(3)
+    one = [(r["doc_id"], bytes(r["image_bin"])) for r in a.collect()]
+    two = [(r["doc_id"], bytes(r["image_bin"])) for r in a.collect()]
+    assert one == two
+    assert all(len(b) == 96 for _, b in one)  # 64-hex sha + 32-char prefix as utf8
+
+
+def test_decode_stub_values(spark):
+    from big_data_flight_spark.operators.multimodal import _decode_image_fake
+
+    mean, contrast, n = _decode_image_fake(b"\x00\x10\x20")
+    assert (mean, contrast, n) == (16.0, 32.0, 3)
+    assert _decode_image_fake(b"") == (0.0, 0.0, 0)
+
+
+def test_real_decoder_raises_without_codec(spark):
+    from big_data_flight_spark.operators.multimodal import _decode_image_real
+
+    with pytest.raises(NotImplementedError):
+        _decode_image_real(b"bytes", {})
+
+
+def test_decode_image_runs_distributed(spark):
+    from big_data_flight_spark.operators.multimodal import mm_decode_image
+
+    out = mm_decode_image(spark, SF_SMOKE).toPandas()
+    assert len(out) == 500
+    assert (out["decode_backend"] == "stub").all()
+    assert (out["n_bytes"] == 96).all()
+    assert out["mean_byte"].between(40, 120).all()  # ascii hex chars
+
+
+def test_frame_sampling_counts(spark):
+    from big_data_flight_spark.operators.multimodal import mm_frame_sample
+
+    out = mm_frame_sample(spark, SF_SMOKE).toPandas()
+    per_doc = out.groupby("doc_id").size()
+    assert (per_doc == 2).all()  # 96 bytes -> 6 frames -> idx 0,3 kept
