@@ -17,6 +17,62 @@ from big_data_flight_spark.registry import gate_query
 
 
 @gate_query(
+    "scan_parquet",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    tags=("source",),
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bare parquet scan (the primary source). Column projection here
+    reaches the reader: ReadSchema lists exactly these columns."""
+    return table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+
+
+@gate_query(
+    "sql_entry",
+    oracle="""
+    SELECT
+      l_orderkey,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+        AS revenue,
+      o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    """,
+    tags=("relational", "sql"),
+)
+def sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-string entry path (SURVEY.md §3.3): register temp views,
+    run a TPC-H-Q3-shaped query via spark.sql. Catalyst produces the
+    same plan as the DataFrame form — this gate proves the façade."""
+    from big_data_flight_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT
+          l_orderkey,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+            AS revenue,
+          o_orderdate
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        """
+    )
+
+
+@gate_query(
     "project_select",
     oracle="""
     SELECT

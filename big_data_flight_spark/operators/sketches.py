@@ -1,0 +1,313 @@
+"""Sketch-based near-dup detection: SimHash + MinHash-LSH — SURVEY.md §2.11.
+
+Both sketches are built from md5-derived integer hashes, which Spark
+and DuckDB compute identically (verified: same hex, same hex→int
+parse) — so unlike typical LSH implementations these get the STRONG
+oracle check: the whole pipeline (hash → signature → banding →
+candidate join → verify) is bit-deterministic across engines.
+
+Scale story (the reason these exist next to the exact shingle-Jaccard
+join in text.py):
+  - SimHash: each doc compresses to one 32-bit signature; candidate
+    generation is an equi-join on 8-bit bands (4 bands ⇒ lossless for
+    hamming ≤ 3 by pigeonhole). Shuffle volume = O(docs), not
+    O(shared-shingle pairs).
+  - MinHash: k=16 min-hashes per doc, banded 4×4; two docs collide in
+    a band with probability ≈ j^4 per band — the knob that bounds
+    candidate pairs at 100 TB. Candidates are then verified with the
+    EXACT Jaccard, so precision is 1.0 and only recall is
+    probabilistic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_flight_spark.io import table
+from big_data_flight_spark.operators.text import shingles
+from big_data_flight_spark.registry import gate_query
+
+SIMHASH_BITS = 32
+HAMMING_MAX = 3
+N_BANDS = 4  # 4 bands × 8 bits; lossless for hamming ≤ N_BANDS - 1
+
+MINHASH_K = 16
+MINHASH_BANDS = 4  # 4 bands × 4 rows
+JACCARD_T = 0.5
+
+
+def _md5_int(col: Column, chars: int) -> Column:
+    """First `chars` hex chars of md5 as a non-negative BIGINT —
+    identical in DuckDB via ('0x' || substring(md5(x),1,chars))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, chars), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig): 32-bit SimHash over distinct 3-word shingles.
+    bit b of sig = majority vote of bit b across shingle hashes
+    (ties → 0). Bit extraction uses floor(v / 2^b) % 2 — exact double
+    arithmetic below 2^53, identical in both engines."""
+    sh = shingles(docs, 3).select("doc_id", _md5_int(F.col("shingle"), 8).alias("v"))
+    bits = sh.select(
+        "doc_id",
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+    ).select(
+        "doc_id",
+        "b",
+        F.when(
+            (F.floor(F.col("v") / F.pow(F.lit(2.0), F.col("b"))).cast("long") % 2) == 1, 1
+        ).otherwise(-1).alias("vote"),
+    )
+    return (
+        bits.groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("b")).cast("long")).otherwise(0)
+            ).alias("sig")
+        )
+    )
+
+
+_SIMHASH_SQL_CTE = f"""
+  sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             for i in range(1, len(w) - 1)]) AS shingle
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+    )
+  ),
+  hv AS (
+    SELECT doc_id, ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS v FROM sh
+  ),
+  votes AS (
+    SELECT doc_id, b,
+           SUM(CASE WHEN CAST(floor(v / pow(2.0, b)) AS BIGINT) % 2 = 1
+                    THEN 1 ELSE -1 END) AS s
+    FROM hv CROSS JOIN range({SIMHASH_BITS}) t(b)
+    GROUP BY doc_id, b
+  ),
+  sigs AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2.0, b) AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS sig
+    FROM votes GROUP BY doc_id
+  )
+"""
+
+
+@gate_query(
+    "text_simhash_dedup",
+    oracle=f"""
+    WITH {_SIMHASH_SQL_CTE}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.sig, b.sig)) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {HAMMING_MAX}
+    """,
+    tags=("text", "dedup", "sketch"),
+)
+def text_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3 over 32-bit signatures).
+
+    Candidate generation is banded — 4×8-bit bands, equi-join per
+    band — which is lossless for hamming ≤ 3 (pigeonhole: 3 flipped
+    bits can dirty at most 3 of 4 bands). The oracle does the plain
+    quadratic join; both produce the identical pair set, but the
+    banded plan shuffles O(n) rows instead of materializing O(n²)
+    comparisons — the 100 TB shape."""
+    docs = table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    sigs = simhash_signatures(docs)
+
+    band = F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band_idx")
+    banded = sigs.select("doc_id", "sig", band).select(
+        "doc_id",
+        "sig",
+        "band_idx",
+        (
+            F.floor(F.col("sig") / F.pow(F.lit(2.0), F.col("band_idx") * 8)).cast("long") % 256
+        ).alias("band_val"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band_idx", "band_val"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band_idx", "band_val"
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding, DataFrame-native
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, i, mh): k min-hash values per doc over 3-word shingles.
+    Hash family: md5(shingle || ':' || i) → 60-bit int; min per doc."""
+    sh = shingles(docs, 3)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+        F.col("shingle"),
+    ).select(
+        "doc_id",
+        "i",
+        _md5_int(F.concat_ws(":", F.col("shingle"), F.col("i")), 15).alias("h"),
+    )
+    return seeded.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
+
+
+_MINHASH_SQL_CTE = f"""
+  sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             for i in range(1, len(w) - 1)]) AS shingle
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+    )
+  ),
+  mh AS (
+    SELECT doc_id, i,
+           MIN(('0x' || substring(md5(shingle || ':' || i), 1, 15))::BIGINT) AS mh
+    FROM sh CROSS JOIN range({MINHASH_K}) t(i)
+    GROUP BY doc_id, i
+  ),
+  bands AS (
+    SELECT doc_id, i // {MINHASH_K // MINHASH_BANDS} AS band_idx,
+           string_agg(mh::VARCHAR, ':' ORDER BY i) AS band_val
+    FROM mh GROUP BY doc_id, band_idx
+  ),
+  cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+  ),
+  sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+  verified AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+    FROM cands c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY c.doc_a, c.doc_b
+  )
+"""
+
+
+@gate_query(
+    "text_minhash_lsh",
+    oracle=f"""
+    WITH {_MINHASH_SQL_CTE}
+    SELECT v.doc_a, v.doc_b,
+           ROUND(v.n_common * 1.0 / (sa.n_sh + sb.n_sh - v.n_common), 6) AS jaccard
+    FROM verified v
+    JOIN sizes sa ON v.doc_a = sa.doc_id
+    JOIN sizes sb ON v.doc_b = sb.doc_id
+    WHERE v.n_common * 1.0 / (sa.n_sh + sb.n_sh - v.n_common) >= {JACCARD_T}
+    """,
+    tags=("text", "dedup", "sketch"),
+)
+def text_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) → LSH banding (4×4) → candidate pairs → EXACT
+    Jaccard verification ≥ 0.5. Deterministic md5 hash family makes
+    even this LSH strong-oracle-checkable.
+
+    The banding bounds work at scale: two docs become a candidate only
+    if one 4-hash band matches entirely (P ≈ j⁴ per band), so shuffle
+    volume tracks the number of true near-dup clusters, not n². The
+    final exact-Jaccard verify runs only on candidates — precision 1,
+    recall ≈ 1-(1-j⁴)⁴ (≈ 0.99 at j=0.8, the regime dedup targets)."""
+    docs = table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    sh = shingles(docs, 3)
+    mh = minhash_signatures(docs)
+
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    bands = (
+        mh.withColumn("band_idx", (F.col("i") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band_idx")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct("i", "mh"))), lambda s: s.mh),
+                ":",
+            ).alias("band_val")
+        )
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_val")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_val")
+    cands = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    # exact verification restricted to candidates
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cands.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))),
+            "doc_b",
+        )
+        .filter(jac >= JACCARD_T)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@gate_query("text_minhash_mllib", oracle=None, tags=("text", "dedup", "sketch", "approx"))
+def text_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MinHashLSH twin (API-surface demo): HashingTF token-set
+    vectors → approxSimilarityJoin on Jaccard distance. MLlib's hash
+    family is JVM-seeded (not oracle-reproducible) → weak check with
+    a recall self-audit against the exact shingle-Jaccard pairs."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from big_data_flight_spark.operators.text import text_near_dedup_jaccard
+
+    docs = table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    toks = docs.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("tokens"))
+    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18, binary=True)
+    feat = tf.transform(toks)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feat)
+    pairs = (
+        model.approxSimilarityJoin(feat, feat, threshold=0.6, distCol="jaccard_dist")
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+    truth = text_near_dedup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    n_pairs = pairs.count()
+    n_truth = truth.count()
+    n_hit = truth.join(pairs, ["doc_a", "doc_b"], "left_semi").count()
+    return spark.createDataFrame(
+        [(n_pairs, n_truth, n_hit, round(n_hit / n_truth, 4) if n_truth else 1.0)],
+        "n_candidates long, n_true_pairs long, n_recalled long, recall double",
+    )

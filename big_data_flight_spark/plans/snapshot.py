@@ -1,0 +1,88 @@
+"""Plan inspection & regression snapshots — SURVEY.md §3.4.
+
+``python -m big_data_flight_spark.plans.snapshot`` regenerates
+PLANS.md at the repo root: the formatted physical plan of each
+representative gate query, plus automated assertions about the
+properties that matter at 100 TB (filter pushdown reached the scan,
+projection pruned the schema, dimension joins broadcast, window limit
+pushed down). Reviewing the diff of PLANS.md after an operator change
+is the plan-regression check."""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, REPO)
+
+# (query, properties worth asserting in the plan text)
+SNAPSHOT = {
+    "agg_groupby": ["PushedFilters", "HashAggregate"],
+    "project_select": ["ReadSchema"],
+    "join_broadcast": ["BroadcastHashJoin"],
+    "join_inner_equi": [],
+    "win_topk_per_group": ["WindowGroupLimit"],
+    "limit_topk": ["TakeOrderedAndProject"],
+    "filter_pred": ["PushedFilters"],
+    "text_near_dedup_jaccard": [],
+    "sim_cosine_pairs": [],
+}
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    from big_data_flight_spark.registry import _REGISTRY, _load_all_operator_modules
+    from big_data_flight_spark.session import get_session
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    _load_all_operator_modules()
+    spark = get_session("plans", cores=8)
+
+    out = [
+        "# PLANS — physical-plan snapshots (regenerate: "
+        "`python -m big_data_flight_spark.plans.snapshot`)",
+        "",
+        f"Captured at {sf_dir} with AQE enabled (plans show the pre-AQE "
+        "physical strategy; AQE may further convert joins / coalesce "
+        "partitions at runtime). Review the diff of this file whenever an "
+        "operator changes — it is the plan-regression gate.",
+        "",
+    ]
+    failures = []
+    for name, props in SNAPSHOT.items():
+        q = _REGISTRY[name]
+        txt = plan_text(q.builder(spark, sf_dir))
+        checks = []
+        for p in props:
+            ok = p in txt
+            checks.append(f"{'✅' if ok else '❌'} `{p}`")
+            if not ok:
+                failures.append((name, p))
+        out.append(f"## {name}")
+        if checks:
+            out.append("Required plan properties: " + ", ".join(checks))
+        out.append("")
+        out.append("```")
+        out.append(txt.strip())
+        out.append("```")
+        out.append("")
+
+    with open(os.path.join(REPO, "PLANS.md"), "w") as fh:
+        fh.write("\n".join(out))
+    print(f"wrote PLANS.md ({len(SNAPSHOT)} plans)")
+    for name, p in failures:
+        print(f"MISSING PLAN PROPERTY: {name}: {p}", file=sys.stderr)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -80,6 +80,7 @@ def _load_all_operator_modules() -> None:
     import big_data_flight_spark.operators.multimodal  # noqa: F401
     import big_data_flight_spark.operators.relational  # noqa: F401
     import big_data_flight_spark.operators.similarity  # noqa: F401
+    import big_data_flight_spark.operators.sketches  # noqa: F401
     import big_data_flight_spark.operators.sorts_sets  # noqa: F401
     import big_data_flight_spark.operators.text  # noqa: F401
     import big_data_flight_spark.operators.udfs  # noqa: F401
