@@ -244,6 +244,62 @@ def evt_stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate_query(
+    "evt_gap_fill",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT time_bucket(INTERVAL '1 day', MIN(ts)) AS d0,
+             time_bucket(INTERVAL '1 day', MAX(ts)) AS d1
+      FROM events
+    ),
+    spine AS (
+      SELECT d0 + k * INTERVAL '1 day' AS day_start
+      FROM bounds CROSS JOIN (SELECT unnest(range(10000)) AS k)
+      WHERE d0 + k * INTERVAL '1 day' <= d1
+    ),
+    daily AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS day_start,
+             COUNT(*) AS n, {DSUM("value", "sum_value")}
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY day_start
+    )
+    SELECT s.day_start,
+           coalesce(d.n, 0) AS n,
+           coalesce(d.sum_value, 0.0) AS sum_value,
+           d.n IS NULL AS is_gap
+    FROM spine s LEFT JOIN daily d USING (day_start)
+    """,
+    tags=("event",),
+)
+def evt_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: generate the full daily spine between
+    min and max event days (sequence + explode — the distributed
+    date-spine pattern), left-join the sparse daily aggregate, zero-
+    fill the gaps. The flight-canonical 'days with no purchases still
+    appear in the trend chart' op. Spine generation is O(days), and
+    the 1-row bounds aggregate broadcasts."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(F.col("w.start").alias("day_start"), "n", "sum_value")
+    )
+    bounds = e.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day_start")
+    )
+    return spine.join(daily, "day_start", "left").select(
+        "day_start",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        F.col("n").isNull().alias("is_gap"),
+    )
+
+
+@gate_query(
     "evt_rate_alert",
     oracle="""
     SELECT * FROM (

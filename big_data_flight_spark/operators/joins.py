@@ -325,6 +325,51 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate_query(
+    "join_skew_salted",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, {DSUM("value", "sum_value")},
+           CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM events
+    JOIN (
+      SELECT 'click' AS et, 1 AS k UNION ALL SELECT 'view', 2 UNION ALL
+      SELECT 'purchase', 3 UNION ALL SELECT 'signup', 4 UNION ALL SELECT 'error', 5
+    ) dim ON event_type = dim.et
+    GROUP BY event_type
+    """,
+    tags=("join", "skew"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manually salted skew join: events.event_type has only 5 values,
+    so a shuffle join on it would put ~20% of the fact table in one
+    task. Salting appends a random-ish suffix (event_id % 16) to the
+    fact key and EXPLODES the dim side 16× so every (key, salt) pair
+    matches — spreading each hot key over 16 tasks. Result is
+    identical to the unsalted join (the oracle does the plain join).
+
+    At 100 TB this is the manual fallback when AQE's skew-split can't
+    help (e.g. skewed *broadcast-ineligible* dimension); AQE handles
+    the common cases automatically (spark.sql.adaptive.skewJoin)."""
+    e = table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 3), ("signup", 4), ("error", 5)],
+        "et string, k int",
+    )
+    n_salt = 16
+    fact = e.withColumn("salt", (F.col("event_id") % n_salt).cast("int"))
+    dim_exploded = dim.select(
+        "et", "k", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("salt")
+    )
+    joined = fact.join(
+        dim_exploded, (fact.event_type == dim_exploded.et) & (fact.salt == dim_exploded.salt)
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", "sum_value"),
+        F.sum("k").alias("sum_k"),
+    )
+
+
+@gate_query(
     "join_self",
     oracle="""
     SELECT a.l_orderkey, a.l_linenumber AS line_a, b.l_linenumber AS line_b,

@@ -82,6 +82,38 @@ def sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@gate_query(
+    "unpivot_stack",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, ROUND(val, 6) AS val
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val
+      FROM lineitem WHERE l_orderkey < 100
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount
+      FROM lineitem WHERE l_orderkey < 100
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax', l_tax
+      FROM lineitem WHERE l_orderkey < 100
+    )
+    """,
+    tags=("relational",),
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) via stack() — the inverse of agg_pivot.
+    One pass over the input, no shuffle; rows multiply by the number
+    of unpivoted measures."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax) "
+            "AS (metric, raw)"
+        ),
+    ).select("l_orderkey", "l_linenumber", "metric", F.round("raw", 6).alias("val"))
+
+
 # ---------------------------------------------------------------------------
 # Set operations — customer vs supplier nation footprints
 # ---------------------------------------------------------------------------

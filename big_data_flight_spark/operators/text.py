@@ -279,6 +279,43 @@ def text_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@gate_query(
+    "text_token_regex",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+               AS token
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN token ~ '^[a-z]+$' THEN 1 ELSE 0 END) AS BIGINT) AS n_word,
+           CAST(SUM(CASE WHEN token ~ '^[0-9]+$' THEN 1 ELSE 0 END) AS BIGINT) AS n_num,
+           CAST(SUM(length(token)) AS BIGINT) AS n_chars_tokenized
+    FROM tok GROUP BY doc_id
+    """,
+    tags=("text",),
+)
+def text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (word / number / punctuation classes
+    — the pre-tokenizer split GPT-style BPE vocabularies use), with
+    per-class counts. regexp_extract_all keeps this JVM-side; a real
+    BPE merge table would chain a pandas UDF after this split."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+        ).alias("token"),
+    )
+    return toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("token").rlike("^[a-z]+$"), 1).otherwise(0)).alias("n_word"),
+        F.sum(F.when(F.col("token").rlike("^[0-9]+$"), 1).otherwise(0)).alias("n_num"),
+        F.sum(F.length("token")).alias("n_chars_tokenized"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Near-duplicate detection: exact shingle-Jaccard (gate) — MinHash-LSH
 # approximation for the 100 TB path is sim_minhash_lsh in similarity.py.
