@@ -27,6 +27,8 @@ from big_data_flight_spark.session import get_session
 # windows, event-time, text/similarity pipeline ops).
 HEADLINE = [
     "agg_groupby",          # flagship scan→filter→groupBy (TPC-H Q1 shape)
+    "tpch_q5",              # 6-way star join, broadcast dims
+    "tpch_q18",             # HAVING semi-join + top-100
     "agg_distinct",         # distinct aggregation
     "agg_percentile",       # exact percentiles
     "join_inner_equi",      # fact-fact join

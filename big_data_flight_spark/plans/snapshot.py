@@ -24,6 +24,8 @@ SNAPSHOT = {
     "project_select": ["ReadSchema"],
     "join_broadcast": ["BroadcastHashJoin"],
     "join_inner_equi": [],
+    "tpch_q5": ["BroadcastHashJoin"],
+    "tpch_q6": ["PushedFilters"],
     "win_topk_per_group": ["WindowGroupLimit"],
     "limit_topk": ["TakeOrderedAndProject"],
     "filter_pred": ["PushedFilters"],

@@ -83,6 +83,7 @@ def _load_all_operator_modules() -> None:
     import big_data_flight_spark.operators.sketches  # noqa: F401
     import big_data_flight_spark.operators.sorts_sets  # noqa: F401
     import big_data_flight_spark.operators.text  # noqa: F401
+    import big_data_flight_spark.operators.tpch  # noqa: F401
     import big_data_flight_spark.operators.udfs  # noqa: F401
     import big_data_flight_spark.operators.windows  # noqa: F401
     import big_data_flight_spark.sources.connectors  # noqa: F401
