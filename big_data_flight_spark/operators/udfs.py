@@ -170,6 +170,50 @@ def register_python_udtf(spark: SparkSession) -> None:
     spark.udtf.register("split_tokens", SplitTokens)
 
 
+# -- as-of join, pandas fallback --------------------------------------------
+
+def asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library twin of joins.join_asof using per-user applyInPandas +
+    pd.merge_asof — the grouped-map fallback for when the window-rank
+    form's intermediate (all past candidates per row) is too wide.
+    Equality with join_asof is asserted in tests/test_udfs.py."""
+    from big_data_flight_spark.io import table
+
+    e = table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = pdf[pdf.event_type == "purchase"].sort_values(["ts", "event_id"])
+        c = pdf[pdf.event_type == "click"].sort_values(["ts", "event_id"])
+        if p.empty or c.empty:
+            return pd.DataFrame(
+                columns=["purchase_id", "user_id", "p_ts", "click_ts", "click_id"]
+            ).astype(
+                {
+                    "purchase_id": "int64",
+                    "user_id": "int64",
+                    "p_ts": "datetime64[us]",
+                    "click_ts": "datetime64[us]",
+                    "click_id": "int64",
+                }
+            )
+        m = pd.merge_asof(
+            p[["event_id", "user_id", "ts"]].rename(
+                columns={"event_id": "purchase_id", "ts": "p_ts"}
+            ),
+            c[["event_id", "ts"]].rename(columns={"event_id": "click_id", "ts": "click_ts"}),
+            left_on="p_ts",
+            right_on="click_ts",
+            direction="backward",
+        )
+        m = m.dropna(subset=["click_id"]).astype({"click_id": "int64"})
+        return m[["purchase_id", "user_id", "p_ts", "click_ts", "click_id"]]
+
+    return e.groupBy("user_id").applyInPandas(
+        per_user,
+        schema="purchase_id long, user_id long, p_ts timestamp, click_ts timestamp, click_id long",
+    )
+
+
 # -- haversine: the flight-analytics classic, as a pandas UDF ----------------
 
 @F.pandas_udf(T.DoubleType())

@@ -105,6 +105,54 @@ def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(deduped, mode="append")
 
 
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    dimension (per-user lifetime purchase counts computed batch-side).
+    Static side is re-resolved per micro-batch — the standard pattern
+    for slowly-changing enrichment tables; at scale the static side
+    should be broadcastable or pre-bucketed."""
+    from big_data_flight_spark.io import table
+
+    static_dim = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("lifetime_purchases"))
+    )
+    enriched = (
+        events_stream(spark, sf_dir)
+        .join(F.broadcast(static_dim), "user_id", "left")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("lifetime_purchases", F.lit(0))).alias("sum_enrich"),
+        )
+    )
+    return run_to_memory(enriched, mode="complete")
+
+
+def foreach_batch_sink(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
+    """foreachBatch exactly-once-style sink: each micro-batch is written
+    transactionally (per-epoch parquet dir) — the pattern for sinks
+    without native streaming support. Returns the number of epochs."""
+    epochs: list[int] = []
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+        epochs.append(epoch_id)
+
+    q = (
+        events_stream(spark, sf_dir)
+        .select("event_id", "user_id", "event_type", "value")
+        .writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .start()
+    )
+    q.awaitTermination()
+    return len(epochs)
+
+
 def funnel_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user signup→purchase funnel, state = earliest signup/purchase

@@ -64,3 +64,20 @@ def test_stateful_funnel_stream_matches_batch(spark):
         for r in evt_stateful_funnel(spark, SF_SMOKE).collect()
     }
     assert stream == batch
+
+
+def test_stream_static_join_runs(spark):
+    from big_data_flight_spark.streaming.twins import stream_static_join
+
+    out = stream_static_join(spark, SF_SMOKE).toPandas()
+    assert set(out["event_type"]) == {"signup", "click", "error", "view", "purchase"}
+    assert (out["n"] > 0).all()
+
+
+def test_foreach_batch_sink(spark, tmp_path):
+    from big_data_flight_spark.streaming.twins import foreach_batch_sink
+
+    n_epochs = foreach_batch_sink(spark, SF_SMOKE, str(tmp_path / "sink"))
+    assert n_epochs >= 1
+    written = spark.read.parquet(str(tmp_path / "sink" / "epoch=0"))
+    assert written.count() == 1000  # all smoke events landed in epoch 0

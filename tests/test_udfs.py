@@ -62,3 +62,20 @@ def test_grouped_map_running_sum(spark):
     finally:
         udfs_mod.table = orig
     assert out == [(1, 1.5), (2, 4.0), (3, 3.0)]
+
+
+def test_asof_pandas_matches_window_rank(spark):
+    from tests.conftest import SF_SMOKE
+
+    from big_data_flight_spark.operators.joins import join_asof
+    from big_data_flight_spark.operators.udfs import asof_join_pandas
+
+    wr = {
+        (r["purchase_id"]): (r["click_id"], r["click_ts"])
+        for r in join_asof(spark, SF_SMOKE).collect()
+    }
+    pa = {
+        (r["purchase_id"]): (r["click_id"], r["click_ts"])
+        for r in asof_join_pandas(spark, SF_SMOKE).collect()
+    }
+    assert wr == pa
