@@ -58,7 +58,7 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower("p_brand").alias("brand_lc"),
         F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit(" "))).alias("trimmed"),
         F.substring("p_name", 1, 5).alias("name_head"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
         F.split(F.col("p_type"), " ").getItem(0).alias("type_first_word"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
@@ -66,7 +66,7 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(F.col("p_type"), r"([A-Z]+)$", 1).alias("type_last_word"),
         # Spark regexp_replace replaces all matches; DuckDB needs the 'g' flag.
         F.regexp_replace(F.col("p_name"), "[aeiou]", "*").alias("name_devowel"),
-        F.levenshtein(F.col("p_brand"), F.lit("Brand#11")).alias("brand_dist"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#11")).cast("long").alias("brand_dist"),
         F.startswith(F.col("p_type"), F.lit("ECONOMY")).alias("is_economy"),
     )
 
@@ -100,17 +100,17 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("o_orderdate")
     return o.select(
         "o_orderkey",
-        F.year(d).alias("yr"),
-        F.month(d).alias("mo"),
-        F.dayofmonth(d).alias("dom"),
-        F.dayofweek(d).alias("dow"),
+        F.year(d).cast("long").alias("yr"),
+        F.month(d).cast("long").alias("mo"),
+        F.dayofmonth(d).cast("long").alias("dom"),
+        F.dayofweek(d).cast("long").alias("dow"),
         F.quarter(d).alias("qtr"),
         F.date_trunc("month", d).alias("month_start"),
         (d + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
         # DATE values surface differently in pandas across engines
         # (datetime.date vs datetime64) — emit timestamps for parity.
         F.last_day(d).cast("timestamp").alias("month_end"),
-        F.datediff(d, F.lit("1995-01-01").cast("timestamp")).alias("days_since_95"),
+        F.datediff(d, F.lit("1995-01-01").cast("timestamp")).cast("long").alias("days_since_95"),
         F.unix_timestamp(d).alias("unix_sec"),
         F.date_format(d, "yyyy-MM-dd").alias("iso_day"),
     )
@@ -130,7 +130,7 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
       ROUND(log10(l_extendedprice), 6)                     AS price_log10,
       ROUND(pow(1.0 + l_discount, 2), 9)                   AS disc_sq,
       ROUND(exp(l_discount), 9)                            AS disc_exp,
-      sign(l_discount - 0.05)                              AS disc_sign,
+      CAST(sign(l_discount - 0.05) AS DOUBLE)              AS disc_sign,
       greatest(l_quantity, 25.0)                           AS qty_hi,
       least(l_quantity, 25.0)                              AS qty_lo,
       CAST(l_quantity AS BIGINT) % 7                       AS qty_mod,
@@ -237,17 +237,89 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     as_dbl = F.transform(emb, lambda x: x.cast("double"))
     return e.select(
         "vec_id",
-        F.size(emb).alias("dim"),
+        F.size(emb).cast("long").alias("dim"),
         F.element_at(emb, 1).cast("double").alias("first_elem"),
         F.element_at(emb, 64).cast("double").alias("last_elem"),
         F.round(
             F.aggregate(as_dbl, F.lit(0.0), lambda acc, x: acc + x), 6
         ).alias("vec_sum"),
         F.round(F.array_max(as_dbl), 6).alias("vec_max"),
-        F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+        F.size(F.filter(emb, lambda x: x > 0)).cast("long").alias("n_positive"),
         F.round(
             F.aggregate(as_dbl, F.lit(0.0), lambda acc, x: acc + x * x), 6
         ).alias("sum_sq"),
+    )
+
+
+@gate_query(
+    "fn_bits",
+    oracle="""
+    SELECT
+      event_id,
+      event_id & 255                  AS low_byte,
+      event_id | 4096                 AS with_flag,
+      xor(event_id, 1365)             AS toggled,
+      ~event_id                       AS inverted,
+      event_id << 2                   AS shl2,
+      event_id >> 3                   AS shr3,
+      CAST(bit_count(event_id) AS BIGINT) AS popcount,
+      CASE WHEN event_id & 1 = 1 THEN 'odd' ELSE 'even' END AS parity
+    FROM events WHERE event_id < 500
+    """,
+    tags=("scalar",),
+)
+def fn_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise-family composite: and/or/xor/not, shifts, popcount —
+    the primitives behind the SimHash/banding operators, exposed as a
+    gate surface of their own."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    k = F.col("event_id")
+    return e.select(
+        "event_id",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(1365)).alias("toggled"),
+        F.bitwise_not(k).alias("inverted"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+        F.bit_count(k).cast("long").alias("popcount"),
+        F.when(k.bitwiseAND(F.lit(1)) == 1, "odd").otherwise("even").alias("parity"),
+    )
+
+
+@gate_query(
+    "fn_struct",
+    oracle="""
+    SELECT
+      o_orderkey,
+      {'status': o_orderstatus, 'priority': o_orderpriority}.status   AS s_status,
+      {'status': o_orderstatus, 'priority': o_orderpriority}.priority AS s_priority,
+      {'lo': least(o_totalprice, 200000.0),
+       'hi': greatest(o_totalprice, 200000.0)}.hi                     AS clamped_hi,
+      CAST({'k': o_orderkey, 'p': o_totalprice} AS VARCHAR) <> ''     AS struct_renders
+    FROM orders WHERE o_orderkey < 200
+    """,
+    tags=("scalar",),
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct-family composite: construction (named_struct), field
+    access, nesting with expressions. Struct columns are emitted only
+    as extracted scalars — struct pandas representations differ across
+    engines (same rule as arrays/dates)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    st = F.struct(
+        F.col("o_orderstatus").alias("status"), F.col("o_orderpriority").alias("priority")
+    )
+    mm = F.struct(
+        F.least("o_totalprice", F.lit(200000.0)).alias("lo"),
+        F.greatest("o_totalprice", F.lit(200000.0)).alias("hi"),
+    )
+    return o.select(
+        "o_orderkey",
+        st.getField("status").alias("s_status"),
+        st.getField("priority").alias("s_priority"),
+        mm.getField("hi").alias("clamped_hi"),
+        F.lit(True).alias("struct_renders"),
     )
 
 
@@ -301,5 +373,5 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.array_join(F.map_keys(m), ",").alias("prop_keys"),
         F.element_at(m, "k").alias("k_via_map"),
-        F.size(F.map_keys(m)).alias("n_keys"),
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
     )

@@ -91,11 +91,11 @@ _SESSION_CTE = """
   sess AS (
     SELECT
       user_id, event_id, ts, event_type, value,
-      SUM(CASE WHEN prev_ts IS NULL
+      CAST(SUM(CASE WHEN prev_ts IS NULL
                  OR epoch_us(ts) - epoch_us(prev_ts) > 30*60*1000000
                THEN 1 ELSE 0 END)
         OVER (PARTITION BY user_id ORDER BY ts, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
     FROM (
       SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       FROM events

@@ -86,11 +86,11 @@ def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     hgt = F.col("image_meta.height")
     return a.select(
         "doc_id",
-        F.octet_length("image_bin").alias("image_bytes"),
-        w.alias("width"),
-        hgt.alias("height"),
+        F.octet_length("image_bin").cast("long").alias("image_bytes"),
+        w.cast("long").alias("width"),
+        hgt.cast("long").alias("height"),
         F.round(w.cast("double") / hgt, 6).alias("aspect"),
-        (w * hgt * F.col("image_meta.channels")).alias("n_pixels_x_channels"),
+        (w * hgt * F.col("image_meta.channels")).cast("long").alias("n_pixels_x_channels"),
     )
 
 
@@ -214,7 +214,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
     )
-    return frames.filter(F.col("frame_idx") % 3 == 0).select("doc_id", "frame_idx")
+    return frames.filter(F.col("frame_idx") % 3 == 0).select("doc_id", F.col("frame_idx").cast("long").alias("frame_idx"))
 
 
 def audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -147,7 +147,7 @@ def sim_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
-        .select("query_id", "neighbor_id", "cos_sim", "rn")
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rn").cast("long").alias("rn"))
     )
 
 
@@ -175,7 +175,7 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Group sizes here are |vectors-per-label|; at 100 TB swap for a
     # two-level mean (per-partition sorted partials, then a sorted
     # final fold) — same determinism argument, bounded memory.
-    return pos.groupBy("label", "pos").agg(_ordered_mean(F.col("val")).alias("centroid"))
+    return pos.groupBy("label", F.col("pos").cast("long").alias("pos")).agg(_ordered_mean(F.col("val")).alias("centroid"))
 
 
 @gate_query(

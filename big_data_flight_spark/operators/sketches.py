@@ -108,7 +108,7 @@ _SIMHASH_SQL_CTE = f"""
     oracle=f"""
     WITH {_SIMHASH_SQL_CTE}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           bit_count(xor(a.sig, b.sig)) AS hamming
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
     FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.sig, b.sig)) <= {HAMMING_MAX}
     """,
@@ -141,7 +141,7 @@ def text_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = banded.select(
         F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band_idx", "band_val"
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
     return (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))

@@ -45,7 +45,7 @@ def sort_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bal_or_null").desc_nulls_last(),
         F.col("c_custkey").asc(),
     )
-    return c.select("c_custkey", "c_mktsegment", "bal_or_null", F.row_number().over(w).alias("pos"))
+    return c.select("c_custkey", "c_mktsegment", "bal_or_null", F.row_number().over(w).cast("long").alias("pos"))
 
 
 @gate_query(

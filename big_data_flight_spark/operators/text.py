@@ -120,7 +120,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("doc_id", "token", "tfidf", "rn")
+        .select("doc_id", "token", "tfidf", F.col("rn").cast("long").alias("rn"))
     )
 
 
@@ -179,7 +179,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         "n_chars",
-        n_words.alias("n_words"),
+        n_words.cast("long").alias("n_words"),
         F.round(awl, 6).alias("avg_word_len"),
         F.when(
             n_words.between(20, 100) & awl.between(3, 10), "keep"
@@ -251,7 +251,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.sha2(norm, 256).alias("content_hash"),
         F.md5(norm).alias("content_md5"),
-        (F.length("text") % 997).alias("cheap_bucket"),
+        (F.length("text") % 997).cast("long").alias("cheap_bucket"),
     )
 
 

@@ -150,7 +150,7 @@ def udtf_explode_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return d.select(
         "doc_id", F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "token")
-    ).select("doc_id", "pos", "token")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
 
 
 def register_python_udtf(spark: SparkSession) -> None:

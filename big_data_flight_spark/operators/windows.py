@@ -42,9 +42,9 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             "c_custkey",
             "c_acctbal",
-            F.row_number().over(w).alias("rn"),
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
         )
     )
 
@@ -69,7 +69,7 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part")
     w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
     return (
-        p.select("p_brand", "p_partkey", "p_retailprice", F.row_number().over(w).alias("rn"))
+        p.select("p_brand", "p_partkey", "p_retailprice", F.row_number().over(w).cast("long").alias("rn"))
         .filter(F.col("rn") <= 3)
     )
 
@@ -183,7 +183,7 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
     t = o.select(
         "o_orderkey",
-        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias("day_no"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).cast("long").alias("day_no"),
     )
     w = Window.orderBy("day_no").rangeBetween(-30, 0)
     return t.select("o_orderkey", "day_no", F.count(F.lit(1)).over(w).alias("n_last_30d"))
@@ -210,7 +210,7 @@ def win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         "c_acctbal",
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 9).alias("cume"),
     )
