@@ -332,6 +332,10 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
         F.sequence(F.lit(0), F.size(w) - k),
         lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(k)]),
     )
+    # Docs shorter than k words: sequence(0, negative) DESCENDS in Spark
+    # (would index element_at(w, 0) and crash) — guard with an empty
+    # shingle set, matching the oracle's range(1, len-1) = [] behavior.
+    sh = F.when(F.size(w) >= k, sh).otherwise(F.array().cast("array<string>"))
     return docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 

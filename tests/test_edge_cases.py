@@ -1,0 +1,80 @@
+"""Edge-case tests the fixtures don't exercise: short/empty inputs,
+empty groups, degenerate joins."""
+
+from __future__ import annotations
+
+import big_data_flight_spark.operators.text as text_mod
+from big_data_flight_spark.operators.text import shingles
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_shingles_short_docs_empty_not_crash(spark):
+    """Docs with fewer than k words must yield zero shingles (the
+    sequence(0, negative) descending-range trap)."""
+    d = _docs(spark, ["one two", "single", "a b c"])
+    out = shingles(d, 3).collect()
+    assert [(r["doc_id"], r["shingle"]) for r in out] == [(2, "a b c")]
+
+
+def test_near_dedup_on_all_short_docs_is_empty(spark):
+    d = _docs(spark, ["x", "y z"])
+    orig = text_mod.table
+    text_mod.table = lambda s, dd, n: d
+    try:
+        assert text_mod.text_near_dedup_jaccard(spark, "ignored").count() == 0
+    finally:
+        text_mod.table = orig
+
+
+def test_simhash_short_docs(spark):
+    """SimHash over docs with no shingles: no signature rows, no pairs."""
+    import big_data_flight_spark.operators.sketches as sk
+
+    d = _docs(spark, ["tiny", "also tiny"])
+    sigs = sk.simhash_signatures(d)
+    assert sigs.count() == 0
+
+
+def test_session_single_event_user(spark):
+    import datetime as dt
+
+    from big_data_flight_spark.operators.events import _with_session_id
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 5, "click", 1.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    (row,) = _with_session_id(df).collect()
+    assert row["session_id"] == 1
+
+
+def test_empty_filter_result_aggregates(spark):
+    """Global aggregate over an empty filter result: one row of
+    NULLs/zeros, not an error."""
+    from big_data_flight_spark.io import table
+    from big_data_flight_spark.registry import dsum
+
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    o = table(spark, SF_SMOKE, "orders").filter(F.col("o_totalprice") < -1)
+    (row,) = o.agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "s")
+    ).collect()
+    assert row["n"] == 0 and row["s"] is None
+
+
+def test_unknown_table_raises(spark):
+    import pytest
+
+    from big_data_flight_spark.io import table
+    from tests.conftest import SF_SMOKE
+
+    with pytest.raises(KeyError):
+        table(spark, SF_SMOKE, "nonexistent")
