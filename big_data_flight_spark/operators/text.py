@@ -378,10 +378,35 @@ def text_near_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file fixture → 1 input partition; fan out before the
     # shingle explode so tokenization and the join build parallelize
     docs = table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    return near_dup_pairs(docs, threshold=0.5)
+
+
+def near_dup_pairs(
+    docs: DataFrame, threshold: float = 0.5, max_doc_freq: int | None = None
+) -> DataFrame:
+    """Exact shingle-Jaccard pairs with an optional stop-shingle cap.
+
+    ``max_doc_freq``: drop shingles appearing in more than this many
+    documents BEFORE the self-join. Mandatory at web scale — a shingle
+    shared by f docs contributes f² candidate pairs while carrying
+    ~zero Jaccard evidence. Denominators keep the true (uncapped) set
+    sizes, so capped Jaccards are a lower bound; recall at high
+    thresholds stays high because true near-dups share mostly rare
+    shingles (asserted in tests/test_edge_cases.py)."""
     sh = shingles(docs, 3)
+    if max_doc_freq is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh_join = sh.join(F.broadcast(keep), "shingle", "left_semi")
+    else:
+        sh_join = sh
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    a = sh_join.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh_join.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -394,7 +419,7 @@ def text_near_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         common.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
-        .filter(jac >= 0.5)
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 

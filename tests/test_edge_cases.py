@@ -78,3 +78,22 @@ def test_unknown_table_raises(spark):
 
     with pytest.raises(KeyError):
         table(spark, SF_SMOKE, "nonexistent")
+
+
+def test_frequency_cap_keeps_planted_near_dups(spark):
+    """Aggressive stop-shingle cap must not lose true near-dup pairs
+    on the fixture corpus (their shared shingles are rare)."""
+    from big_data_flight_spark.io import table
+    from big_data_flight_spark.operators.text import near_dup_pairs
+    from tests.conftest import SF_SMOKE
+
+    docs = table(spark, SF_SMOKE, "documents")
+    uncapped = {
+        (r["doc_a"], r["doc_b"]) for r in near_dup_pairs(docs, 0.5).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in near_dup_pairs(docs, 0.5, max_doc_freq=10).collect()
+    }
+    assert uncapped  # fixtures plant near-dups
+    assert uncapped == capped
