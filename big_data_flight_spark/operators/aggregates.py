@@ -202,6 +202,24 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@gate_query("agg_approx_percentile", oracle=None, tags=("agg", "approx"))
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (percentile_approx — mergeable, the
+    100 TB path where exact percentile's per-group buffering dies).
+    Sketch results are engine-specific → weak check; the query
+    self-audits by returning the exact percentile alongside and the
+    relative error (accuracy=10000 → error well under 1%)."""
+    li = table(spark, sf_dir, "lineitem")
+    out = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile("l_extendedprice", 0.5).alias("p50_exact"),
+    )
+    return out.withColumn(
+        "rel_err",
+        F.round(F.abs(F.col("p50_approx") - F.col("p50_exact")) / F.col("p50_exact"), 6),
+    )
+
+
 # ---------------------------------------------------------------------------
 # agg_stats — stddev/variance/corr/covar via exact decimal moments
 # ---------------------------------------------------------------------------
