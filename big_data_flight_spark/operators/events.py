@@ -244,6 +244,45 @@ def evt_stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate_query(
+    "evt_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type, COUNT(*) AS n,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY from_type), 9)
+             AS p_transition
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+    tags=("event",),
+)
+def evt_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition matrix: counts and conditional probabilities of
+    consecutive event-type pairs per user (the origin→destination
+    route-matrix shape from flight analytics; also the Markov-chain
+    input for funnel modeling). lead() per user, one groupBy, then a
+    small window over the |types|² aggregate for row-normalized
+    probabilities."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    w_from = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_from), 9).alias("p_transition"),
+    )
+
+
+@gate_query(
     "evt_gap_fill",
     oracle=f"""
     WITH bounds AS (

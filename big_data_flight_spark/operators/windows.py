@@ -217,6 +217,54 @@ def win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate_query(
+    "win_share_of_total",
+    oracle="""
+    WITH nat AS (
+      SELECT n_name,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, revenue,
+           ROUND(revenue / SUM(revenue) OVER (), 9)                    AS share,
+           ROUND(revenue / MAX(revenue) OVER (), 9)                    AS vs_best,
+           CAST(rank() OVER (ORDER BY revenue DESC, n_name) AS BIGINT) AS rev_rank
+    FROM nat
+    """,
+    tags=("window",),
+)
+def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total / percent-of-max via an unpartitioned window
+    over an ALREADY-AGGREGATED frame (25 rows — the right place for a
+    global window: aggregate first, window the small result; never
+    window the raw fact table globally)."""
+    from big_data_flight_spark.io import table as t
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    nat = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("revenue"))
+    )
+    w_all = Window.partitionBy()
+    return nat.select(
+        "n_name",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w_all), 9).alias("share"),
+        F.round(F.col("revenue") / F.max("revenue").over(w_all), 9).alias("vs_best"),
+        F.rank()
+        .over(Window.orderBy(F.col("revenue").desc(), F.col("n_name")))
+        .cast("long")
+        .alias("rev_rank"),
+    )
+
+
+@gate_query(
     "win_first_last",
     oracle="""
     SELECT s_suppkey, s_nationkey, s_acctbal,
