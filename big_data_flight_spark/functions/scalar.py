@@ -252,6 +252,35 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate_query(
+    "fn_explode_outer",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN []
+                  ELSE string_split(lower(text), ' ') END AS arr
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, i - 1 AS pos, arr[i] AS token
+    FROM t CROSS JOIN range(1, 1000) r(i) WHERE i <= len(arr)
+    UNION ALL
+    SELECT doc_id, NULL AS pos, NULL AS token FROM t WHERE len(arr) = 0
+    """,
+    tags=("scalar", "array"),
+)
+def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode_outer: rows with EMPTY arrays survive as NULL rows
+    (plain explode silently drops them — the classic missing-rows bug
+    in token pipelines). Empty arrays synthesized on doc_id % 7."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    arr = F.when(
+        F.col("doc_id") % 7 == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.lower("text"), " "))
+    return d.select(
+        "doc_id", F.posexplode_outer(arr).alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+
+
+@gate_query(
     "fn_bits",
     oracle="""
     SELECT

@@ -204,6 +204,32 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@gate_query(
+    "agg_bool",
+    oracle="""
+    SELECT
+      user_id,
+      bool_and(value >= 0)                    AS all_nonneg,
+      bool_or(event_type = 'purchase')        AS ever_purchased,
+      CAST(count_if(event_type = 'click') AS BIGINT) AS n_clicks,
+      CAST(MAX(event_id) AS BIGINT)           AS last_event_id
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("agg",),
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-aggregate family: every/some (bool_and/bool_or),
+    count_if — the predicate-summary shape ('did this user ever X')."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("event_type") == "purchase").alias("ever_purchased"),
+        F.count_if(F.col("event_type") == "click").alias("n_clicks"),
+        F.max("event_id").alias("last_event_id"),
+    )
+
+
 @gate_query("agg_approx_percentile", oracle=None, tags=("agg", "approx"))
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based percentiles (percentile_approx — mergeable, the
