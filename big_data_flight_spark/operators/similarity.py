@@ -355,6 +355,56 @@ def text_near_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmeans_codebook(
+    e: DataFrame, k: int = 8, iters: int = 3, seed_ids: list[int] | None = None
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over the embedding column — the
+    IVF codebook trainer for corpora without labels. DataFrame-
+    iterative (same skeleton as text_dedup_clusters): assign each
+    vector to its nearest centroid (broadcast k×DIM table), recompute
+    centroids as order-canonical means, repeat.
+
+    Deterministic by construction: seeds are fixed vec_ids (not
+    random), assignment ties break on cell id, means use sorted folds.
+    At 100 TB: train on a ~1‰ sample (codebook quality saturates
+    quickly), then a single assignment pass over the corpus.
+
+    Returns (cell, centroid array<double>).
+    """
+    seeds = seed_ids or [i * 17 for i in range(k)]  # spread fixed ids
+    emb_dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    cent = (
+        e.filter(F.col("vec_id").isin(seeds))
+        .select(F.col("vec_id").alias("cell"), emb_dbl.alias("centroid"))
+    )
+    vecs = e.select("vec_id", emb_dbl.alias("v")).repartition(32).cache()
+
+    def cos(a, b):
+        dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda m, x: m + x)
+        na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda m, x: m + x * x))
+        nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda m, x: m + x * x))
+        return dot / (na * nb)
+
+    for _ in range(iters):
+        w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
+        assigned = (
+            vecs.crossJoin(F.broadcast(cent))
+            .select("vec_id", "v", "cell", cos(F.col("v"), F.col("centroid")).alias("sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cell", "v")
+        )
+        cent = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(_ordered_mean(F.col("val")).alias("cv"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
+            .select("cell", F.transform("pc", lambda s: s["cv"]).alias("centroid"))
+        )
+    return cent
+
+
 @gate_query("sim_ann_ivf", oracle=None, tags=("similarity", "approx"))
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into cells (the label

@@ -80,3 +80,16 @@ def test_lsh_self_audit_reasonable(spark):
     (row,) = sim_ann_lsh(spark, SF_SMOKE).collect()
     assert row["n_lsh_candidates"] > 0
     assert 0.0 <= row["recall"] <= 1.0
+
+
+def test_kmeans_codebook_deterministic_and_shaped(spark):
+    from big_data_flight_spark.io import table
+    from big_data_flight_spark.operators.similarity import DIM, kmeans_codebook
+    from tests.conftest import SF_SMOKE
+
+    e = table(spark, SF_SMOKE, "embeddings")
+    cb1 = {r["cell"]: list(r["centroid"]) for r in kmeans_codebook(e, k=4, iters=2).collect()}
+    cb2 = {r["cell"]: list(r["centroid"]) for r in kmeans_codebook(e, k=4, iters=2).collect()}
+    assert cb1 == cb2                      # deterministic across runs
+    assert len(cb1) <= 4 and len(cb1) > 0  # cells may merge, never grow
+    assert all(len(c) == DIM for c in cb1.values())
