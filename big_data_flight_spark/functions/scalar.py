@@ -117,6 +117,41 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate_query(
+    "fn_interval",
+    oracle="""
+    SELECT
+      o_orderkey,
+      o_orderdate + INTERVAL 3 MONTH                       AS plus_3mo,
+      o_orderdate - INTERVAL 45 DAY                        AS minus_45d,
+      o_orderdate + INTERVAL 36 HOUR                       AS plus_36h,
+      date_trunc('quarter', o_orderdate)                   AS qtr_start,
+      date_trunc('week', o_orderdate)                      AS week_start,
+      o_orderdate + INTERVAL 1 MONTH > TIMESTAMP '1997-01-01 00:00:00' AS due_after_97
+    FROM orders WHERE o_orderkey < 300
+    """,
+    tags=("scalar",),
+)
+def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/calendar arithmetic: month arithmetic (end-of-month
+    clamping matches across engines), day/hour offsets, quarter/week
+    truncation (both engines start weeks on Monday), interval
+    comparison predicates."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        (d + F.expr("INTERVAL 3 MONTHS")).alias("plus_3mo"),
+        (d - F.expr("INTERVAL 45 DAYS")).alias("minus_45d"),
+        (d + F.expr("INTERVAL 36 HOURS")).alias("plus_36h"),
+        F.date_trunc("quarter", d).alias("qtr_start"),
+        F.date_trunc("week", d).alias("week_start"),
+        ((d + F.expr("INTERVAL 1 MONTH")) > F.lit("1997-01-01").cast("timestamp")).alias(
+            "due_after_97"
+        ),
+    )
+
+
+@gate_query(
     "fn_math",
     oracle="""
     SELECT

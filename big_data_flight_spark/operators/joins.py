@@ -325,6 +325,49 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate_query(
+    "join_null_keys",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, nullif(c_nationkey, 0) AS nat_or_null FROM customer
+    ),
+    n AS (
+      SELECT nullif(n_nationkey, 0) AS nat_or_null, n_name FROM nation
+    )
+    SELECT
+      (SELECT COUNT(*) FROM c JOIN n ON c.nat_or_null = n.nat_or_null)
+        AS n_inner,
+      (SELECT COUNT(*) FROM c JOIN n ON c.nat_or_null IS NOT DISTINCT FROM n.nat_or_null)
+        AS n_nullsafe,
+      (SELECT COUNT(*) FROM c LEFT JOIN n ON c.nat_or_null = n.nat_or_null
+        WHERE n.n_name IS NULL) AS n_left_unmatched
+    """,
+    tags=("join",),
+)
+def join_null_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL join-key semantics: standard equality never matches NULL
+    keys (those customers drop from the inner join), null-safe
+    equality (eqNullSafe / IS NOT DISTINCT FROM) does match them, and
+    a left join surfaces them as unmatched. NULLs synthesized by
+    nulling nation 0. Caution at scale: null-safe joins hash all NULLs
+    to one partition — treat NULL as a skew key."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey"), F.lit(0)).alias("c_nat")
+    )
+    n = table(spark, sf_dir, "nation").select(
+        F.nullif(F.col("n_nationkey"), F.lit(0)).alias("n_nat"), "n_name"
+    )
+    n_inner = c.join(n, c.c_nat == n.n_nat).count()
+    n_nullsafe = c.join(n, c.c_nat.eqNullSafe(n.n_nat)).count()
+    n_left_unmatched = (
+        c.join(n, c.c_nat == n.n_nat, "left").filter(F.col("n_name").isNull()).count()
+    )
+    return spark.createDataFrame(
+        [(n_inner, n_nullsafe, n_left_unmatched)],
+        "n_inner long, n_nullsafe long, n_left_unmatched long",
+    )
+
+
+@gate_query(
     "join_skew_salted",
     oracle=f"""
     SELECT event_type, COUNT(*) AS n, {DSUM("value", "sum_value")},
