@@ -204,6 +204,73 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate_query(
+    "tpch_q17",
+    oracle="""
+    SELECT
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+        SELECT 0.5 * AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+    """,
+    tags=("tpch",),
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 small-quantity-order revenue: correlated scalar aggregate
+    subquery (below half the part's average quantity). Expressed via
+    spark.sql so Catalyst's RewriteCorrelatedScalarSubquery does the
+    decorrelation (→ aggregate + join, no per-row subquery execution —
+    the only scalable plan). Adapted: container predicate dropped
+    (no p_container column); avg(l_quantity) is integral-valued ÷
+    exact count → deterministic double on both engines."""
+    from big_data_flight_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l_quantity < (
+            SELECT 0.5 * AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+          )
+        """
+    )
+
+
+@gate_query(
+    "filter_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           (SELECT COUNT(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.8 FROM orders)
+    """,
+    tags=("relational", "sql"),
+)
+def filter_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subqueries, both flavors: uncorrelated (global average
+    threshold — computed once, broadcast as a literal) and correlated
+    in the SELECT list (per-order item count — decorrelated by
+    Catalyst into a left join on a pre-aggregated counts table)."""
+    from big_data_flight_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               (SELECT COUNT(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.8 FROM orders)
+        """
+    )
+
+
+@gate_query(
     "tpch_q18",
     oracle=f"""
     WITH big AS (
