@@ -486,3 +486,34 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     out = e.groupBy("user_id").pivot("event_type", _EVENT_TYPES).agg(F.count(F.lit(1)))
     return out.na.fill(0, _EVENT_TYPES)
+
+
+@gate_query(
+    "agg_histogram",
+    oracle=f"""
+    SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           {DSUM("value", "sum_value")},
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY bucket
+    """,
+    tags=("aggregate",),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (width_bucket shape): floor-divide into
+    50-unit buckets, count/sum/min/max per bucket. floor-then-cast is
+    exact in both engines (DuckDB bare CAST would round). A map-side
+    partial aggregate reduces each partition to ≤10 bucket rows before
+    the exchange — constant shuffle volume at any scale."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.floor(F.col("value") / 50.0).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", "sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )

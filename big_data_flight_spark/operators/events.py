@@ -368,3 +368,48 @@ def evt_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("err_rate") > 0.15) & (F.col("n") >= 5))
         .select(F.col("w.start").alias("day_start"), "n", "n_err", "err_rate")
     )
+
+
+@gate_query(
+    "evt_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      FROM events
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, active_week) / 7 AS BIGINT) AS week_no,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM firsts JOIN active USING (user_id)
+    GROUP BY cohort_week, week_no
+    """,
+    tags=("event",),
+)
+def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: users bucketed by first-seen week,
+    counted distinct in each later week. Both engines truncate weeks to
+    Monday 00:00, so the day-diff is an exact multiple of 7. Two
+    shuffles on user_id (first-seen + distinct activity) then one on the
+    tiny cohort matrix; at 100 TB the user_id shuffle is the cost and
+    both aggregates partial-combine before exchange."""
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        firsts.join(active, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_no"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

@@ -508,3 +508,54 @@ def text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("deg").isNotNull().alias("in_cluster"),
         )
     )
+
+
+@gate_query(
+    "text_ngram_freq",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, token, ord
+      FROM (
+        SELECT doc_id,
+               unnest(string_split(lower(text), ' ')) AS token,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord
+        FROM documents
+      )
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY ord) AS bigram
+      FROM tok
+    )
+    SELECT bigram, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+    FROM bigrams
+    WHERE bigram IS NOT NULL
+    GROUP BY bigram
+    HAVING COUNT(*) >= 3
+    """,
+    tags=("text",),
+)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequencies (n-gram LM / n-gram-Jaccard building
+    block). Spark builds bigrams inside one higher-order ``transform``
+    over the token array — no per-token explode before the pair is
+    formed, no window; the only shuffle is the final count. The oracle
+    reconstructs identical pairs via unnest + lead() per document."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    # sequence(1, 0) would count DOWN for 1-token docs — guard to empty.
+    bigrams = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN "
+        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i])) "
+        "ELSE array() END"
+    )
+    return (
+        d.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= 3)
+    )

@@ -314,3 +314,391 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+@gate_query(
+    "tpch_q7",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, yr,
+           {DSUM("volume", "revenue")}
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS yr,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, yr
+    """,
+    tags=("tpch",),
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 volume shipping between a nation pair, by year. The
+    disjunctive nation-pair predicate lands after two broadcast dim
+    joins; lineitem is the only shuffled input. Dates adapted to the
+    fixture range (1995-1997)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("yr")
+    ).agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+
+
+@gate_query(
+    "tpch_q8",
+    oracle="""
+    SELECT yr,
+           CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END
+                         AS DECIMAL(38,6))) AS DOUBLE)
+           / CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS yr,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE'
+        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        AND p_type = 'STANDARD'
+    ) all_nations
+    GROUP BY yr
+    """,
+    tags=("tpch",),
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 national market share: fraction of EUROPE-customer STANDARD-part
+    revenue supplied by NATION_5, per year. Both sums are exact decimals
+    cast to double before the single IEEE divide — the ratio is
+    bit-identical across engines."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    nat5 = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0).cast("decimal(38,6)"))
+    return joined.groupBy(F.year("o_orderdate").cast("long").alias("yr")).agg(
+        (F.sum(nat5).cast("double") / F.sum(vol).cast("double")).alias("mkt_share")
+    )
+
+
+@gate_query(
+    "tpch_q12",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+    tags=("tpch",),
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shipping-priority split (CASE-sum pivot counting). Adapted:
+    l_shipmode/l_commitdate/l_receiptdate are absent from the fixtures,
+    so the group key is l_returnflag and the late-delivery predicate is
+    a ship-year filter; the shape (join + conditional counts) is Q12's."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@gate_query(
+    "tpch_q13",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+    tags=("tpch",),
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 customer order-count distribution: LEFT OUTER join with a
+    filter inside the ON clause (kept customers with zero qualifying
+    orders must still appear with c_count=0), then a count-of-counts.
+    Adapted: the o_comment NOT LIKE filter becomes an orderpriority
+    exclusion (column absent). Two shuffles: custkey, then c_count."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@gate_query(
+    "tpch_q15",
+    oracle=f"""
+    WITH revenue0 AS (
+      SELECT l_suppkey AS supplier_no,
+             {DSUM("l_extendedprice * (1 - l_discount)", "total_revenue")}
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier
+    JOIN revenue0 ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+    """,
+    tags=("tpch",),
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 top supplier: revenue per supplier over one quarter, keep the
+    max. The scalar MAX is computed from the same aggregated frame and
+    broadcast back — exact decimal sums make the equality comparison
+    safe across engines (identical doubles on both sides)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@gate_query(
+    "tpch_q19",
+    oracle=f"""
+    SELECT {DSUM("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11  AND l_returnflag = 'N')
+       OR (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20 AND l_returnflag = 'N')
+       OR (p_brand = 'Brand#16' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30 AND l_returnflag = 'N')
+    """,
+    tags=("tpch",),
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 discounted revenue under a three-branch disjunctive predicate
+    spanning both join sides. The shared conjunct (l_returnflag = 'N')
+    is factored out by Catalyst and pushed to the lineitem scan; the
+    part-side brand/size disjunction prunes the broadcast build side.
+    Adapted: l_shipinstruct/l_shipmode conjuncts (absent) → returnflag."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+            & (F.col("l_returnflag") == "N")
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+            & (F.col("l_returnflag") == "N")
+        )
+        | (
+            (F.col("p_brand") == "Brand#16")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+            & (F.col("l_returnflag") == "N")
+        )
+    )
+    return joined.filter(branch).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
+
+
+@gate_query(
+    "tpch_q21",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    tags=("tpch",),
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 suppliers-who-kept-orders-waiting: the sole blamable supplier
+    per failed multi-supplier order. Dual correlated subqueries over a
+    self-joined fact — EXISTS → left-semi, NOT EXISTS → left-anti, both
+    on the orderkey equi-key with a suppkey disequality residual.
+    Adapted: receipt/commit-date lateness (columns absent) → the
+    l_returnflag = 'R' marker plays 'late'; o_orderstatus = 'F' kept."""
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = table(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("l1_orderkey"), F.col("l_suppkey").alias("l1_suppkey")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey"))
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    )
+    blamed = (
+        l1.join(o, F.col("l1_orderkey") == F.col("o_orderkey"))
+        .join(
+            l2,
+            (F.col("l2_orderkey") == F.col("l1_orderkey"))
+            & (F.col("l2_suppkey") != F.col("l1_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3_orderkey") == F.col("l1_orderkey"))
+            & (F.col("l3_suppkey") != F.col("l1_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(s), F.col("l1_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        blamed.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(100)
+    )
+
+
+@gate_query(
+    "tpch_q22",
+    oracle=f"""
+    WITH eligible AS (
+      SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS cntry, c_acctbal
+      FROM customer
+      WHERE c_nationkey IN (1, 5, 9, 13, 17, 21, 24)
+        AND c_acctbal > (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(c_acctbal)
+          FROM customer
+          WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 5, 9, 13, 17, 21, 24)
+        )
+    )
+    SELECT cntry, CAST(COUNT(*) AS BIGINT) AS numcust,
+           {DSUM("c_acctbal", "totacctbal")}
+    FROM eligible
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY cntry
+    """,
+    tags=("tpch",),
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 global-sales-opportunity: rich-but-inactive customers per
+    country. Uncorrelated decimal-exact AVG threshold (broadcast 1-row
+    frame, not a collect), NOT EXISTS → left-anti against orders.
+    Adapted: phone-prefix country codes (column absent) → nationkey."""
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 5, 9, 13, 17, 21, 24)
+    )
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double") / F.count("c_acctbal")).alias("thr")
+    )
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    eligible = (
+        c.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return eligible.groupBy(F.col("c_nationkey").cast("long").alias("cntry")).agg(
+        F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal", "totacctbal")
+    )

@@ -26,6 +26,8 @@ SNAPSHOT = {
     "join_inner_equi": [],
     "tpch_q5": ["BroadcastHashJoin"],
     "tpch_q6": ["PushedFilters"],
+    "tpch_q8": ["BroadcastHashJoin"],
+    "tpch_q21": ["BroadcastHashJoin"],
     "win_topk_per_group": ["WindowGroupLimit"],
     "limit_topk": ["TakeOrderedAndProject"],
     "filter_pred": ["PushedFilters"],
