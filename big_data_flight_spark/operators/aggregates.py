@@ -517,3 +517,36 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("max_value"),
         )
     )
+
+
+@gate_query(
+    "agg_mode",
+    oracle="""
+    SELECT user_id, event_type AS modal_type, n
+    FROM (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY COUNT(*) DESC, event_type) AS rk
+      FROM events
+      GROUP BY user_id, event_type
+    )
+    WHERE rk = 1
+    """,
+    tags=("aggregate",),
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent event_type per user) with a total-
+    order tie-break: highest count, then lexicographically smallest
+    type. Implemented as max_by over an ordering struct — one shuffle
+    on (user_id, event_type) for the counts plus one on user_id, both
+    with map-side partials; no window over the raw events."""
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    # Order struct: larger n wins; among ties the SMALLER string must
+    # win, so invert the ordering with a negated count and take min.
+    best = counts.groupBy("user_id").agg(
+        F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("event_type"), F.col("n"))).alias("b")
+    )
+    return best.select(
+        "user_id", F.col("b.event_type").alias("modal_type"), F.col("b.n").alias("n")
+    )

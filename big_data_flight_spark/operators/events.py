@@ -413,3 +413,53 @@ def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@gate_query(
+    "evt_rfm",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(date_diff('day', CAST(MAX(ts) AS DATE),
+                  (SELECT CAST(MAX(ts) AS DATE) FROM events)) AS BIGINT) AS recency_days,
+             COUNT(*) AS frequency,
+             {DSUM("value", "monetary")}
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           CAST(NTILE(5) OVER (ORDER BY recency_days, user_id) AS BIGINT) AS r_score,
+           CAST(NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_score,
+           CAST(NTILE(5) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_score
+    FROM per_user
+    """,
+    tags=("event",),
+)
+def evt_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) user segmentation: days since
+    last activity relative to corpus max, event count, exact-decimal
+    value sum, each quintile-scored with user_id tie-breaks so NTILE
+    assignment is total-ordered and engine-independent. The global-max
+    scalar is a broadcast 1-row frame. NTILE over all users is a
+    single-partition window — fine for user-dimension cardinality
+    (≪ fact cardinality; segment scoring is a last-mile op)."""
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.to_date(F.max("ts")).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("value", "monetary"),
+    )
+    corpus_max = e.agg(F.to_date(F.max("ts")).alias("corpus_day"))
+    per_user = (
+        per_user.join(F.broadcast(corpus_max))
+        .withColumn("recency_days", F.datediff("corpus_day", "last_day").cast("long"))
+        .drop("last_day", "corpus_day")
+    )
+    w_r = Window.orderBy("recency_days", "user_id")
+    w_f = Window.orderBy(F.col("frequency").desc(), "user_id")
+    w_m = Window.orderBy(F.col("monetary").desc(), "user_id")
+    return per_user.select(
+        "user_id", "recency_days", "frequency", "monetary",
+        F.ntile(5).over(w_r).cast("long").alias("r_score"),
+        F.ntile(5).over(w_f).cast("long").alias("f_score"),
+        F.ntile(5).over(w_m).cast("long").alias("m_score"),
+    )

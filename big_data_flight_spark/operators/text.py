@@ -559,3 +559,50 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_occurrences") >= 3)
     )
+
+
+@gate_query(
+    "text_pack_sequences",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    placed AS (
+      SELECT doc_id, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_tokens) / 2048.0) AS BIGINT) AS seq_id
+      FROM sized
+    )
+    SELECT seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM placed
+    GROUP BY seq_id
+    """,
+    tags=("text",),
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential sequence packing for training-data prep: docs in
+    doc_id order are placed into ~2048-token bins by exclusive running
+    token count (a doc opens a new bin when the budget is crossed —
+    deterministic, unlike greedy best-fit). The single-partition window
+    is the honest cost of a GLOBAL packing order; at 100 TB you pack
+    per range-partitioned shard instead (seq_id = shard_id * 2^40 +
+    local bin), which this op's per-bin accounting makes verifiable."""
+    d = table(spark, sf_dir, "documents")
+    sized = d.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    placed = sized.withColumn(
+        "seq_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048.0).cast("long"),
+    )
+    return placed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -138,3 +138,31 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "sum_price")
     )
+
+
+@gate_query(
+    "scan_orc",
+    oracle=f"""
+    SELECT c_mktsegment, COUNT(*) AS n, {DSUM("c_acctbal", "sum_bal")},
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_key
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("source",),
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip: write customer as ORC (Spark's second native
+    columnar format — same predicate-pushdown + column-pruning path as
+    parquet), read it back, aggregate. The oracle aggregates the
+    original parquet, so a value match proves lossless ORC encode/
+    decode for long/int/double/string columns."""
+    out = os.path.join(_TMP, "orc_customer")
+    table(spark, sf_dir, "customer").write.mode("overwrite").orc(out)
+    df = spark.read.orc(out)
+    return df.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("c_acctbal", "sum_bal"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
