@@ -463,3 +463,54 @@ def evt_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(w_f).cast("long").alias("f_score"),
         F.ntile(5).over(w_m).cast("long").alias("m_score"),
     )
+
+
+@gate_query(
+    "evt_zscore_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, day
+    ),
+    stats AS (
+      SELECT event_type,
+             COUNT(*) AS n_days,
+             CAST(SUM(n) AS DOUBLE) AS s1,
+             CAST(SUM(n * n) AS DOUBLE) AS s2
+      FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.n,
+           ROUND((d.n - s1 / n_days)
+                 / sqrt((s2 - s1 * s1 / n_days) / (n_days - 1)), 6) AS z,
+           ABS((d.n - s1 / n_days)
+               / sqrt((s2 - s1 * s1 / n_days) / (n_days - 1))) > 2.0 AS is_anomaly
+    FROM daily d JOIN stats s ON d.event_type = s.event_type
+    """,
+    tags=("event",),
+)
+def evt_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly flags: z-score of each day's event count
+    against that event_type's 30-day mean/stddev. Both engines compute
+    stddev from the SAME explicit power sums (integer counts are exact
+    in doubles, so s1/s2 are order-independent) rather than their
+    builtin stddev kernels, which differ in formulation. Stats table is
+    |event_types| rows → broadcast back; one shuffle on the daily key."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").cast("double").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("double").alias("s2"),
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    mean = F.col("s1") / F.col("n_days")
+    std = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_days")) / (F.col("n_days") - 1))
+    z = (F.col("n") - mean) / std
+    return j.select(
+        "event_type", "day", "n",
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )

@@ -247,3 +247,39 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.mapInPandas(
         audio_features, "doc_id long, rms double, zero_crossings long, duration_s int"
     )
+
+
+@gate_query(
+    "mm_dedup_assets",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id,
+             md5(sha256(text) || substring(sha256(text), 1, 32)) AS asset_md5
+      FROM documents
+    )
+    SELECT asset_md5, CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc
+    FROM hashed
+    GROUP BY asset_md5
+    HAVING COUNT(*) > 1
+    """,
+    tags=("multimodal", "dedup"),
+)
+def mm_dedup_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of binary assets by content hash: duplicate-payload
+    groups with copy counts and a min-doc_id keeper. The 32-char md5 is
+    projected BEFORE the groupBy so the shuffle carries hashes, never
+    payloads — at 100 TB of images the exchange volume is |assets| ×
+    32 bytes regardless of asset size. Oracle reconstructs the same
+    digest over the synthesized payload bytes (hex digests are
+    byte-identical across engines)."""
+    assets = with_assets(table(spark, sf_dir, "documents"))
+    hashed = assets.select("doc_id", F.md5(F.col("image_bin")).alias("asset_md5"))
+    return (
+        hashed.groupBy("asset_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
