@@ -42,6 +42,10 @@ HEADLINE = [
     "sim_cosine_pairs",     # vector similarity
     "limit_topk",           # global top-k
     "stream_source_sink",   # streaming drain
+    "tpch_q8",              # 7-join market-share ratio (deepest star)
+    "tpch_q21",             # dual EXISTS/NOT-EXISTS fact self-join
+    "text_ngram_freq",      # bigram corpus frequencies
+    "mm_dedup_assets",      # binary-asset hash dedup
 ]
 
 
