@@ -1,0 +1,161 @@
+"""ETL / warehouse-maintenance operators — upsert, SCD2, data quality.
+
+The operations a pipeline runs around the analytical queries: merging a
+change batch into a snapshot (MERGE INTO semantics without a table
+format — pure DataFrame, so it works on plain parquet), building
+type-2 slowly-changing-dimension validity intervals from an event
+history, and profiling a table for quality violations before it is
+allowed downstream.
+
+Scale notes: merge shuffles both sides once on the key (at 100 TB the
+snapshot side should be bucketed by key so only the delta shuffles);
+SCD2 windows partition by entity (bounded per-entity history); the DQ
+profile is a single scan with map-side partial aggregation — its cost
+is one pass regardless of how many rules it checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_flight_spark.io import table
+from big_data_flight_spark.registry import DSUM, dsum, gate_query
+
+
+@gate_query(
+    "etl_merge_upsert",
+    oracle=f"""
+    WITH delta AS (
+      SELECT c_custkey, c_acctbal + 100.0 AS new_acctbal
+      FROM customer WHERE c_custkey % 10 = 0
+    ),
+    merged AS (
+      SELECT c.c_custkey, c.c_mktsegment,
+             COALESCE(d.new_acctbal, c.c_acctbal) AS c_acctbal,
+             d.c_custkey IS NOT NULL AS was_updated
+      FROM customer c LEFT JOIN delta d USING (c_custkey)
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (was_updated) AS BIGINT) AS n_updated,
+           {DSUM("c_acctbal", "sum_bal")}
+    FROM merged
+    GROUP BY c_mktsegment
+    """,
+    tags=("etl",),
+)
+def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (update-on-match) semantics on plain parquet: a
+    derived change batch overwrites matched rows via left join +
+    coalesce; the audit aggregates the merged snapshot. Insert-on-
+    no-match is the same plan with a full outer join. The delta is
+    10% of keys — at scale, broadcast it and the snapshot never
+    shuffles at all."""
+    c = table(spark, sf_dir, "customer")
+    delta = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", (F.col("c_acctbal") + 100.0).alias("new_acctbal")
+    )
+    merged = (
+        c.join(F.broadcast(delta), "c_custkey", "left")
+        .withColumn("was_updated", F.col("new_acctbal").isNotNull())
+        .withColumn("c_acctbal", F.coalesce("new_acctbal", "c_acctbal"))
+    )
+    return merged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("was_updated"), 1).otherwise(0)).cast("long").alias("n_updated"),
+        dsum("c_acctbal", "sum_bal"),
+    )
+
+
+@gate_query(
+    "etl_scd2_intervals",
+    oracle="""
+    WITH typed AS (
+      SELECT user_id, ts, event_type, event_id,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM events
+    )
+    SELECT user_id, ts AS valid_from, valid_to, event_type,
+           valid_to IS NULL AS is_current,
+           CAST(date_diff('microseconds', ts, COALESCE(valid_to, ts)) AS BIGINT)
+             AS duration_us
+    FROM typed
+    """,
+    tags=("etl",),
+)
+def etl_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD interval construction: each per-user state change
+    becomes a [valid_from, valid_to) row, open-ended on the latest
+    (is_current). Event order is the (ts, event_id) total order used
+    by every event op. One shuffle on user_id; per-user partitions
+    are bounded, so the window never spills at scale."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    typed = e.withColumn("valid_to", F.lead("ts").over(w))
+    dur = (
+        F.unix_micros(F.coalesce("valid_to", "ts")) - F.unix_micros("ts")
+    ).cast("long")
+    return typed.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        "valid_to",
+        "event_type",
+        F.col("valid_to").isNull().alias("is_current"),
+        dur.alias("duration_us"),
+    )
+
+
+@gate_query(
+    "dq_profile",
+    oracle="""
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(COUNT(*) FILTER (o_totalprice IS NULL) AS BIGINT) AS null_price,
+      CAST(COUNT(*) FILTER (o_totalprice <= 0) AS BIGINT) AS nonpositive_price,
+      CAST(COUNT(*) FILTER (o_orderstatus NOT IN ('O','F','P')) AS BIGINT)
+        AS bad_status,
+      CAST(COUNT(*) FILTER (o_orderdate < TIMESTAMP '1990-01-01 00:00:00'
+                         OR o_orderdate >= TIMESTAMP '2030-01-01 00:00:00')
+           AS BIGINT) AS out_of_range_date,
+      COUNT(DISTINCT o_orderkey) AS n_distinct_keys,
+      CAST((SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+        AS fk_orphans
+    FROM orders
+    """,
+    tags=("etl", "dq"),
+)
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality profile of the orders table: null rate,
+    range violations, domain violations, key cardinality, plus FK
+    orphans vs customer (left-anti count). All rule counters ride one
+    scan with map-side partials; adding a rule adds a column, not a
+    pass. The FK check broadcasts the key side at gate scale (at
+    100 TB: anti-join on bucketed keys)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    orphans = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("fk_orphans"))
+    )
+    profile = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0))
+        .cast("long").alias("null_price"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long").alias("nonpositive_price"),
+        F.sum(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0))
+        .cast("long").alias("bad_status"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("2030-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("out_of_range_date"),
+        F.countDistinct("o_orderkey").alias("n_distinct_keys"),
+    )
+    return profile.join(F.broadcast(orphans))

@@ -75,6 +75,7 @@ def _load_all_operator_modules() -> None:
     """Import every module that registers gate queries (idempotent)."""
     import big_data_flight_spark.functions.scalar  # noqa: F401
     import big_data_flight_spark.operators.aggregates  # noqa: F401
+    import big_data_flight_spark.operators.etl  # noqa: F401
     import big_data_flight_spark.operators.events  # noqa: F401
     import big_data_flight_spark.operators.joins  # noqa: F401
     import big_data_flight_spark.operators.multimodal  # noqa: F401
