@@ -1,0 +1,138 @@
+"""Semantics tests for the ETL family and the newer analytic gates —
+edge cases the fixture-backed oracle comparison cannot isolate
+(tie-breaks, bin boundaries, open intervals, orphan counting)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import big_data_flight_spark.operators.aggregates as agg_mod
+import big_data_flight_spark.operators.etl as etl_mod
+import big_data_flight_spark.operators.events as evt_mod
+import big_data_flight_spark.operators.text as text_mod
+
+_EVT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double"
+)
+
+
+def _patched(mod, frames):
+    """Swap mod.table for a synthetic-table lookup; returns a restorer."""
+    orig = mod.table
+    mod.table = lambda s, d, n: frames[n]
+    return orig
+
+
+def test_agg_mode_tiebreak_prefers_smaller_type(spark):
+    """Two event types tied on count: the lexicographically smaller
+    one must win (min-of-struct with negated count)."""
+    e = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1), 7, "view", 1.0),
+            (2, dt.datetime(2024, 1, 2), 7, "click", 1.0),
+            (3, dt.datetime(2024, 1, 3), 7, "view", 1.0),
+            (4, dt.datetime(2024, 1, 4), 7, "click", 1.0),
+        ],
+        _EVT_SCHEMA,
+    )
+    orig = _patched(agg_mod, {"events": e})
+    try:
+        (row,) = agg_mod.agg_mode(spark, "ignored").collect()
+        assert (row["modal_type"], row["n"]) == ("click", 2)
+    finally:
+        agg_mod.table = orig
+
+
+def test_pack_sequences_bin_boundary_and_conservation(spark):
+    """A doc whose tokens would cross the 2048 budget opens a new bin;
+    token totals are conserved across bins."""
+    texts = [
+        ("a " * 2000).strip(),  # doc 0: 2000 tokens -> bin 0
+        ("b " * 100).strip(),   # doc 1: cum-excl 2000 -> bin 0 (overflows it)
+        ("c " * 50).strip(),    # doc 2: cum-excl 2100 -> bin 1
+    ]
+    d = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = _patched(text_mod, {"documents": d})
+    try:
+        rows = {r["seq_id"]: r for r in text_mod.text_pack_sequences(spark, "x").collect()}
+        assert rows[0]["n_docs"] == 2 and rows[0]["total_tokens"] == 2100
+        assert rows[1]["n_docs"] == 1 and rows[1]["total_tokens"] == 50
+        assert sum(r["total_tokens"] for r in rows.values()) == 2150
+    finally:
+        text_mod.table = orig
+
+
+def test_retention_skipped_week_not_counted(spark):
+    """User active in cohort week and two weeks later only: week_no
+    rows are {0, 2}, never 1."""
+    e = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1), 5, "view", 1.0),   # Mon, week 0
+            (2, dt.datetime(2024, 1, 16), 5, "view", 1.0),  # week 2
+        ],
+        _EVT_SCHEMA,
+    )
+    orig = _patched(evt_mod, {"events": e})
+    try:
+        got = {
+            (r["week_no"], r["n_users"])
+            for r in evt_mod.evt_retention(spark, "x").collect()
+        }
+        assert got == {(0, 1), (2, 1)}
+    finally:
+        evt_mod.table = orig
+
+
+def test_scd2_last_interval_open(spark):
+    """The newest per-user row is open-ended (is_current, NULL
+    valid_to, zero duration); earlier rows span to the next change."""
+    e = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0, 0), 5, "signup", 1.0),
+            (2, dt.datetime(2024, 1, 1, 0, 0, 10), 5, "click", 1.0),
+        ],
+        _EVT_SCHEMA,
+    )
+    orig = _patched(etl_mod, {"events": e})
+    try:
+        rows = sorted(
+            etl_mod.etl_scd2_intervals(spark, "x").collect(),
+            key=lambda r: r["valid_from"],
+        )
+        assert rows[0]["duration_us"] == 10_000_000 and not rows[0]["is_current"]
+        assert rows[1]["valid_to"] is None and rows[1]["is_current"]
+        assert rows[1]["duration_us"] == 0
+    finally:
+        etl_mod.table = orig
+
+
+def test_dq_profile_counts_orphans_and_violations(spark):
+    """FK orphans and each rule counter fire independently."""
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 5.0, dt.datetime(2024, 1, 1), "1-URGENT"),
+            (2, 99, "O", 5.0, dt.datetime(2024, 1, 1), "5-LOW"),   # orphan cust
+            (3, 10, "X", -1.0, dt.datetime(1980, 1, 1), "5-LOW"),  # 3 violations
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    customer = spark.createDataFrame(
+        [(10, "c10", 0, 1.0, "SEG")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    orig = _patched(etl_mod, {"orders": orders, "customer": customer})
+    try:
+        (row,) = etl_mod.dq_profile(spark, "x").collect()
+        assert row["n_rows"] == 3
+        assert row["fk_orphans"] == 1
+        assert row["nonpositive_price"] == 1
+        assert row["bad_status"] == 1
+        assert row["out_of_range_date"] == 1
+        assert row["n_distinct_keys"] == 3
+    finally:
+        etl_mod.table = orig
