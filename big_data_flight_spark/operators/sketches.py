@@ -311,3 +311,82 @@ def text_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_pairs, n_truth, n_hit, round(n_hit / n_truth, 4) if n_truth else 1.0)],
         "n_candidates long, n_true_pairs long, n_recalled long, recall double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — frequency estimation
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4    # independent hash rows
+CMS_WIDTH = 64   # buckets per row
+
+
+@gate_query(
+    "agg_count_min",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT user_id, seed,
+             ('0x' || substring(md5(seed || ':' || user_id), 1, 8))::BIGINT
+               % {CMS_WIDTH} AS bucket
+      FROM events CROSS JOIN (SELECT unnest(range(0, {CMS_DEPTH})) AS seed)
+    ),
+    cms AS (
+      SELECT seed, bucket, COUNT(*) AS c
+      FROM hashed GROUP BY seed, bucket
+    ),
+    truth AS (
+      SELECT user_id, COUNT(*) AS true_n FROM events GROUP BY user_id
+    ),
+    est AS (
+      SELECT t.user_id, MIN(c) AS est_n
+      FROM truth t
+      CROSS JOIN (SELECT unnest(range(0, {CMS_DEPTH})) AS probe_seed)
+      JOIN cms ON cms.seed = probe_seed
+             AND cms.bucket = ('0x' || substring(md5(probe_seed || ':' || t.user_id), 1, 8))::BIGINT
+                              % {CMS_WIDTH}
+      GROUP BY t.user_id
+    )
+    SELECT truth.user_id, true_n, est_n,
+           CAST(est_n - true_n AS BIGINT) AS overestimate
+    FROM truth JOIN est ON truth.user_id = est.user_id
+    """,
+    tags=("sketch", "aggregate"),
+)
+def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over user_id frequencies, with its one-sided
+    error audited in-row: est_n ≥ true_n always (collisions only ever
+    ADD), and est_n = min over {CMS_DEPTH} md5-derived hash rows of
+    {CMS_WIDTH} buckets. The sketch table is depth×width = 256 counters
+    no matter how many events — THE mergeable, constant-size frequency
+    summary for 100 TB streams; the md5 hash family makes the whole
+    construction reproducible in the oracle engine bit-for-bit."""
+    e = table(spark, sf_dir, "events")
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("seed")
+    hashed = e.select("user_id", seeds).select(
+        "user_id",
+        "seed",
+        (
+            _md5_int(F.concat_ws(":", F.col("seed"), F.col("user_id")), 8)
+            % CMS_WIDTH
+        ).alias("bucket"),
+    )
+    cms = hashed.groupBy("seed", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    truth = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+    probes = truth.select("user_id", "true_n", seeds).select(
+        "user_id",
+        "true_n",
+        "seed",
+        (
+            _md5_int(F.concat_ws(":", F.col("seed"), F.col("user_id")), 8)
+            % CMS_WIDTH
+        ).alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(cms), ["seed", "bucket"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("c").alias("est_n"))
+    )
+    return est.select(
+        "user_id", "true_n", "est_n",
+        (F.col("est_n") - F.col("true_n")).cast("long").alias("overestimate"),
+    )

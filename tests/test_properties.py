@@ -109,3 +109,78 @@ def test_dsum_matches_python_exact(spark, vals):
     q = Decimal("0.000001")
     exact = sum(Decimal(float(v)).quantize(q, rounding=ROUND_HALF_UP) for v in vals)
     assert abs(row["s"] - float(exact)) < 1e-9
+
+
+@given(
+    token_counts=st.lists(st.integers(0, 3000), min_size=1, max_size=20),
+)
+@settings(**SETTINGS)
+def test_pack_sequences_invariants(spark, token_counts):
+    """Sequence packing: token totals are conserved, every bin except
+    possibly the last one that a doc overflows starts below budget,
+    and bin ids are dense from 0 in doc order."""
+    import big_data_flight_spark.operators.text as text_mod
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n) if n else "", "en", "s", n) for i, n in enumerate(token_counts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = text_mod.table
+    text_mod.table = lambda s, d, n: docs
+    try:
+        rows = sorted(
+            text_mod.text_pack_sequences(spark, "x").collect(),
+            key=lambda r: r["seq_id"],
+        )
+    finally:
+        text_mod.table = orig
+    # "" splits to one empty token -> size 1; mirror that expectation.
+    expected_total = sum(max(n, 1) for n in token_counts)
+    assert sum(r["total_tokens"] for r in rows) == expected_total
+    assert sum(r["n_docs"] for r in rows) == len(token_counts)
+    # Bin ids are exactly the distinct exclusive-cumsum // 2048 values.
+    cum, bins = 0, set()
+    for n in token_counts:
+        bins.add(cum // 2048)
+        cum += max(n, 1)
+    assert {r["seq_id"] for r in rows} == bins
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=20,
+    ),
+)
+@settings(**SETTINGS)
+def test_agg_mode_matches_python(spark, rows):
+    """agg_mode == python mode with (max count, min name) tie-break."""
+    import collections
+
+    import big_data_flight_spark.operators.aggregates as agg_mod
+
+    e = spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i), u, et, 1.0)
+            for i, (u, et) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    orig = agg_mod.table
+    agg_mod.table = lambda s, d, n: e
+    try:
+        got = {
+            r["user_id"]: (r["modal_type"], r["n"])
+            for r in agg_mod.agg_mode(spark, "x").collect()
+        }
+    finally:
+        agg_mod.table = orig
+    per_user = collections.defaultdict(collections.Counter)
+    for u, et in rows:
+        per_user[u][et] += 1
+    want = {
+        u: min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        for u, cnt in per_user.items()
+    }
+    assert got == {u: (t, n) for u, (t, n) in want.items()}
