@@ -15,7 +15,7 @@ bit-identical doubles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_flight_spark.io import table
@@ -549,4 +549,41 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return best.select(
         "user_id", F.col("b.event_type").alias("modal_type"), F.col("b.n").alias("n")
+    )
+
+
+@gate_query(
+    "agg_equidepth_histogram",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT value,
+             NTILE(10) OVER (ORDER BY value, event_id) AS bucket
+      FROM events
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS lo,
+           MAX(value) AS hi,
+           {DSUM("value", "sum_value")}
+    FROM ranked
+    GROUP BY bucket
+    """,
+    tags=("aggregate",),
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram: 10 NTILE buckets over a
+    (value, event_id) total order, with per-bucket bounds — the
+    statistics shape optimizers and drift monitors want when the
+    distribution is skewed and equi-width buckets collapse. The global
+    sort is the honest cost of exact equi-depth; the scale path is
+    percentile_approx boundaries (see agg_approx_percentile) with this
+    exact form as its audit at sampled scale."""
+    e = table(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    ranked = e.select("value", F.ntile(10).over(w).alias("bucket"))
+    return ranked.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        dsum("value", "sum_value"),
     )

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_flight_spark.io import table
-from big_data_flight_spark.registry import gate_query
+from big_data_flight_spark.registry import DSUM, dsum, gate_query
 
 
 @gate_query(
@@ -190,3 +190,34 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.subtract(s)
+
+
+@gate_query(
+    "sample_hash_deterministic",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           {DSUM("value", "sum_value")}
+    FROM events
+    WHERE ('0x' || substring(md5(event_id || ''), 1, 8))::BIGINT % 100 < 10
+    GROUP BY event_type
+    """,
+    tags=("sort", "sample"),
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% hash sample: a row is in the sample iff
+    md5(event_id) lands in the first 10 of 100 hash slots. Unlike
+    seeded Bernoulli sampling (engine-specific RNG → weak check), hash
+    sampling is reproducible across engines, stable under re-runs and
+    repartitioning, and consistent across tables sharing the key — the
+    property that matters when sampling a 100 TB corpus for eval
+    splits. Pure scan-side filter: no shuffle before the aggregate."""
+    e = table(spark, sf_dir, "events")
+    slot = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    return (
+        e.filter(slot < 10)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), dsum("value", "sum_value"))
+    )
