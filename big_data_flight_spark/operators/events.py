@@ -514,3 +514,64 @@ def evt_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z"),
         (F.abs(z) > 2.0).alias("is_anomaly"),
     )
+
+
+@gate_query(
+    "evt_cooccurrence_pmi",
+    oracle="""
+    WITH per_user AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n_users AS (SELECT COUNT(DISTINCT user_id) AS nu FROM events),
+    marginals AS (
+      SELECT event_type, COUNT(*) AS n_t FROM per_user GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_ab
+      FROM per_user a JOIN per_user b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b, CAST(n_ab AS BIGINT) AS n_ab,
+           ROUND(ln((n_ab * 1.0 * nu) / (ma.n_t * 1.0 * mb.n_t)), 6) AS pmi
+    FROM pairs
+    JOIN marginals ma ON ma.event_type = type_a
+    JOIN marginals mb ON mb.event_type = type_b
+    CROSS JOIN n_users
+    """,
+    tags=("event",),
+)
+def evt_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence with pointwise mutual information:
+    which behaviors coincide in the same users more than chance
+    (PMI = ln(p(a,b) / p(a)p(b)), all probabilities over the user
+    base). The self-join runs on per-user DISTINCT types — at most
+    |event_types| rows per user — so the pair explosion is bounded by
+    the type vocabulary, never by event volume. Marginals and the
+    user count broadcast back onto the tiny pair table."""
+    e = table(spark, sf_dir, "events")
+    per_user = e.select("user_id", "event_type").distinct()
+    nu = per_user.agg(F.countDistinct("user_id").alias("nu"))
+    marginals = per_user.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = per_user.select(F.col("user_id"), F.col("event_type").alias("type_a"))
+    b = per_user.select(F.col("user_id"), F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ma = marginals.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("na"))
+    mb = marginals.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .join(F.broadcast(nu))
+        .select(
+            "type_a", "type_b", "n_ab",
+            F.round(
+                F.log((F.col("n_ab") * F.col("nu")) / (F.col("na") * F.col("nb"))), 6
+            ).alias("pmi"),
+        )
+    )

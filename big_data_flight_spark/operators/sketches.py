@@ -321,6 +321,28 @@ CMS_DEPTH = 4    # independent hash rows
 CMS_WIDTH = 64   # buckets per row
 
 
+def cms_keyed(df: DataFrame, *extra_cols: str) -> DataFrame:
+    """(user_id, seed, bucket [, extra…]) — one row per input row per
+    hash row, bucket = md5(seed:user_id) % width. Shared by the batch
+    gate, its probe side, and the streaming twin so all three hash
+    identically."""
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("seed")
+    return df.select("user_id", *extra_cols, seeds).select(
+        "user_id",
+        *extra_cols,
+        "seed",
+        (
+            _md5_int(F.concat_ws(":", F.col("seed"), F.col("user_id")), 8)
+            % CMS_WIDTH
+        ).alias("bucket"),
+    )
+
+
+def cms_counters(df: DataFrame) -> DataFrame:
+    """The depth×width counter table for a batch of keyed rows."""
+    return cms_keyed(df).groupBy("seed", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+
 @gate_query(
     "agg_count_min",
     oracle=f"""
@@ -361,26 +383,9 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary for 100 TB streams; the md5 hash family makes the whole
     construction reproducible in the oracle engine bit-for-bit."""
     e = table(spark, sf_dir, "events")
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("seed")
-    hashed = e.select("user_id", seeds).select(
-        "user_id",
-        "seed",
-        (
-            _md5_int(F.concat_ws(":", F.col("seed"), F.col("user_id")), 8)
-            % CMS_WIDTH
-        ).alias("bucket"),
-    )
-    cms = hashed.groupBy("seed", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    cms = cms_counters(e)
     truth = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
-    probes = truth.select("user_id", "true_n", seeds).select(
-        "user_id",
-        "true_n",
-        "seed",
-        (
-            _md5_int(F.concat_ws(":", F.col("seed"), F.col("user_id")), 8)
-            % CMS_WIDTH
-        ).alias("bucket"),
-    )
+    probes = cms_keyed(truth, "true_n")
     est = (
         probes.join(F.broadcast(cms), ["seed", "bucket"])
         .groupBy("user_id", "true_n")

@@ -322,3 +322,16 @@ def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, mode="complete")
+
+
+def count_min_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of agg_count_min's SKETCH construction: the
+    4×64 counter table maintained incrementally by the streaming
+    aggregation engine (complete mode re-emits the merged counters
+    each micro-batch). The sketch's mergeability is exactly why it
+    streams: partial counters from every micro-batch/executor add up
+    without rescanning history. Estimates (min over rows) stay a
+    batch-side probe — see operators/sketches.agg_count_min."""
+    from big_data_flight_spark.operators.sketches import cms_counters
+
+    return run_to_memory(cms_counters(events_stream(spark, sf_dir)), mode="complete")

@@ -102,3 +102,21 @@ def test_tws_funnel_matches_batch(spark):
         for r in evt_stateful_funnel(spark, SF_SMOKE).collect()
     }
     assert stream == batch
+
+
+def test_count_min_stream_matches_batch(spark):
+    """The streamed CMS counter table must equal the batch-built one
+    (mergeable partials — order and batching cannot matter)."""
+    from big_data_flight_spark.io import table
+    from big_data_flight_spark.operators.sketches import cms_counters
+    from big_data_flight_spark.streaming.twins import count_min_stream
+
+    got = {
+        (r["seed"], r["bucket"]): r["c"]
+        for r in count_min_stream(spark, SF_SMOKE).collect()
+    }
+    want = {
+        (r["seed"], r["bucket"]): r["c"]
+        for r in cms_counters(table(spark, SF_SMOKE, "events")).collect()
+    }
+    assert got == want
