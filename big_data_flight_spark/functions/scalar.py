@@ -439,3 +439,68 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "k").alias("k_via_map"),
         F.size(F.map_keys(m)).cast("long").alias("n_keys"),
     )
+
+
+@gate_query(
+    "fn_try_safe",
+    oracle="""
+    SELECT
+      l_orderkey, l_linenumber,
+      CASE WHEN l_discount = 0 THEN NULL
+           ELSE ROUND(l_extendedprice / l_discount, 6) END      AS price_per_disc,
+      TRY_CAST(l_returnflag AS INTEGER)                          AS flag_as_int,
+      TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)            AS qty_roundtrip,
+      COALESCE(TRY_CAST(l_returnflag AS INTEGER), -1)            AS flag_or_default
+    FROM lineitem
+    WHERE l_orderkey < 500
+    """,
+    tags=("function",),
+)
+def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic/cast family: try_divide yields NULL on
+    divide-by-zero instead of failing the job (the behavior you want
+    when one poisoned row out of 10^12 must not kill the pipeline);
+    try_cast yields NULL on malformed input. Spark's try_divide(x, 0)
+    ≡ the oracle's CASE guard; TRY_CAST exists verbatim in both."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.try_divide("l_extendedprice", "l_discount"), 6).alias("price_per_disc"),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+        F.col("l_quantity").cast("string").try_cast("double").alias("qty_roundtrip"),
+        F.coalesce(F.col("l_returnflag").try_cast("int"), F.lit(-1)).alias(
+            "flag_or_default"
+        ),
+    )
+
+
+@gate_query(
+    "fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT)      AS k_long,
+           json_extract_string(props, '$.k')               AS k_str,
+           json_extract(props, '$.k') IS NOT NULL          AS has_k,
+           json_extract(props, '$.missing') IS NULL        AS missing_is_null
+    FROM events
+    WHERE event_id < 2000
+    """,
+    tags=("function", "semistructured"),
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4):
+    parse_json once, then typed variant_get extraction — the
+    shredding-friendly path that replaces per-field from_json schemas
+    for open schemas. Missing paths yield NULL (not errors), matching
+    the oracle's json_extract semantics."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return e.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("k_long"),
+        F.expr("variant_get(parse_json(props), '$.k', 'string')").alias("k_str"),
+        F.expr("variant_get(parse_json(props), '$.k', 'long') IS NOT NULL").alias("has_k"),
+        F.expr("variant_get(parse_json(props), '$.missing', 'long') IS NULL").alias(
+            "missing_is_null"
+        ),
+    )

@@ -446,3 +446,36 @@ def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("price_a") + F.col("price_b"), 6).alias("pair_price"),
         )
     )
+
+
+@gate_query(
+    "join_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    WHERE c.c_custkey < 300
+    """,
+    tags=("join", "sql"),
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 orders per customer) through
+    the SQL surface — Catalyst decorrelates it into the same
+    window-rank plan win_topk_per_group builds by hand; the gate pins
+    that the LATERAL syntax path works end to end. Tie-break on
+    orderkey keeps the per-customer LIMIT deterministic."""
+    from big_data_flight_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_custkey < 300
+        """
+    )
