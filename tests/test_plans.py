@@ -50,3 +50,36 @@ def test_topk_uses_take_ordered(spark):
     _load_all_operator_modules()
     plan = _plan(_REGISTRY["limit_topk"].builder(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """With broadcast disabled (the 100 TB fact-fact regime), Spark
+    injects a runtime bloom filter built from the selective side into
+    the probe-side scan — rows that cannot join are dropped before the
+    shuffle. Thresholds are tuned down because the fixture is small;
+    on a real cluster the defaults (10 MB creation side) take over."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").filter(
+            F.col("o_totalprice") > 500000
+        )
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("l_returnflag").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
