@@ -33,6 +33,8 @@ SNAPSHOT = {
     "filter_pred": ["PushedFilters"],
     "text_near_dedup_jaccard": [],
     "sim_cosine_pairs": [],
+    "etl_merge_upsert": ["BroadcastHashJoin"],
+    "dq_profile": ["BroadcastHashJoin"],
 }
 
 
