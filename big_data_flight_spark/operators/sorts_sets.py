@@ -221,3 +221,57 @@ def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_sampled"), dsum("value", "sum_value"))
     )
+
+
+# Morton (Z-order) interleave of two 6-bit keys, generated once for
+# both dialects so the bit math cannot drift between engines.
+_Z_BITS = 6
+_Z_SPARK = " + ".join(
+    f"(shiftleft(shiftright(p_size, {i}) & 1, {2 * i})"
+    f" + shiftleft(shiftright(price_bucket, {i}) & 1, {2 * i + 1}))"
+    for i in range(_Z_BITS)
+)
+_Z_DUCK = " + ".join(
+    f"((((p_size >> {i}) & 1) << {2 * i})"
+    f" + (((price_bucket >> {i}) & 1) << {2 * i + 1}))"
+    for i in range(_Z_BITS)
+)
+
+
+@gate_query(
+    "sort_zorder",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT p_partkey, p_size,
+             CAST(FLOOR(p_retailprice / 100.0) AS INTEGER) AS price_bucket
+      FROM part WHERE p_partkey < 1000
+    ),
+    coded AS (
+      SELECT p_partkey, p_size, price_bucket,
+             CAST({_Z_DUCK} AS BIGINT) AS zorder
+      FROM keyed
+    )
+    SELECT p_partkey, p_size, price_bucket, zorder,
+           CAST(ROW_NUMBER() OVER (ORDER BY zorder, p_partkey) AS BIGINT) AS zrank
+    FROM coded
+    """,
+    tags=("sort",),
+)
+def sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (size, price-bucket): bit-
+    interleaving makes rows close in BOTH dimensions adjacent in ONE
+    sort order, so file-level min/max stats prune scans filtered on
+    either dimension — the multi-dimensional data-skipping layout
+    (Delta/Iceberg OPTIMIZE ZORDER shape) built from plain bit ops.
+    The gate checks the code AND the resulting total order (zrank);
+    at scale the sort feeds repartitionByRange + sortWithinPartitions
+    before the write."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 1000)
+    keyed = p.select(
+        "p_partkey",
+        "p_size",
+        F.floor(F.col("p_retailprice") / 100.0).cast("int").alias("price_bucket"),
+    )
+    coded = keyed.withColumn("zorder", F.expr(_Z_SPARK).cast("long"))
+    w = Window.orderBy("zorder", "p_partkey")
+    return coded.withColumn("zrank", F.row_number().over(w).cast("long"))

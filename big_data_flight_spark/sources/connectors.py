@@ -166,3 +166,41 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c_custkey").alias("min_key"),
         F.max("c_custkey").alias("max_key"),
     )
+
+
+@gate_query(
+    "sink_compaction",
+    oracle=f"""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           {DSUM("l_extendedprice", "sum_price")},
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_key
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("source", "sink"),
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: a fragmented table (64 shards here; in
+    production, thousands of streaming micro-batch files) is rewritten
+    into size-targeted files via repartition, then re-read and audited
+    against the source — row counts, sums, and key bounds must all
+    survive. At 100 TB this is the maintenance job that keeps scan
+    task counts sane: target files of 128-512 MB so a 1000-executor
+    read schedules O(data/128MB) tasks, not O(micro-batches)."""
+    src = table(spark, sf_dir, "lineitem")
+    fragmented = os.path.join(_TMP, "fragmented_lineitem")
+    compacted = os.path.join(_TMP, "compacted_lineitem")
+    src.repartition(64).write.mode("overwrite").parquet(fragmented)
+    frag_df = spark.read.parquet(fragmented)
+    # Size-targeted rewrite: rows-per-file derived from a count, not a
+    # guess (at scale: bytes-based via spark.sql.files.maxRecordsPerFile).
+    n_files = max(1, frag_df.count() // 300_000)
+    frag_df.repartition(n_files).write.mode("overwrite").parquet(compacted)
+    out = spark.read.parquet(compacted)
+    return out.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice", "sum_price"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+    )
