@@ -606,3 +606,73 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@gate_query(
+    "text_winnowing_fingerprints",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, n_chars, text,
+             unnest(range(1, GREATEST(n_chars - 8 + 1, 0) + 1)) AS i
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, i, n_chars - 8 + 1 AS n_pos,
+             ('0x' || substring(md5(substring(text, i, 8)), 1, 8))::BIGINT AS h
+      FROM pos
+    ),
+    winnowed AS (
+      SELECT doc_id, i, n_pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+      FROM hashed
+    )
+    SELECT doc_id,
+           COUNT(DISTINCT m) AS n_fingerprints,
+           CAST(SUM(DISTINCT m) AS BIGINT) AS fp_digest
+    FROM winnowed
+    WHERE i <= n_pos - 4 + 1
+    GROUP BY doc_id
+    """,
+    tags=("text", "dedup", "sketch"),
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme):
+    hash every 8-char k-gram, keep the minimum of each 4-hash sliding
+    window — guaranteeing any sufficiently long match between two docs
+    shares a fingerprint, at ~2/(w+1) the storage of all k-grams. The
+    md5-derived hash plays the rolling hash (same selection, engine-
+    portable). Per-doc work is linear and partition-local: one explode,
+    one bounded per-doc window, one aggregate — no cross-doc shuffle
+    until the final per-doc rollup. Docs shorter than k+w-1 chars have
+    no full window and produce no fingerprints (classic winnowing)."""
+    d = table(spark, sf_dir, "documents")
+    n_pos = F.col("n_chars") - 8 + 1
+    pos = d.select(
+        "doc_id",
+        "text",
+        n_pos.alias("n_pos"),
+        F.explode(
+            F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
+                F.expr("array()")
+            )
+        ).alias("i"),
+    )
+    hashed = pos.select(
+        "doc_id",
+        "n_pos",
+        "i",
+        F.conv(F.substring(F.md5(F.expr("substring(text, i, 8)")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
+    winnowed = hashed.withColumn("m", F.min("h").over(w))
+    return (
+        winnowed.filter(F.col("i") <= F.col("n_pos") - 4 + 1)
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("m").alias("n_fingerprints"),
+            F.sum_distinct(F.col("m")).cast("long").alias("fp_digest"),
+        )
+    )
