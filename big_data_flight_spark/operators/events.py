@@ -575,3 +575,50 @@ def evt_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+@gate_query(
+    "evt_rollup_cascade",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS day_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {DSUM("value", "sum_value")},
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY day_start, event_type
+    """,
+    tags=("event",),
+)
+def evt_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate rollup cascade: the day level is computed
+    FROM the hour level (sum of sums, sum of counts, min of mins),
+    never from raw events — while the oracle aggregates raw directly.
+    A hash match proves the re-aggregation is lossless, which is the
+    property that lets a 100 TB pipeline maintain only the finest
+    rollup incrementally and derive coarser grains from ~1/3600th of
+    the data. Decimal partials keep the cascaded sum bit-identical to
+    the direct one."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_dec"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    ).select(F.col("w.start").alias("hour_start"), "event_type", "n", "sum_dec",
+             "min_value", "max_value")
+    daily = hourly.groupBy(
+        F.window("hour_start", "1 day").alias("w"), "event_type"
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_dec").cast("double").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+    return daily.select(
+        F.col("w.start").alias("day_start"), "event_type", "n", "sum_value",
+        "min_value", "max_value",
+    )
