@@ -93,3 +93,55 @@ def test_kmeans_codebook_deterministic_and_shaped(spark):
     assert cb1 == cb2                      # deterministic across runs
     assert len(cb1) <= 4 and len(cb1) > 0  # cells may merge, never grow
     assert all(len(c) == DIM for c in cb1.values())
+
+
+def test_winnowing_shared_substring_shares_fingerprint(spark):
+    """Winnowing's guarantee: any match of length >= k + w - 1 chars
+    (8 + 4 - 1 = 11 here) between two documents yields at least one
+    common fingerprint. Disjoint documents share none."""
+    import big_data_flight_spark.operators.text as text_mod
+    from pyspark.sql import functions as F
+
+    shared = "the quick brown fox jumps over it"
+    docs = spark.createDataFrame(
+        [
+            (0, "aaaa bbbb " + shared + " cccc", "en", "s", 10 + len(shared) + 5),
+            (1, "zzzz " + shared + " qqqq rrrr", "en", "s", 5 + len(shared) + 10),
+            (2, "totally different words here nothing alike", "en", "s", 42),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # Recompute n_chars faithfully (winnowing derives positions from it).
+    docs = docs.withColumn("n_chars", F.length("text"))
+
+    orig = text_mod.table
+    text_mod.table = lambda s, d, n: docs
+
+    # Per-doc fingerprint SETS (the gate returns counts; rebuild sets
+    # through the same pipeline up to the distinct-min step).
+    try:
+        n_pos = F.col("n_chars") - 8 + 1
+        pos = docs.select(
+            "doc_id", "text", n_pos.alias("n_pos"),
+            F.explode(F.sequence(F.lit(1), n_pos)).alias("i"),
+        )
+        hashed = pos.select(
+            "doc_id", "n_pos", "i",
+            F.conv(F.substring(F.md5(F.expr("substring(text, i, 8)")), 1, 8), 16, 10)
+            .cast("long").alias("h"),
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
+        fps = (
+            hashed.withColumn("m", F.min("h").over(w))
+            .filter(F.col("i") <= F.col("n_pos") - 4 + 1)
+            .select("doc_id", "m").distinct().collect()
+        )
+    finally:
+        text_mod.table = orig
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["m"])
+    assert by_doc[0] & by_doc[1], "shared substring must share a fingerprint"
+    assert not (by_doc[0] & by_doc[2]), "disjoint docs should not collide"
