@@ -159,3 +159,40 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderkey").alias("n_distinct_keys"),
     )
     return profile.join(F.broadcast(orphans))
+
+
+@gate_query(
+    "etl_cdc_latest_snapshot",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value
+    FROM (
+      SELECT user_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events
+    )
+    WHERE rk = 1
+    """,
+    tags=("etl",),
+)
+def etl_cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → snapshot compaction (CDC read path): keep each
+    key's newest record under the (ts, event_id) total order. One
+    shuffle on the key; Spark plans the rank-1 filter as
+    WindowGroupLimit, which keeps only the running winner per key
+    inside each partition before and after the exchange instead of
+    materializing full per-key sorts — the right plan for compacting
+    a 100 TB changelog where upserts per key are few but keys are
+    billions."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
