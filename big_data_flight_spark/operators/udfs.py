@@ -231,3 +231,54 @@ def haversine_km(
     dlon = np.radians(lon2) - np.radians(lon1)
     a = np.sin(dlat / 2) ** 2 + np.cos(rlat1) * np.cos(rlat2) * np.sin(dlon / 2) ** 2
     return 2 * 6371.0088 * np.arcsin(np.sqrt(a))
+
+
+def _norm_batches(batches):
+    """mapInArrow kernel: squared L2 norm per embedding, accumulated as
+    an explicit left fold in float64 — the same summation order as the
+    oracle's list_sum, so values are bit-identical (numpy's pairwise
+    sum would NOT be)."""
+    import pyarrow as pa
+
+    for batch in batches:
+        vec_ids = batch.column("vec_id").to_pylist()
+        embs = batch.column("embedding").to_pylist()
+        norms = []
+        for emb in embs:
+            acc = 0.0
+            for x in emb:
+                xd = float(x)  # float32 → float64 BEFORE arithmetic
+                acc += xd * xd
+            norms.append(acc)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(vec_ids, pa.int64()), pa.array(norms, pa.float64())],
+            names=["vec_id", "norm2"],
+        )
+
+
+@gate_query(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT vec_id,
+           ROUND(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS norm2
+    FROM embeddings
+    """,
+    tags=("udf",),
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the lowest-overhead Python batch path (raw Arrow
+    RecordBatches, no pandas conversion): squared L2 norms over the
+    embedding column. Completes the Python-integration surface next to
+    pandas_udf / grouped-agg / grouped-map / UDTF. Per-batch work only,
+    no shuffle; at 100 TB this is the shape for vectorized feature
+    kernels that need numpy/pyarrow but not per-group state."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("norm2", T.DoubleType()),
+        ]
+    )
+    normed = e.mapInArrow(_norm_batches, out_schema)
+    return normed.select("vec_id", F.round("norm2", 6).alias("norm2"))
