@@ -335,3 +335,28 @@ def count_min_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_flight_spark.operators.sketches import cms_counters
 
     return run_to_memory(cms_counters(events_stream(spark, sf_dir)), mode="complete")
+
+
+def cdc_latest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of etl_cdc_latest_snapshot: the latest record per
+    key maintained incrementally as a stateful max_by aggregation over
+    the (ts, event_id) total order — per-key state is ONE struct, so
+    state size is O(keys), not O(events). Complete mode re-emits the
+    current snapshot each micro-batch; on a real cluster this is the
+    continuously-maintained CDC materialization."""
+    e = events_stream(spark, sf_dir)
+    latest = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("ts", "event_id", "event_type", "value")
+            ).alias("last")
+        )
+        .select(
+            "user_id",
+            F.col("last.ts").alias("last_ts"),
+            F.col("last.event_type").alias("last_type"),
+            F.col("last.value").alias("last_value"),
+        )
+    )
+    return run_to_memory(latest, mode="complete")

@@ -120,3 +120,21 @@ def test_count_min_stream_matches_batch(spark):
         for r in cms_counters(table(spark, SF_SMOKE, "events")).collect()
     }
     assert got == want
+
+
+def test_cdc_latest_stream_matches_batch(spark):
+    """Streamed latest-per-key snapshot == the batch CDC gate (struct
+    max over (ts, event_id) is order-insensitive, so micro-batching
+    cannot change the winner)."""
+    from big_data_flight_spark.operators.etl import etl_cdc_latest_snapshot
+    from big_data_flight_spark.streaming.twins import cdc_latest_stream
+
+    got = {
+        r["user_id"]: (r["last_ts"], r["last_type"], r["last_value"])
+        for r in cdc_latest_stream(spark, SF_SMOKE).collect()
+    }
+    want = {
+        r["user_id"]: (r["last_ts"], r["last_type"], r["last_value"])
+        for r in etl_cdc_latest_snapshot(spark, SF_SMOKE).collect()
+    }
+    assert got == want
