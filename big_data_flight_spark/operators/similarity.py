@@ -497,3 +497,88 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_norm(F.col("embedding")), 6).alias("vec_norm"),
         )
     )
+
+
+@gate_query(
+    "sim_knn_classify",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS query_id, a.label AS true_label,
+             b.vec_id AS neighbor_id, b.label AS n_label,
+             ROUND({_DUCK_DOT} / ({_duck_norm('a')} * {_duck_norm('b')}), 6) AS cos_sim
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < 100
+    ),
+    top5 AS (
+      SELECT query_id, true_label, n_label FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT query_id, true_label, n_label, COUNT(*) AS v
+      FROM top5 GROUP BY query_id, true_label, n_label
+    )
+    SELECT query_id,
+           CAST(true_label AS BIGINT) AS true_label,
+           CAST(n_label AS BIGINT) AS predicted_label,
+           CAST(v AS BIGINT) AS votes,
+           n_label = true_label AS correct
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY v DESC, n_label) AS vr
+      FROM votes
+    ) WHERE vr = 1
+    """,
+    tags=("similarity",),
+)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label classification (k=5 majority vote) for 100 probe
+    vectors — the eval-style workload over an embedding store. Ranks
+    on the ROUNDED cosine with neighbor_id tie-break, then votes with
+    (count desc, label asc) tie-break, so prediction is total-ordered
+    on both engines. Probes broadcast, corpus streams (the batch k-NN
+    scale shape); the per-probe vote table is 5 rows."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("emb_q"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("emb_c"),
+    ).repartition(32)
+    cos = _dot(F.col("emb_q"), F.col("emb_c")) / (
+        _norm(F.col("emb_q")) * _norm(F.col("emb_c"))
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "true_label", "neighbor_id", "n_label",
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    top5 = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    votes = top5.groupBy("query_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.col("v").desc(), F.col("n_label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("n_label").cast("long").alias("predicted_label"),
+            F.col("v").cast("long").alias("votes"),
+            (F.col("n_label") == F.col("true_label")).alias("correct"),
+        )
+    )
