@@ -204,3 +204,27 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_orderkey").alias("min_key"),
         F.max("l_orderkey").alias("max_key"),
     )
+
+
+@gate_query("scan_binary_files", oracle=None, tags=("source", "multimodal"))
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source — the real ingest path for image/audio/video
+    assets (path, modificationTime, length, content). Reads the
+    fixture parquet files themselves as opaque blobs and audits
+    length-vs-content agreement plus a content digest. No SQL oracle
+    (DuckDB has no filesystem source) → rows-only check; the in-row
+    self-audit (len_matches must be universally true) carries the
+    correctness. At scale: pathGlobFilter + recursiveFileLookup
+    partition the listing, and content NEVER shuffles — project
+    metadata before any exchange, exactly as multimodal.py does."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+    )
+    return df.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+        (F.length("content") == F.col("length")).alias("len_matches"),
+    ).orderBy("file_name")
