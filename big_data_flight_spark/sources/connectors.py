@@ -228,3 +228,43 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("content").alias("content_md5"),
         (F.length("content") == F.col("length")).alias("len_matches"),
     ).orderBy("file_name")
+
+
+@gate_query(
+    "scan_text",
+    oracle=f"""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           {DSUM("o_totalprice", "sum_price")}
+    FROM orders WHERE o_orderkey < 1000
+    GROUP BY o_orderstatus
+    """,
+    tags=("source",),
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unstructured text-line round-trip — the log-file ingest shape:
+    rows serialized to pipe-delimited lines, written with the text
+    source (one string column, no schema), read back and re-parsed
+    with split(). The oracle aggregates the original parquet, so a
+    match proves the serialize→parse cycle is lossless (doubles
+    survive via shortest-roundtrip formatting). This is the pattern
+    for raw server logs before they are promoted to columnar."""
+    out = os.path.join(_TMP, "text_orders")
+    src = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    lines = src.select(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice").cast("string"),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(out)
+    parts = F.split(F.col("value"), "\\|")
+    parsed = spark.read.text(out).select(
+        parts.getItem(0).cast("long").alias("o_orderkey"),
+        parts.getItem(1).alias("o_orderstatus"),
+        parts.getItem(2).cast("double").alias("o_totalprice"),
+    )
+    return parsed.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price")
+    )
