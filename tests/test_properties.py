@@ -184,3 +184,36 @@ def test_agg_mode_matches_python(spark, rows):
         for u, cnt in per_user.items()
     }
     assert got == {u: (t, n) for u, (t, n) in want.items()}
+
+
+def test_partition_count_invariance(spark):
+    """Distributed-correctness property: representative gates spanning
+    aggregation, sessionization, dedup, sketching, and packing must
+    produce IDENTICAL results whether the shuffle fans out to 5 or 32
+    partitions — any divergence means order- or partitioning-dependent
+    logic leaked into an operator (the bug class that only shows up on
+    a real cluster)."""
+    from big_data_flight_spark.registry import get_query
+
+    gates = [
+        "agg_histogram",
+        "evt_sessionize_stats",
+        "text_exact_dedup",
+        "agg_count_min",
+        "text_pack_sequences",
+        "etl_cdc_latest_snapshot",
+    ]
+    sf = "/root/testdata/sf0.001"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for n in ("5", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            for g in gates:
+                df = get_query(g).builder(spark, sf)
+                rows = frozenset(tuple(r) for r in df.collect())
+                results.setdefault(g, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for g, (a, b) in results.items():
+        assert a == b, f"{g} diverged across shuffle partition counts"
