@@ -676,3 +676,53 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum_distinct(F.col("m")).cast("long").alias("fp_digest"),
         )
     )
+
+
+@gate_query(
+    "text_curation_pipeline",
+    oracle=f"""
+    WITH quality AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             len(string_split(text, ' ')) AS n_words
+      FROM documents
+      WHERE len(string_split(text, ' ')) BETWEEN 20 AND 100
+        AND n_chars * 1.0 / len(string_split(text, ' ')) BETWEEN 3 AND 10
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(lower(text))
+                                     ORDER BY doc_id) AS rk
+        FROM quality
+      ) WHERE rk = 1
+    ),
+    final AS (SELECT * FROM deduped WHERE lang = 'en')
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_words AS BIGINT)) AS BIGINT) AS total_tokens,
+           {DAVG("n_chars", "avg_chars")}
+    FROM final
+    GROUP BY source
+    """,
+    tags=("text", "dedup"),
+)
+def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical curation pipeline, composed end to end: quality
+    band filter → exact near-identical dedup (content-hash keeper,
+    min doc_id) → language filter → per-source corpus accounting.
+    Each stage is one of this engine's standalone operators; the gate
+    proves they compose without re-materialization — a single lazy
+    plan with two shuffles (dedup hash, final rollup). This is the
+    shape a 100 TB pretraining-corpus build runs nightly."""
+    d = table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    quality = d.withColumn("n_words", n_words.cast("long")).filter(
+        n_words.between(20, 100) & (F.col("n_chars") / n_words).between(3, 10)
+    )
+    w = Window.partitionBy(F.md5(F.lower(F.col("text")))).orderBy("doc_id")
+    deduped = quality.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    final = deduped.filter(F.col("lang") == "en")
+    return final.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_tokens"),
+        davg("n_chars", "avg_chars"),
+    )
