@@ -272,12 +272,16 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < 500)
         .select("vec_id", array_to_vector(F.col("embedding")).alias("features"))
     )
+    # Tuning (probed on the fixture): every cos>=0.3 pair sits at
+    # Euclidean distance <= 1.184 while the 1st percentile of ALL pairs
+    # is 1.19 — so threshold 1.19 admits ~1% of the pair space as
+    # candidates instead of the 93% a loose threshold would.
     lsh = BucketedRandomProjectionLSH(
-        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+        inputCol="features", outputCol="hashes", bucketLength=0.6, numHashTables=4, seed=42
     )
     model = lsh.fit(e)
     cand = (
-        model.approxSimilarityJoin(e, e, threshold=8.0, distCol="dist")
+        model.approxSimilarityJoin(e, e, threshold=1.19, distCol="dist")
         .select(
             F.col("datasetA.vec_id").alias("vec_a"),
             F.col("datasetB.vec_id").alias("vec_b"),
@@ -295,19 +299,28 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= 0.3)
         .select("vec_a", "vec_b")
     )
-    n_cand = cand.count()
-    n_truth = truth.count()
-    n_hit = truth.join(cand, ["vec_a", "vec_b"], "left_semi").count()
-    return spark.createDataFrame(
-        [
-            (
-                n_cand,
-                n_truth,
-                n_hit,
-                round(n_hit / n_truth, 4) if n_truth else 1.0,
-            )
-        ],
-        "n_lsh_candidates long, n_true_pairs long, n_recalled long, recall double",
+    # Single-pass audit: full-outer join the two pair sets and reduce
+    # once — each side is evaluated exactly once (the previous three
+    # separate .count() calls recomputed both DAGs twice).
+    t = truth.withColumn("is_truth", F.lit(1))
+    c = cand.withColumn("is_cand", F.lit(1))
+    j = t.join(c, ["vec_a", "vec_b"], "full_outer")
+    agg = j.agg(
+        F.sum(F.coalesce("is_cand", F.lit(0))).cast("long").alias("n_lsh_candidates"),
+        F.sum(F.coalesce("is_truth", F.lit(0))).cast("long").alias("n_true_pairs"),
+        F.sum(
+            F.when(F.col("is_truth").isNotNull() & F.col("is_cand").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_recalled"),
+    )
+    return agg.select(
+        "n_lsh_candidates",
+        "n_true_pairs",
+        "n_recalled",
+        F.round(
+            F.when(F.col("n_true_pairs") > 0, F.col("n_recalled") / F.col("n_true_pairs"))
+            .otherwise(F.lit(1.0)),
+            4,
+        ).alias("recall"),
     )
 
 
