@@ -471,12 +471,26 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     exact_top = sim_topk_neighbors(spark, sf_dir).select("query_id", "neighbor_id")
-    n_q = ivf_top.select("query_id").distinct().count()
-    n_hit = exact_top.join(ivf_top, ["query_id", "neighbor_id"], "left_semi").count()
-    n_exact = exact_top.count()
-    return spark.createDataFrame(
-        [(n_q, n_exact, n_hit, round(n_hit / n_exact, 4) if n_exact else 1.0)],
-        "n_queries long, n_exact_results long, n_recalled long, recall double",
+    # One-pass audit: full-outer join the IVF and exact result sets and
+    # reduce once — each DAG evaluates exactly once.
+    iv = ivf_top.withColumn("is_ivf", F.lit(1))
+    ex = exact_top.withColumn("is_exact", F.lit(1))
+    agg = iv.join(ex, ["query_id", "neighbor_id"], "full_outer").agg(
+        F.countDistinct(F.when(F.col("is_ivf").isNotNull(), F.col("query_id"))).alias("n_queries"),
+        F.sum(F.coalesce("is_exact", F.lit(0))).cast("long").alias("n_exact_results"),
+        F.sum(
+            F.when(F.col("is_ivf").isNotNull() & F.col("is_exact").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_recalled"),
+    )
+    return agg.select(
+        "n_queries",
+        "n_exact_results",
+        "n_recalled",
+        F.round(
+            F.when(F.col("n_exact_results") > 0, F.col("n_recalled") / F.col("n_exact_results"))
+            .otherwise(F.lit(1.0)),
+            4,
+        ).alias("recall"),
     )
 
 

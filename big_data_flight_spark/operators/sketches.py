@@ -304,12 +304,26 @@ def text_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     truth = text_near_dedup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    n_pairs = pairs.count()
-    n_truth = truth.count()
-    n_hit = truth.join(pairs, ["doc_a", "doc_b"], "left_semi").count()
-    return spark.createDataFrame(
-        [(n_pairs, n_truth, n_hit, round(n_hit / n_truth, 4) if n_truth else 1.0)],
-        "n_candidates long, n_true_pairs long, n_recalled long, recall double",
+    # One-pass audit: full-outer join candidates and truth, reduce once
+    # (three separate counts would recompute both DAGs twice).
+    p = pairs.withColumn("is_cand", F.lit(1))
+    t = truth.withColumn("is_truth", F.lit(1))
+    agg = p.join(t, ["doc_a", "doc_b"], "full_outer").agg(
+        F.sum(F.coalesce("is_cand", F.lit(0))).cast("long").alias("n_candidates"),
+        F.sum(F.coalesce("is_truth", F.lit(0))).cast("long").alias("n_true_pairs"),
+        F.sum(
+            F.when(F.col("is_cand").isNotNull() & F.col("is_truth").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_recalled"),
+    )
+    return agg.select(
+        "n_candidates",
+        "n_true_pairs",
+        "n_recalled",
+        F.round(
+            F.when(F.col("n_true_pairs") > 0, F.col("n_recalled") / F.col("n_true_pairs"))
+            .otherwise(F.lit(1.0)),
+            4,
+        ).alias("recall"),
     )
 
 
