@@ -136,3 +136,73 @@ def test_dq_profile_counts_orphans_and_violations(spark):
         assert row["n_distinct_keys"] == 3
     finally:
         etl_mod.table = orig
+
+
+def test_knn_vote_tie_prefers_smaller_label(spark):
+    """Five equidistant neighbors with tied label votes: the smaller
+    label must win (rank tie-break by neighbor_id, vote tie-break by
+    label) — deterministic on any engine or partitioning."""
+    import big_data_flight_spark.operators.similarity as sim_mod
+
+    unit = [1.0, 0.0, 0.0, 0.0]
+    rows = [(0, unit, 9)]  # the probe (vec_id < 100)
+    labels = {100: 2, 101: 1, 102: 2, 103: 1, 104: 3, 105: 7}
+    rows += [(vid, unit, lab) for vid, lab in labels.items()]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    orig = sim_mod.table
+    sim_mod.table = lambda s, d, n: e
+    try:
+        (row,) = sim_mod.sim_knn_classify(spark, "ignored").collect()
+    finally:
+        sim_mod.table = orig
+    # top-5 by neighbor_id among equidistant: 100..104 -> votes 2:2, 1:2, 3:1
+    assert row["predicted_label"] == 1 and row["votes"] == 2
+    assert row["correct"] is False
+
+
+def test_rollup_cascade_equals_direct_daily(spark):
+    """Hour→day cascade must equal a direct daily aggregate, including
+    events on exact hour/day boundaries."""
+    import datetime as dt
+
+    import big_data_flight_spark.operators.events as evt_mod
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, base + dt.timedelta(hours=h, minutes=m), 1, t, v)
+        for i, (h, m, t, v) in enumerate(
+            [
+                (0, 0, "click", 1.5),    # exact midnight
+                (23, 59, "click", 2.5),  # last minute of day 1
+                (24, 0, "click", 4.0),   # exact midnight day 2
+                (25, 30, "view", 0.25),
+            ]
+        )
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    orig = evt_mod.table
+    evt_mod.table = lambda s, d, n: e
+    try:
+        got = {
+            (r["day_start"], r["event_type"]): (r["n"], r["sum_value"], r["min_value"], r["max_value"])
+            for r in evt_mod.evt_rollup_cascade(spark, "x").collect()
+        }
+    finally:
+        evt_mod.table = orig
+    direct = {
+        (r["d"], r["event_type"]): (r["n"], r["s"], r["mn"], r["mx"])
+        for r in e.groupBy(
+            F.date_trunc("day", "ts").alias("d"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        ).collect()
+    }
+    assert got == direct
