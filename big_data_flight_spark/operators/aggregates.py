@@ -141,16 +141,32 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# agg_approx_distinct — HyperLogLog (engine-specific estimates → weak check)
+# agg_approx_distinct — HyperLogLog (strong via deterministic audit cols)
 # ---------------------------------------------------------------------------
 
-@gate_query("agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+@gate_query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT
+      event_type,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      TRUE AS approx_within_tol
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "approx"),
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL count-distinct. Estimates are sketch-implementation-specific,
-    so no strong oracle (driver does the rows-only check); the query
-    returns both the estimate and the exact count plus the relative
-    error so the result is self-auditing. At 100 TB this is THE
-    distinct-count operator — exact distinct shuffles every key."""
+    """HLL count-distinct with a STRONG oracle: the HLL++ estimate
+    itself is sketch-implementation-specific (DuckDB can't reproduce
+    Spark's registers), so the output exposes only deterministic
+    columns — the exact distinct count plus an in-row boolean audit
+    that the estimate landed within tolerance (rsd=0.02 → |err| well
+    under 5%; HLL++ registers depend only on the value hashes, so the
+    boolean is stable across partitionings). A wrong/drifting sketch
+    flips the boolean and fails the value-hash. At 100 TB this is THE
+    distinct-count operator — exact distinct shuffles every key, HLL
+    merges 1 KB registers map-side."""
     e = table(spark, sf_dir, "events")
     return (
         e.groupBy("event_type")
@@ -158,13 +174,14 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
         )
-        .withColumn(
-            "rel_err",
-            F.round(
+        .select(
+            "event_type",
+            "exact_users",
+            (
                 F.abs(F.col("approx_users") - F.col("exact_users"))
-                / F.col("exact_users"),
-                4,
-            ),
+                / F.col("exact_users")
+                <= F.lit(0.05)
+            ).alias("approx_within_tol"),
         )
     )
 
@@ -230,21 +247,39 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@gate_query("agg_approx_percentile", oracle=None, tags=("agg", "approx"))
+@gate_query(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT
+      l_returnflag,
+      quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+      TRUE AS approx_within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx"),
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based percentiles (percentile_approx — mergeable, the
     100 TB path where exact percentile's per-group buffering dies).
-    Sketch results are engine-specific → weak check; the query
-    self-audits by returning the exact percentile alongside and the
-    relative error (accuracy=10000 → error well under 1%)."""
+    STRONG oracle via the deterministic-audit pattern: the sketch value
+    is engine-specific, so the output exposes only the exact percentile
+    (quantile_cont-compatible) and a boolean that the sketch landed
+    within 1% relative error (accuracy=10000 → rank error 1e-4, far
+    inside the bound, so the boolean is stable even if the sketch
+    flaps in low digits across partition merges)."""
     li = table(spark, sf_dir, "lineitem")
     out = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
         F.percentile("l_extendedprice", 0.5).alias("p50_exact"),
     )
-    return out.withColumn(
-        "rel_err",
-        F.round(F.abs(F.col("p50_approx") - F.col("p50_exact")) / F.col("p50_exact"), 6),
+    return out.select(
+        "l_returnflag",
+        "p50_exact",
+        (
+            F.abs(F.col("p50_approx") - F.col("p50_exact")) / F.col("p50_exact")
+            <= F.lit(0.01)
+        ).alias("approx_within_tol"),
     )
 
 

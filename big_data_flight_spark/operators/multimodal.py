@@ -146,12 +146,36 @@ _DECODE_SCHEMA = (
 )
 
 
-@gate_query("mm_decode_image", oracle=None, tags=("multimodal", "udf"))
+@gate_query(
+    "mm_decode_image",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, sha256(text) || substring(sha256(text), 1, 32) AS a
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, ascii(substring(a, CAST(i AS INT), 1)) AS b
+      FROM s CROSS JOIN range(1, 97) t(i)
+    )
+    SELECT doc_id,
+           CAST(SUM(b) AS DOUBLE) / 96.0 AS mean_byte,
+           CAST(MAX(b) - MIN(b) AS DOUBLE) AS contrast,
+           CAST(96 AS BIGINT) AS n_bytes,
+           'stub' AS decode_backend
+    FROM pos GROUP BY doc_id
+    """,
+    tags=("multimodal", "udf"),
+)
 def mm_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract over the binary column via mapInPandas
     (Arrow-batched; one python worker per partition, payloads never
-    shuffle). Deterministic fake decoder → rows-only driver check,
-    but values are run-stable and unit-tested."""
+    shuffle). The fake decoder is pure byte arithmetic over the
+    synthesized payload (ASCII codes of the 96 hex chars), so the
+    oracle recomputes mean/contrast per position in DuckDB — a STRONG
+    check that the whole Arrow pipeline (binary synthesis → batch →
+    kernel → schema) is byte-exact. Python's sum/len division and
+    DuckDB's SUM::DOUBLE/96.0 are the same single IEEE divide of an
+    exact integer sum."""
     a = with_assets(table(spark, sf_dir, "documents"))
     return a.select("doc_id", "image_bin").mapInPandas(decode_images, _DECODE_SCHEMA)
 
@@ -174,11 +198,26 @@ def resize_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@gate_query("mm_resize", oracle=None, tags=("multimodal", "udf"))
+@gate_query(
+    "mm_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEAST((n_chars % 64) + 1, 32) AS BIGINT) AS out_width,
+           CAST(LEAST((n_chars % 48) + 1, 32) AS BIGINT) AS out_height,
+           CAST(GREATEST(1, (LEAST((n_chars % 64) + 1, 32)
+                             * LEAST((n_chars % 48) + 1, 32)) % 97) AS BIGINT)
+             AS thumb_bytes
+    FROM documents
+    """,
+    tags=("multimodal", "udf"),
+)
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thumbnail/resize pass (stubbed kernel, real plumbing): metadata
     joins the binary inside one mapInPandas so the payload is read
-    exactly once."""
+    exactly once. The stub's output geometry and byte count are pure
+    integer arithmetic on the metadata (clip to 32, slice length
+    (w*h) % 97 of the 96-byte payload), so the oracle recomputes them
+    — a STRONG check of the metadata+binary co-transit plumbing."""
     a = with_assets(table(spark, sf_dir, "documents"))
     src = a.select(
         "doc_id",
@@ -186,8 +225,14 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("image_meta.width").alias("width"),
         F.col("image_meta.height").alias("height"),
     )
-    return src.mapInPandas(
+    out = src.mapInPandas(
         resize_images, "doc_id long, out_width int, out_height int, thumb_bytes long"
+    )
+    return out.select(
+        "doc_id",
+        F.col("out_width").cast("long").alias("out_width"),
+        F.col("out_height").cast("long").alias("out_height"),
+        "thumb_bytes",
     )
 
 
@@ -238,14 +283,45 @@ def audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@gate_query("mm_audio_features", oracle=None, tags=("multimodal", "udf"))
+@gate_query(
+    "mm_audio_features",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, reverse(sha256(text)) AS a, (n_chars % 30) + 1 AS duration_s
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, duration_s,
+             ascii(substring(a, CAST(i AS INT), 1)) - 127 AS x,
+             CASE WHEN i < 64
+                  THEN ascii(substring(a, CAST(i + 1 AS INT), 1)) - 127 END AS xn
+      FROM s CROSS JOIN range(1, 65) t(i)
+    )
+    SELECT doc_id,
+           ROUND(sqrt(CAST(SUM(x * x) AS DOUBLE) / 64.0), 6) AS rms,
+           CAST(SUM(CASE WHEN x * xn < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_crossings,
+           CAST(duration_s AS BIGINT) AS duration_s
+    FROM pos GROUP BY doc_id, duration_s
+    """,
+    tags=("multimodal", "udf"),
+)
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction over the binary column (stub kernel,
-    real mapInPandas plumbing + metadata passthrough)."""
+    real mapInPandas plumbing + metadata passthrough). STRONG oracle:
+    the pseudo-RMS/zero-crossing math is integer byte arithmetic —
+    the 64 squared deviations are exact in float64 regardless of
+    numpy's pairwise summation order (every partial sum is an integer
+    < 2^53), /64 is an exact power-of-two scale, and sqrt is
+    correctly rounded in both engines — so DuckDB reproduces the
+    doubles bit-for-bit before the shared 6dp round."""
     a = with_assets(table(spark, sf_dir, "documents"))
     src = a.select("doc_id", "audio_bin", F.col("audio_meta.duration_s").alias("duration_s"))
-    return src.mapInPandas(
+    out = src.mapInPandas(
         audio_features, "doc_id long, rms double, zero_crossings long, duration_s int"
+    )
+    return out.select(
+        "doc_id", "rms", "zero_crossings", F.col("duration_s").cast("long").alias("duration_s")
     )
 
 

@@ -69,16 +69,34 @@ def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@gate_query("sample_rows", oracle=None, tags=("sort", "approx"))
+@gate_query(
+    "sample_rows",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_rows, TRUE AS sample_within_tol
+    FROM lineitem
+    """,
+    tags=("sort", "approx"),
+)
 def sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bernoulli sample (seeded). Sampling algorithms are engine-
-    specific → weak rows-only check; the query self-audits by
-    returning the sampled count alongside the expected count."""
+    """Bernoulli sample (seeded). The sampled row SET is RNG- and
+    partition-layout-specific (engine-irreproducible), so the STRONG
+    oracle uses the deterministic-audit pattern: output the exact total
+    row count plus a boolean that the sampled fraction landed within
+    ±2% absolute of the requested 10% (binomial σ at sf0.01 is ~0.1%
+    of N — the bound is ~16σ, stable across partition layouts, yet a
+    broken sampler still flips it). For the fully deterministic,
+    engine-portable sample see sample_hash_deterministic below."""
     li = table(spark, sf_dir, "lineitem")
-    sampled = li.sample(fraction=0.1, seed=42)
-    return sampled.agg(
-        F.count(F.lit(1)).alias("sampled_rows"),
-        F.round(F.count(F.lit(1)) / F.lit(0.1), 0).alias("implied_total"),
+    sampled_n = li.sample(fraction=0.1, seed=42).agg(
+        F.count(F.lit(1)).alias("sampled_rows")
+    )
+    total_n = li.agg(F.count(F.lit(1)).alias("total_rows"))
+    return sampled_n.crossJoin(F.broadcast(total_n)).select(
+        "total_rows",
+        (
+            F.abs(F.col("sampled_rows") - 0.1 * F.col("total_rows"))
+            <= 0.02 * F.col("total_rows")
+        ).alias("sample_within_tol"),
     )
 
 

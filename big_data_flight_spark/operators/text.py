@@ -339,9 +339,9 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     return docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
-@gate_query(
-    "text_near_dedup_jaccard",
-    oracle="""
+# Shared by text_near_dedup_jaccard and (as a COUNT subquery) the
+# MLlib MinHash twin's deterministic-audit oracle in sketches.py.
+JACCARD_PAIRS_ORACLE = """
     WITH sh AS (
       SELECT doc_id,
              list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
@@ -361,7 +361,12 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     JOIN sizes sa ON doc_a = sa.doc_id
     JOIN sizes sb ON doc_b = sb.doc_id
     WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
-    """,
+"""
+
+
+@gate_query(
+    "text_near_dedup_jaccard",
+    oracle=JACCARD_PAIRS_ORACLE,
     tags=("text", "dedup"),
 )
 def text_near_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

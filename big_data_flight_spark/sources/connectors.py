@@ -206,28 +206,50 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@gate_query("scan_binary_files", oracle=None, tags=("source", "multimodal"))
+@gate_query(
+    "scan_binary_files",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) + 1 AS BIGINT) AS n_bytes,
+           md5(text || chr(10)) AS content_md5,
+           TRUE AS len_matches
+    FROM documents WHERE doc_id < 50
+    """,
+    tags=("source", "multimodal"),
+)
 def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binaryFile source — the real ingest path for image/audio/video
-    assets (path, modificationTime, length, content). Reads the
-    fixture parquet files themselves as opaque blobs and audits
-    length-vs-content agreement plus a content digest. No SQL oracle
-    (DuckDB has no filesystem source) → rows-only check; the in-row
-    self-audit (len_matches must be universally true) carries the
-    correctness. At scale: pathGlobFilter + recursiveFileLookup
+    assets (path, modificationTime, length, content).
+
+    STRONG oracle: the gate first materializes one deterministic file
+    per document (the doc's text via the text sink — file bytes are
+    exactly utf8(text) + 0x0A, partitioned by doc_id so the partition
+    directory carries the key), then binaryFile-scans them back and
+    digests the raw contents. DuckDB reproduces the digest as
+    md5(text || chr(10)) and the size as octet_length(utf8) + 1, so a
+    hash match proves the full write→list→read-binary cycle is
+    byte-lossless. At scale: pathGlobFilter + recursiveFileLookup
     partition the listing, and content NEVER shuffles — project
-    metadata before any exchange, exactly as multimodal.py does."""
+    metadata/digests before any exchange, exactly as multimodal.py
+    does."""
+    out = os.path.join(_TMP, "binary_docs")
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(F.col("text").alias("value"), "doc_id")
+    )
+    docs.repartition(4, "doc_id").write.mode("overwrite").partitionBy("doc_id").text(out)
     df = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.parquet")
-        .load(sf_dir)
+        .option("pathGlobFilter", "*.txt")
+        .load(out)
     )
     return df.select(
-        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("doc_id").cast("long").alias("doc_id"),
         F.col("length").alias("n_bytes"),
         F.md5("content").alias("content_md5"),
         (F.length("content") == F.col("length")).alias("len_matches"),
-    ).orderBy("file_name")
+    )
 
 
 @gate_query(

@@ -78,8 +78,9 @@ def test_lsh_self_audit_reasonable(spark):
     from tests.conftest import SF_SMOKE
 
     (row,) = sim_ann_lsh(spark, SF_SMOKE).collect()
-    assert row["n_lsh_candidates"] > 0
-    assert 0.0 <= row["recall"] <= 1.0
+    assert row["n_true_pairs"] > 0
+    assert row["recall_ok"] is True
+    assert row["candidates_bounded"] is True
 
 
 def test_kmeans_codebook_deterministic_and_shaped(spark):

@@ -44,7 +44,10 @@ def _canon_cell(v):
         return None
     if isinstance(v, float):
         if math.isnan(v):
-            return None
+            # Distinct sentinel, NOT None: a NaN-vs-NULL divergence
+            # between engines must FAIL locally (the driver's hash
+            # may distinguish them even if pandas reprs blur).
+            return "NaN"
         return v
     if isinstance(v, pd.Timestamp):
         return v.to_pydatetime().replace(tzinfo=None)
@@ -112,10 +115,21 @@ def compare_one(spark, con, name: str, q, sf_dir: str, verbose: bool = True) -> 
     return res
 
 
+# Gates whose DuckDB oracle is quadratic in |documents| (the Spark side
+# is inverted-index/banded and fine): the oracle itself times out at
+# sf0.1 (>600 s measured), so they are compared at sf0.01 only.
+SLOW_ORACLE_AT_SF01 = {"text_near_dedup_jaccard", "text_minhash_mllib"}
+
+
 def main(argv: list[str]) -> int:
     sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
     _load_all_operator_modules()
     names = argv or sorted(_REGISTRY)
+    if sf_dir.rstrip("/").endswith("sf0.1"):
+        skipped = [n for n in names if n in SLOW_ORACLE_AT_SF01]
+        names = [n for n in names if n not in SLOW_ORACLE_AT_SF01]
+        for n in skipped:
+            print("SKIP " + n.ljust(28) + "QUADRATIC_ORACLE_SF01", flush=True)
     spark = get_session("compare")
     con = duck_connect(sf_dir)
     failed = []
