@@ -356,14 +356,27 @@ def join_null_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation").select(
         F.nullif(F.col("n_nationkey"), F.lit(0)).alias("n_nat"), "n_name"
     )
-    n_inner = c.join(n, c.c_nat == n.n_nat).count()
-    n_nullsafe = c.join(n, c.c_nat.eqNullSafe(n.n_nat)).count()
-    n_left_unmatched = (
-        c.join(n, c.c_nat == n.n_nat, "left").filter(F.col("n_name").isNull()).count()
-    )
-    return spark.createDataFrame(
-        [(n_inner, n_nullsafe, n_left_unmatched)],
-        "n_inner long, n_nullsafe long, n_left_unmatched long",
+    # ONE lazy plan (no driver-side actions): a single null-safe
+    # full-outer join holds all three answers as conditional sums —
+    # null-safe-matched pairs with a non-null key are exactly the
+    # standard-equality inner matches, and a customer is standard-
+    # equality-left-unmatched iff its key is NULL (standard equality
+    # never matches NULL) or no nation row exists for it. n_name is
+    # never NULL in the data, so it marks "nation side present".
+    j = c.join(n, c.c_nat.eqNullSafe(n.n_nat), "full_outer")
+    matched = F.col("c_custkey").isNotNull() & F.col("n_name").isNotNull()
+    return j.agg(
+        F.sum(
+            F.when(matched & F.col("c_nat").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_inner"),
+        F.sum(F.when(matched, 1).otherwise(0)).cast("long").alias("n_nullsafe"),
+        F.sum(
+            F.when(
+                F.col("c_custkey").isNotNull()
+                & (F.col("c_nat").isNull() | F.col("n_name").isNull()),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_left_unmatched"),
     )
 
 

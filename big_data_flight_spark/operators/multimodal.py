@@ -98,20 +98,28 @@ def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Decode kernels: real codec path is stubbed, deterministic fake is used.
 # ---------------------------------------------------------------------------
 
-def _decode_image_real(payload: bytes, meta: dict):
-    """Real decoder — requires an image codec library.
+def _decode_image_real(payload: bytes, meta: dict) -> tuple[float, float, int]:
+    """Real decoder — requires an image codec library (PIL).
 
-    Kept as the documented integration point: swap the import for PIL /
-    torchvision.io in an environment that has them. Raises so nobody
-    silently gets fake pixels in production."""
+    The documented integration point: when the environment provides
+    PIL this path decodes the payload to grayscale pixels and returns
+    the same (mean, contrast, n_bytes) shape as the fake decoder, so
+    swapping backends never changes the pipeline schema. Without PIL
+    it raises NotImplementedError so nobody silently gets fake pixels
+    in production (tests cover both branches via sys.modules)."""
     try:
-        import PIL.Image  # noqa: F401
+        import PIL.Image
     except ImportError as exc:
         raise NotImplementedError(
             "image codec not available in this container - use the "
             "deterministic fake decoder (decode_backend='stub')"
         ) from exc
-    raise NotImplementedError("real decode path intentionally unimplemented in v1")
+    import io as _io
+
+    import numpy as np
+
+    px = np.asarray(PIL.Image.open(_io.BytesIO(payload)).convert("L"), dtype=np.float64)
+    return float(px.mean()), float(px.max() - px.min()), len(payload)
 
 
 def _decode_image_fake(payload: bytes) -> tuple[float, float, int]:

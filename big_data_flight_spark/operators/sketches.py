@@ -171,6 +171,35 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     return seeded.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
 
 
+def minhash_band_candidates(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from 4×4 LSH banding of the
+    MinHash signatures: a pair collides iff some band's 4 min-hashes
+    all agree — P(collide | jaccard j) = 1 - (1 - j^4)^4, the curve
+    asserted by tests/test_text_similarity.py's planted-pair property
+    test. Shared by the text_minhash_lsh gate and that test so they
+    exercise the identical pipeline."""
+    mh = minhash_signatures(docs)
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    bands = (
+        mh.withColumn("band_idx", (F.col("i") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band_idx")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct("i", "mh"))), lambda s: s.mh),
+                ":",
+            ).alias("band_val")
+        )
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_val")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_val")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 _MINHASH_SQL_CTE = f"""
   sh AS (
     SELECT DISTINCT doc_id, shingle FROM (
@@ -231,27 +260,7 @@ def text_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall ≈ 1-(1-j⁴)⁴ (≈ 0.99 at j=0.8, the regime dedup targets)."""
     docs = table(spark, sf_dir, "documents").repartition(32, "doc_id")
     sh = shingles(docs, 3)
-    mh = minhash_signatures(docs)
-
-    rows_per_band = MINHASH_K // MINHASH_BANDS
-    bands = (
-        mh.withColumn("band_idx", (F.col("i") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band_idx")
-        .agg(
-            F.array_join(
-                F.transform(F.array_sort(F.collect_list(F.struct("i", "mh"))), lambda s: s.mh),
-                ":",
-            ).alias("band_val")
-        )
-    )
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_val")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_val")
-    cands = (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cands = minhash_band_candidates(docs)
 
     # exact verification restricted to candidates
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")

@@ -500,7 +500,11 @@ def text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("o.label") != F.col("n.label"))
             .count()
         )
-        labels = new_labels
+        # Drop the superseded round's cache: 10 rounds of retained
+        # label snapshots is executor-memory pressure at 100 TB.
+        # (The initial `labels` isn't cached — unpersist is a no-op.)
+        old, labels = labels, new_labels
+        old.unpersist()
         if changed == 0:
             break
 

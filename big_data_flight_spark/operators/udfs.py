@@ -47,7 +47,16 @@ def _logistic_score(v: pd.Series) -> pd.Series:
 )
 def udf_scalar_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized scalar pandas UDF vs the same formula in SQL.
-    Rounded to 6dp: numpy's and DuckDB's exp may differ by 1 ulp."""
+    Rounded to 6dp: numpy's and DuckDB's exp may differ by 1 ulp.
+
+    Accepted residual risk (documented, not fixed): unlike the
+    rounded-cosine gates (both engines round the SAME bit-identical
+    double), here the pre-round values can differ by ~1 ulp, so a
+    value landing within ~1e-12 of a 6dp rounding boundary could
+    round apart. P(per row) ≈ 2e-7 · 1e-12/1e-6 ≈ 1e-12; at sf0.01
+    (2k rows) ≈ 2e-9 per run — negligible, and a flap would be a
+    one-row value diff, trivially diagnosed. Same reasoning for
+    udaf_grouped_agg below (150 groups)."""
     e = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
     return e.select(
         "event_id", "value", F.round(_logistic_score(F.col("value")), 6).alias("score")

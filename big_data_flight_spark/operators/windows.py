@@ -204,7 +204,17 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution functions: quartile bucket, percent_rank, cume_dist
     over account balance (rank arithmetic → deterministic doubles;
-    rounded to 9dp defensively)."""
+    rounded to 9dp defensively).
+
+    Scale note: the unpartitioned ORDER BY window moves EVERY customer
+    through one task — fine for this fixture, a killer at 100 TB. The
+    scale recipe (same as win_running / agg_equidepth_histogram): pass
+    1 computes per-range-bucket counts (range-partitioned sort), pass
+    2 broadcasts the cumulative bucket offsets and each partition
+    ranks locally, adding its offset — ntile/percent_rank/cume_dist
+    are all rank arithmetic, so they follow from the corrected global
+    rank. Spark's own sort is range-partitioned; only the window's
+    single-frame semantics force the one-task fallback here."""
     c = table(spark, sf_dir, "customer")
     w = Window.orderBy("c_acctbal", "c_custkey")
     return c.select(

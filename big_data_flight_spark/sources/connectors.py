@@ -193,10 +193,18 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     compacted = os.path.join(_TMP, "compacted_lineitem")
     src.repartition(64).write.mode("overwrite").parquet(fragmented)
     frag_df = spark.read.parquet(fragmented)
-    # Size-targeted rewrite: rows-per-file derived from a count, not a
-    # guess (at scale: bytes-based via spark.sql.files.maxRecordsPerFile).
-    n_files = max(1, frag_df.count() // 300_000)
-    frag_df.repartition(n_files).write.mode("overwrite").parquet(compacted)
+    # Size-targeted rewrite with NO driver-side count: maxRecordsPerFile
+    # makes the writer roll a new file every 300k records, so the file
+    # count tracks data size by construction. coalesce (not repartition)
+    # merges the 64 fragment splits without a shuffle; at 100 TB pick
+    # the coalesce factor from the file listing (bytes/target) and let
+    # maxRecordsPerFile enforce the per-file bound.
+    (
+        frag_df.coalesce(4)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 300_000)
+        .parquet(compacted)
+    )
     out = spark.read.parquet(compacted)
     return out.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),

@@ -49,3 +49,35 @@ def test_frame_sampling_counts(spark):
     out = mm_frame_sample(spark, SF_SMOKE).toPandas()
     per_doc = out.groupby("doc_id").size()
     assert (per_doc == 2).all()  # 96 bytes -> 6 frames -> idx 0,3 kept
+
+
+def test_real_decoder_uses_codec_when_present(monkeypatch):
+    """Future-proofs the env gaining codecs: when PIL is importable,
+    _decode_image_real must decode through it (same output shape as
+    the stub), not raise."""
+    import sys
+    import types
+
+    import numpy as np
+
+    fake_px = np.array([[0, 100], [50, 200]], dtype=np.uint8)
+
+    class _FakeImg:
+        def convert(self, mode):
+            assert mode == "L"
+            return fake_px
+
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = lambda buf: _FakeImg()
+    pil_mod = types.ModuleType("PIL")
+    pil_mod.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil_mod)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+    from big_data_flight_spark.operators.multimodal import _decode_image_real
+
+    payload = b"\x89PNG-fake-bytes"
+    mean, contrast, n = _decode_image_real(payload, {})
+    assert mean == pytest.approx(87.5)  # mean of 0,100,50,200
+    assert contrast == 200.0
+    assert n == len(payload)

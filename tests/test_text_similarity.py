@@ -146,3 +146,38 @@ def test_winnowing_shared_substring_shares_fingerprint(spark):
         by_doc.setdefault(r["doc_id"], set()).add(r["m"])
     assert by_doc[0] & by_doc[1], "shared substring must share a fingerprint"
     assert not (by_doc[0] & by_doc[2]), "disjoint docs should not collide"
+
+
+def test_minhash_banding_recall_curve(spark):
+    """Property-test the banded MinHash recall claim: for planted
+    pairs at known Jaccard j, the 4x4 banding admits a pair with
+    P = 1-(1-j^4)^4. Vocabularies are disjoint across pairs and the
+    md5 hash family is deterministic, so the empirical rates are
+    run-stable (measured dev <= 0.04 from the curve at every level)."""
+    from big_data_flight_spark.operators.sketches import minhash_band_candidates
+
+    # x shared shingles + 2*(10+x/0) distinct: j = x / (20 + x)
+    levels = {9: 0.310, 20: 0.5, 47: 0.701, 113: 0.8496}
+    n_pairs = 80
+    rows, pair_level, pid = [], {}, 0
+    for x in levels:
+        shared_len = x + 2  # m shared words -> m-2 fully-shared shingles
+        for _ in range(n_pairs):
+            shared = [f"p{pid}s{i}" for i in range(shared_len)]
+            rows.append((2 * pid, " ".join([f"p{pid}a{i}" for i in range(10)] + shared)))
+            rows.append((2 * pid + 1, " ".join([f"p{pid}b{i}" for i in range(10)] + shared)))
+            pair_level[pid] = x
+            pid += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = {(r["doc_a"], r["doc_b"]) for r in minhash_band_candidates(docs).collect()}
+
+    hits = {x: 0 for x in levels}
+    for p, x in pair_level.items():
+        if (2 * p, 2 * p + 1) in cands:
+            hits[x] += 1
+    planted_hits = sum(hits.values())
+    assert len(cands) == planted_hits, "disjoint-vocab pairs must never collide"
+    for x, j in levels.items():
+        pred = 1 - (1 - j**4) ** 4
+        emp = hits[x] / n_pairs
+        assert abs(emp - pred) <= 0.1, f"j={j}: pred={pred:.3f} emp={emp:.3f}"
