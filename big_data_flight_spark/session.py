@@ -28,7 +28,10 @@ from pyspark.sql import SparkSession
 RUNTIME_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.adaptive.enabled": "true",
+    # AQE on by default (runtime broadcast/coalesce/skew-split — the
+    # 100 TB posture). Env-overridable so bench.py can measure the
+    # sub-second-query re-planning overhead at tiny SF.
+    "spark.sql.adaptive.enabled": os.environ.get("SPARK_GRAFT_AQE", "true"),
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # local[32] / sf<=0.1: ~cores beats the 200 default; AQE coalesces down.
