@@ -19,7 +19,9 @@ single-connection JDBC scan is a driver bottleneck at any scale).
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,7 +30,30 @@ from pyspark.sql import types as T
 from big_data_flight_spark.io import table
 from big_data_flight_spark.registry import DSUM, dsum, gate_query
 
-_TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp")
+# Per-process scratch dir: round-trip gates write under
+# .tmp/s<pid> so concurrent sessions (e.g. pytest + compare.py
+# running side by side) never clobber each other's in-flight
+# _temporary commit dirs. Cleaned up at interpreter exit; stale
+# dirs from killed processes are swept on next import.
+_TMP_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp"
+)
+_TMP = os.path.join(_TMP_ROOT, f"s{os.getpid()}")
+atexit.register(lambda: shutil.rmtree(_TMP, ignore_errors=True))
+
+
+def _sweep_stale_scratch() -> None:
+    if not os.path.isdir(_TMP_ROOT):
+        return
+    for entry in os.listdir(_TMP_ROOT):
+        if not entry.startswith("s") or not entry[1:].isdigit():
+            continue
+        if entry[1:] == str(os.getpid()) or os.path.exists(f"/proc/{entry[1:]}"):
+            continue
+        shutil.rmtree(os.path.join(_TMP_ROOT, entry), ignore_errors=True)
+
+
+_sweep_stale_scratch()
 
 
 _CSV_SCHEMA = T.StructType(
