@@ -666,3 +666,80 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_label") == F.col("true_label")).alias("correct"),
         )
     )
+
+
+@gate_query(
+    "sim_rerank_pandas",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND({_DUCK_DOT} / ({_duck_norm('a')} * {_duck_norm('b')}), 6) AS cos_sim
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, cos_sim, rn FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS rn FROM scored
+    ) WHERE rn <= 5
+    """,
+    tags=("similarity", "udf"),
+)
+def sim_rerank_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 rerank scored by an Arrow-batched pandas UDF — the
+    vectorized rerank kernel the ANN gates (sim_ann_lsh / sim_ann_ivf)
+    hand their candidate pairs to. Same contract and oracle as
+    sim_topk_neighbors; only the execution path differs: candidate
+    pairs stream to Python in Arrow batches and each batch is scored
+    with numpy column ops instead of per-element JVM folds. At high
+    dim this is the production path — numpy's vectorized multiply-add
+    over a (batch x dim) block amortizes per-row overhead, where the
+    F.aggregate fold builds dim Catalyst expression nodes per pair.
+
+    Parity is fold-order-exact, not approximate: the kernel
+    accumulates dim-by-dim in a left-to-right loop (acc += a[j]*b[j]),
+    the same float64 operation order as F.aggregate and DuckDB
+    list_sum, so the scores are bit-identical to the JVM twin —
+    asserted in tests/test_udfs.py."""
+    import pandas as pd
+
+    @F.pandas_udf("double")
+    def _cos_batch(qa: pd.Series, cb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(qa) == 0:
+            return pd.Series([], dtype="float64")
+        a = np.vstack(qa.to_numpy()).astype(np.float64)  # (n, dim) float32 -> exact
+        b = np.vstack(cb.to_numpy()).astype(np.float64)
+        dot = np.zeros(len(qa))
+        na = np.zeros(len(qa))
+        nb = np.zeros(len(qa))
+        for j in range(a.shape[1]):  # left fold over dims == F.aggregate order
+            dot += a[:, j] * b[:, j]
+            na += a[:, j] * a[:, j]
+            nb += b[:, j] * b[:, j]
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("emb_q")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_c")
+    ).repartition(32)
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cos_batch(F.col("emb_q"), F.col("emb_c")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rn").cast("long").alias("rn"))
+    )

@@ -181,3 +181,33 @@ def test_minhash_banding_recall_curve(spark):
         pred = 1 - (1 - j**4) ** 4
         emp = hits[x] / n_pairs
         assert abs(emp - pred) <= 0.1, f"j={j}: pred={pred:.3f} emp={emp:.3f}"
+
+
+def test_lss_components_planted_topologies(spark):
+    """Large-star/small-star must agree with brute-force reachability
+    min-labels on adversarial shapes: a long chain (worst case for
+    propagation), a star, a triangle, and isolated pairs."""
+    from big_data_flight_spark.operators.text import connected_components_lss
+
+    edges = [
+        # chain 10-11-12-13-14 (component min 10)
+        (10, 11), (11, 12), (12, 13), (13, 14),
+        # star rooted high: 20 is hub, min is 20
+        (25, 20), (26, 20), (27, 20),
+        # triangle 1-2-3
+        (1, 2), (2, 3), (1, 3),
+        # isolated pair
+        (40, 41),
+    ]
+    e = spark.createDataFrame(edges, "u long, v long")
+    stars = connected_components_lss(e)
+    label = {r["u"]: r["v"] for r in stars.collect()}
+    expected = {
+        11: 10, 12: 10, 13: 10, 14: 10,
+        25: 20, 26: 20, 27: 20,
+        2: 1, 3: 1,
+        41: 40,
+    }
+    # every non-root points DIRECTLY at its component minimum; roots
+    # and singletons are absent
+    assert label == expected
