@@ -66,6 +66,16 @@ HEADLINE = [
 # builder-inclusive, every run.
 EAGER_BUILDERS = {"stream_source_sink"}
 
+# Per-query shuffle-partition override. The global shuffle=8 knob wins
+# on the 19 overhead-bound queries, but genuinely data-bound shuffles
+# need the full core count: text_near_dedup_jaccard's inverted-index
+# self-join + pair aggregation regressed 1.50→2.85 s under shuffle=8
+# (BENCH_r02 delta_vs_prev, the round's only regression). The conf is
+# runtime-settable and read at each execution's physical planning, so
+# setting it around the timed runs is enough — the logical plan is
+# unchanged.
+SHUFFLE_OVERRIDE = {"text_near_dedup_jaccard": "32"}
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -92,8 +102,12 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     builds: dict[str, float] = {}
+    base_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     for name in HEADLINE:
         q = _REGISTRY[name]
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", SHUFFLE_OVERRIDE.get(name, base_shuffle)
+        )
         try:
             if name in EAGER_BUILDERS:
                 # Builder performs the work eagerly (e.g. drains a

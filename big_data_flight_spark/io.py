@@ -39,18 +39,30 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. SURVEY.md §2.1 `scan_parquet`.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer — Spark
-    reads it as int64 nanos (``spark.sql.legacy.parquet.nanosAsLong``)
-    and we floor-divide to a µs TimestampType, exactly matching the
-    DuckDB oracle's ns→µs truncating cast. The conversion is a cheap
-    codegen'd projection; min/max row-group pruning on ts still works
-    because the int64 ordering equals the timestamp ordering.
+    ``events.ts`` precision varies by fixture generation: TIMESTAMP
+    (NANOS) in driver rounds 1-2 (surfaces as int64 under
+    ``spark.sql.legacy.parquet.nanosAsLong``, floor-divided here to a
+    µs TimestampType — exactly matching the DuckDB oracle's ns→µs
+    truncating cast), plain µs TIMESTAMP since round 3 (used as-is;
+    both engines read it identically). The dtype guard handles either.
+    The ns conversion is a cheap codegen'd projection; min/max
+    row-group pruning on ts still works because the int64 ordering
+    equals the timestamp ordering.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Session tz is pinned UTC → value-preserving; keeps the
+            # TIMESTAMP(LTZ) output schema every downstream gate (and
+            # the driver's schema hash) has always seen, and keeps
+            # watermark/window semantics identical across fixture
+            # generations.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -18,6 +18,12 @@ Scale story (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+# Module-level: ``from __future__ import annotations`` stringifies the
+# pandas_udf type hints (``pd.Series``), and PySpark resolves them in
+# the *defining module's* globals — a function-local import leaves them
+# unresolvable (UNSUPPORTED_SIGNATURE at plan-build time).
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -700,8 +706,7 @@ def sim_rerank_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulates dim-by-dim in a left-to-right loop (acc += a[j]*b[j]),
     the same float64 operation order as F.aggregate and DuckDB
     list_sum, so the scores are bit-identical to the JVM twin —
-    asserted in tests/test_udfs.py."""
-    import pandas as pd
+    asserted in tests/test_udfs.py::test_rerank_pandas_matches_jvm_fold."""
 
     @F.pandas_udf("double")
     def _cos_batch(qa: pd.Series, cb: pd.Series) -> pd.Series:

@@ -485,9 +485,14 @@ def text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_cluster = doc touches ≥1 near-dup edge."""
     docs = table(spark, sf_dir, "documents").repartition(32, "doc_id")
     pairs = text_near_dedup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # localCheckpoint, not cache: cache keeps the full jaccard logical
+    # plan, which Catalyst re-optimizes inside EVERY round's join —
+    # checkpointing truncates the lineage so each round plans against
+    # a constant-size materialized relation (see the r3 note on
+    # connected_components_lss).
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).cache()
+    ).localCheckpoint()
 
     labels = docs.select(F.col("doc_id").alias("doc"), F.col("doc_id").alias("label"))
     for _ in range(10):  # diameter bound; fixture clusters are tiny
@@ -500,18 +505,17 @@ def text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.join(neighbor_min, "doc", "left")
             .select("doc", F.least("label", F.coalesce("nbr_label", "label")).alias("label"))
         )
-        new_labels = new_labels.cache()
+        new_labels = new_labels.localCheckpoint()  # truncate round lineage
         changed = (
             labels.alias("o")
             .join(new_labels.alias("n"), "doc")
             .filter(F.col("o.label") != F.col("n.label"))
             .count()
         )
-        # Drop the superseded round's cache: 10 rounds of retained
-        # label snapshots is executor-memory pressure at 100 TB.
-        # (The initial `labels` isn't cached — unpersist is a no-op.)
-        old, labels = labels, new_labels
-        old.unpersist()
+        # Superseded rounds' checkpoint blocks are released by the
+        # ContextCleaner once unreferenced: 10 rounds of retained
+        # label snapshots would be executor-memory pressure at 100 TB.
+        labels = new_labels
         if changed == 0:
             break
 
@@ -584,8 +588,19 @@ def connected_components_lss(edges: DataFrame, max_rounds: int = 8) -> DataFrame
 
     Convergence check per round is one tiny aggregate action
     (count + order-insensitive hash-sum of the edge set), not a
-    full-set comparison."""
-    cur = edges.filter(F.col("u") != F.col("v")).distinct().cache()
+    full-set comparison.
+
+    Lineage discipline (r3 fix): each round materializes via
+    ``localCheckpoint()`` — NOT ``cache()``. Caching keeps the full
+    LOGICAL plan; Catalyst re-optimizes the whole accumulated lineage
+    every round, and for graphs needing many rounds (long chains) the
+    driver-side planning cost grows super-linearly until the loop
+    looks hung (observed: a 61-edge random graph, rounds 5+ taking
+    minutes of pure optimizer time). Checkpointing truncates lineage
+    to the materialized blocks, making every round's plan
+    constant-size. On a cluster, swap for reliable
+    ``checkpoint()`` to durable storage — same semantics."""
+    cur = edges.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
 
     def _sig(e: DataFrame) -> tuple:
         # bit_xor, not sum: order-insensitive over the (distinct) edge
@@ -598,10 +613,9 @@ def connected_components_lss(edges: DataFrame, max_rounds: int = 8) -> DataFrame
 
     sig = _sig(cur)
     for _ in range(max_rounds):
-        nxt = small_star(large_star(cur)).cache()
+        nxt = small_star(large_star(cur)).localCheckpoint()
         nsig = _sig(nxt)
-        cur.unpersist()
-        cur = nxt
+        cur = nxt  # superseded checkpoint blocks are GC'd by ContextCleaner
         if nsig == sig:
             break
         sig = nsig

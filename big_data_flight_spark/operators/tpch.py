@@ -299,8 +299,11 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. The HAVING aggregate sums quantities as LONG, not
        DECIMAL(38,6): l_quantity is integral in this schema (whole
-       units, FIXTURES.md), so the long sum is exact, and it only
-       feeds a >150 threshold — measured 1.8× faster over the
+       units — invariant recorded in FIXTURES.md and asserted by
+       tests/test_fixtures.py::test_l_quantity_is_integral, so a
+       fixture regeneration with fractional quantities fails loudly
+       instead of silently truncating), so the long sum is exact, and
+       it only feeds a >150 threshold — measured 1.8× faster over the
        ~0.3M-group hash agg. (For a fractional-quantity schema,
        fall back to the decimal path.)
     2. The top-100 ORDER BY o_totalprice is taken on the semi-joined

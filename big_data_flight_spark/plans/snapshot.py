@@ -28,11 +28,22 @@ SNAPSHOT = {
     "tpch_q6": ["PushedFilters"],
     "tpch_q8": ["BroadcastHashJoin"],
     "tpch_q21": ["BroadcastHashJoin"],
+    # Q18's r2 rework: top-100 pushed BEFORE the lineitem re-join —
+    # the pushed TakeOrderedAndProject and the broadcast of the tiny
+    # top-100 side are the two properties that must not regress.
+    "tpch_q18": ["TakeOrderedAndProject", "BroadcastHashJoin"],
     "win_topk_per_group": ["WindowGroupLimit"],
     "limit_topk": ["TakeOrderedAndProject"],
     "filter_pred": ["PushedFilters"],
     "text_near_dedup_jaccard": [],
     "sim_cosine_pairs": [],
+    # r2 additions: the LSS connected-components result plan (its
+    # iterative loop is driver-side, but the final labeling must stay
+    # a hash-agg over the converged edge list, no cartesian), and the
+    # Arrow-batched rerank kernel (queries broadcast, ArrowEvalPython
+    # — NOT row-at-a-time BatchEvalPython — scoring the candidates).
+    "text_dedup_clusters_lss": ["HashAggregate"],
+    "sim_rerank_pandas": ["ArrowEvalPython", "BroadcastNestedLoopJoin"],
     "etl_merge_upsert": ["BroadcastHashJoin"],
     "dq_profile": ["BroadcastHashJoin"],
 }

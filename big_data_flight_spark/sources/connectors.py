@@ -22,6 +22,7 @@ from __future__ import annotations
 import atexit
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -42,15 +43,28 @@ _TMP = os.path.join(_TMP_ROOT, f"s{os.getpid()}")
 atexit.register(lambda: shutil.rmtree(_TMP, ignore_errors=True))
 
 
-def _sweep_stale_scratch() -> None:
+def _sweep_stale_scratch(max_age_sec: float = 6 * 3600.0) -> None:
+    """Remove scratch dirs of dead sessions. Two guards, both required:
+    the owning PID must be gone AND the dir must be old — the age gate
+    covers PID reuse (a recycled PID would otherwise pin a truly stale
+    dir forever) and non-/proc platforms (where the PID probe would
+    treat every live peer as dead)."""
     if not os.path.isdir(_TMP_ROOT):
         return
+    now = time.time()
     for entry in os.listdir(_TMP_ROOT):
         if not entry.startswith("s") or not entry[1:].isdigit():
             continue
-        if entry[1:] == str(os.getpid()) or os.path.exists(f"/proc/{entry[1:]}"):
+        if entry[1:] == str(os.getpid()):
             continue
-        shutil.rmtree(os.path.join(_TMP_ROOT, entry), ignore_errors=True)
+        path = os.path.join(_TMP_ROOT, entry)
+        try:
+            age = now - os.path.getmtime(path)
+        except OSError:
+            continue
+        pid_alive = os.path.exists(f"/proc/{entry[1:]}")
+        if age > max_age_sec or (not pid_alive and age > 600):
+            shutil.rmtree(path, ignore_errors=True)
 
 
 _sweep_stale_scratch()

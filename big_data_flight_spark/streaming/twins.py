@@ -25,21 +25,30 @@ from pyspark.sql import functions as F
 
 from big_data_flight_spark.registry import gate_query
 
-# events.parquet stores ts as TIMESTAMP(NANOS) → read as long
-# (nanosAsLong), convert after (same convention as io.table).
-_EVENTS_STREAM_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, value double, props string"
-)
-
-
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-backed streaming source over the events table."""
+    """File-backed streaming source over the events table.
+
+    Streaming sources need an explicit schema, and the fixture's ts
+    precision has changed across driver rounds (TIMESTAMP(NANOS) in
+    r1-r2, plain µs TIMESTAMP since r3) — so take the schema from the
+    parquet footer (driver-side metadata read, no data IO) and apply
+    the same dtype guard as io.table: only when ts surfaces as int64
+    nanos (nanosAsLong) does it need the ns→µs truncating convert."""
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # r3 fixtures are µs TIMESTAMP_NTZ (isAdjustedToUTC=false), but
+        # watermarks require TIMESTAMP_LTZ. The session tz is pinned
+        # UTC (session.configure), so this cast is value-preserving.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def run_to_memory(df: DataFrame, mode: str = "complete") -> DataFrame:

@@ -81,3 +81,55 @@ def test_real_decoder_uses_codec_when_present(monkeypatch):
     assert mean == pytest.approx(87.5)  # mean of 0,100,50,200
     assert contrast == 200.0
     assert n == len(payload)
+
+
+def _tiny_png_gray_2x2(pixels=(0, 100, 50, 200)) -> bytes:
+    """Deterministic minimal 2x2 8-bit grayscale PNG, built from the
+    public PNG spec (RFC 2083) with stdlib only — no codec library
+    needed to GENERATE the bytes, so the real-decode branch gets a
+    genuine PNG whenever a codec exists to READ it."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # 2x2, 8-bit, gray
+    raw = b"\x00" + bytes(pixels[:2]) + b"\x00" + bytes(pixels[2:])  # filter 0 rows
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_decoder_on_generated_png():
+    """VERDICT r2 task 7: exercise the real PIL branch end-to-end on an
+    actual PNG byte array whenever the env provides PIL; without PIL
+    the same genuine payload must hit the NotImplementedError guard
+    (never silently fall back to fake pixels). Green both ways."""
+    from big_data_flight_spark.operators.multimodal import _decode_image_real
+
+    payload = _tiny_png_gray_2x2()
+    try:
+        import PIL.Image  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    if not have_pil:
+        with pytest.raises(NotImplementedError):
+            _decode_image_real(payload, {})
+        return
+
+    mean, contrast, n = _decode_image_real(payload, {})
+    assert mean == pytest.approx(87.5)  # mean of pixels 0,100,50,200
+    assert contrast == 200.0
+    assert n == len(payload)

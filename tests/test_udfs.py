@@ -79,3 +79,28 @@ def test_asof_pandas_matches_window_rank(spark):
         for r in asof_join_pandas(spark, SF_SMOKE).collect()
     }
     assert wr == pa
+
+
+def test_rerank_pandas_matches_jvm_fold(spark):
+    """Fold-order-exact parity: the Arrow-batched numpy rerank kernel
+    (sim_rerank_pandas) accumulates dim-by-dim left-to-right, the same
+    float64 operation order as the F.aggregate fold in
+    sim_topk_neighbors — so the two paths must agree bit-for-bit, not
+    just approximately. Promised by sim_rerank_pandas' docstring."""
+    from tests.conftest import SF_SMOKE
+
+    from big_data_flight_spark.operators.similarity import (
+        sim_rerank_pandas,
+        sim_topk_neighbors,
+    )
+
+    jvm = {
+        (r["query_id"], r["rn"]): (r["neighbor_id"], r["cos_sim"])
+        for r in sim_topk_neighbors(spark, SF_SMOKE).collect()
+    }
+    pdy = {
+        (r["query_id"], r["rn"]): (r["neighbor_id"], r["cos_sim"])
+        for r in sim_rerank_pandas(spark, SF_SMOKE).collect()
+    }
+    assert jvm == pdy
+    assert len(jvm) == 50  # 10 queries x top-5

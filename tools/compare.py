@@ -46,8 +46,10 @@ def _canon_cell(v):
         if math.isnan(v):
             # Distinct sentinel, NOT None: a NaN-vs-NULL divergence
             # between engines must FAIL locally (the driver's hash
-            # may distinguish them even if pandas reprs blur).
-            return "NaN"
+            # may distinguish them even if pandas reprs blur). Tuple
+            # sentinel so a literal string 'NaN' in one engine can't
+            # false-match a float NaN in the other.
+            return ("__nan__",)
         return v
     if isinstance(v, pd.Timestamp):
         return v.to_pydatetime().replace(tzinfo=None)
