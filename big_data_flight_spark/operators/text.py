@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from big_data_flight_spark.io import table
+from big_data_flight_spark.io import fan_out, table
 from big_data_flight_spark.registry import DAVG, davg, gate_query
 
 
@@ -699,7 +699,7 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ELSE array() END"
     )
     return (
-        d.select("doc_id", toks.alias("toks"))
+        fan_out(d).select("doc_id", toks.alias("toks"))
         .select("doc_id", F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(

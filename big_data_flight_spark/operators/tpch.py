@@ -316,6 +316,11 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
        vs a shuffle join over every qualifying order.
     """
     li = table(spark, sf_dir, "lineitem")
+    # NO fan_out on the HAVING aggregate: l_orderkey is high-cardinality
+    # (~every row its own group), so the partial agg can't combine —
+    # fanning out just adds a full-input round-robin exchange (measured
+    # 0.49 s → 0.93 s at sf0.1). fan_out only pays when the partial agg
+    # REDUCES (few groups, heavy per-row arithmetic), as in the flagship.
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
