@@ -748,3 +748,63 @@ def sim_rerank_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", "cos_sim", F.col("rn").cast("long").alias("rn"))
     )
+
+
+@gate_query(
+    "sim_quantize_int8",
+    oracle=f"""
+    WITH scaled AS (
+      SELECT vec_id, label,
+             list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      FROM embeddings
+    )
+    SELECT e.vec_id,
+           ROUND(s.scale, 6) AS scale,
+           list_transform(e.embedding, x ->
+             CAST(greatest(-127, least(127,
+               floor(CAST(x AS DOUBLE) / s.scale + 0.5))) AS INT)) AS q,
+           CAST(list_sum(list_transform(e.embedding, x ->
+             abs(CAST(greatest(-127, least(127,
+               floor(CAST(x AS DOUBLE) / s.scale + 0.5))) AS INT)))) AS BIGINT)
+             AS l1_q
+    FROM embeddings e JOIN scaled s ON e.vec_id = s.vec_id
+    """,
+    tags=("similarity", "quantize"),
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/ANN-speed
+    step of an embedding pipeline (absmax scaling: scale = max|x|/127,
+    q = clamp(round(x/scale))). Rounding is written as floor(v + 0.5)
+    in BOTH engines — explicit, mode-free, bit-identical — because
+    Spark's round() (HALF_UP) and DuckDB's (half-away) disagree on
+    negative .5 boundaries (registry rule: floor/round explicitly).
+    Float32 elements cast to double BEFORE any arithmetic (registry
+    float32 rule). Pure per-row projection: zero shuffle, scan-speed;
+    the l1_q checksum column makes value drift visible in the hash.
+    Dequantization error is bounded by scale/2 per element."""
+    e = table(spark, sf_dir, "embeddings")
+    as_dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(as_dbl, F.abs)) / F.lit(127.0)
+    q_elem = lambda x: F.greatest(  # noqa: E731
+        F.lit(-127.0), F.least(F.lit(127.0), F.floor(x.cast("double") / F.col("scale") + 0.5))
+    ).cast("int")
+    quant = F.transform(F.col("embedding"), q_elem)
+    return (
+        e.withColumn("scale", scale)
+        .select(
+            "vec_id",
+            F.round("scale", 6).alias("scale_r"),
+            quant.alias("q"),
+        )
+        .select(
+            "vec_id",
+            F.col("scale_r").alias("scale"),
+            "q",
+            F.aggregate(
+                F.transform(F.col("q"), lambda v: F.abs(v).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("l1_q"),
+        )
+    )

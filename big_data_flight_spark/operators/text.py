@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_flight_spark.io import fan_out, table
-from big_data_flight_spark.registry import DAVG, davg, gate_query
+from big_data_flight_spark.registry import DAVG, DSUM, davg, gate_query
 
 
 def tokens(docs: DataFrame) -> DataFrame:
@@ -874,4 +874,118 @@ def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_words").alias("total_tokens"),
         davg("n_chars", "avg_chars"),
+    )
+
+
+@gate_query(
+    "text_weighted_mix",
+    oracle=f"""
+    WITH rated AS (
+      SELECT lang, n_chars,
+             CASE lang WHEN 'en' THEN 800 WHEN 'de' THEN 500
+                       WHEN 'fr' THEN 300 ELSE 100 END AS rate_permille,
+             ('0x' || substring(md5(doc_id || ''), 1, 8))::BIGINT % 1000 AS slot
+      FROM documents
+    )
+    SELECT lang,
+           CAST(MAX(rate_permille) AS BIGINT) AS rate_permille,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (slot < rate_permille) AS BIGINT) AS n_kept,
+           {DSUM("CASE WHEN slot < rate_permille THEN n_chars ELSE 0 END", "kept_chars")}
+    FROM rated
+    GROUP BY lang
+    """,
+    tags=("text", "curation", "sample"),
+)
+def text_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing: per-language keep rates (en 80% / de 50% /
+    fr 30% / rest 10%) applied as a DETERMINISTIC hash sample — the
+    corpus-reweighting step of a pretraining data pipeline. Same
+    md5-slot machinery as sample_hash_deterministic, but with a
+    per-stratum threshold, which is what `sampleBy` does with an RNG —
+    the hash form is reproducible across engines/runs/repartitioning
+    and keeps a document's fate stable as rates change smoothly.
+    Pure scan-side projection + one groupBy; no shuffle before the
+    aggregate; at 100 TB the filter runs at scan speed."""
+    d = table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 800)
+        .when(F.col("lang") == "de", 500)
+        .when(F.col("lang") == "fr", 300)
+        .otherwise(100)
+    )
+    slot = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % 1000
+    )
+    rated = d.select(
+        "lang",
+        "n_chars",
+        rate.alias("rate_permille"),
+        slot.alias("slot"),
+    )
+    return rated.groupBy("lang").agg(
+        F.max("rate_permille").cast("long").alias("rate_permille"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("slot") < F.col("rate_permille"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(
+            F.when(F.col("slot") < F.col("rate_permille"), F.col("n_chars"))
+            .otherwise(0)
+            .cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("kept_chars"),
+    )
+
+
+@gate_query(
+    "text_pii_scrub",
+    oracle="""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or call 555-0'
+                  || (doc_id % 1000) || ' now' AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+             '\\d{3}-\\d{1,6}', '<PHONE>', 'g') AS scrubbed,
+           CAST(len(string_split_regex(raw, '[a-z0-9._]+@[a-z0-9.-]+')) - 1 AS BIGINT)
+             AS n_emails,
+           CAST(len(string_split_regex(raw, '\\d{3}-\\d{1,6}')) - 1 AS BIGINT) AS n_phones
+    FROM synth
+    """,
+    tags=("text", "curation"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: regex-scrub emails and phone numbers, reporting
+    per-document redaction counts — the mandatory scrub pass of a
+    training-data pipeline. The fixture corpus is synthetic lowercase
+    words (no real PII), so the gate first APPENDS deterministic
+    pseudo-PII derived from doc_id (identically in both engines),
+    then proves the scrub machinery: chained regexp_replace (all
+    occurrences) + match counts via split-length (the one regex-count
+    primitive both dialects share). Pure projection — zero shuffle,
+    scan-speed at any scale; swap the patterns for a real PII pack in
+    production."""
+    d = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-0"),
+        (F.col("doc_id") % 1000).cast("string"),
+        F.lit(" now"),
+    )
+    email_pat = "[a-z0-9._]+@[a-z0-9.-]+"
+    phone_pat = r"\d{3}-\d{1,6}"
+    synth = d.select("doc_id", raw.alias("raw"))
+    return synth.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), email_pat, "<EMAIL>"), phone_pat, "<PHONE>"
+        ).alias("scrubbed"),
+        (F.size(F.split(F.col("raw"), email_pat)) - 1).cast("long").alias("n_emails"),
+        (F.size(F.split(F.col("raw"), phone_pat)) - 1).cast("long").alias("n_phones"),
     )

@@ -13,7 +13,7 @@ fact shuffle, partial aggregation before exchange.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_flight_spark.io import table
@@ -728,4 +728,267 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return eligible.groupBy(F.col("c_nationkey").cast("long").alias("cntry")).agg(
         F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal", "totacctbal")
+    )
+
+
+@gate_query(
+    "tpch_q2",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    ranked AS (
+      SELECT p_partkey, p_name, s_name, s_acctbal, n_name,
+             ROUND(unit_cost, 6) AS cost,
+             row_number() OVER (
+               PARTITION BY p_partkey ORDER BY ROUND(unit_cost, 6), sk
+             ) AS rn
+      FROM cost
+      JOIN part ON pk = p_partkey AND p_type = 'STANDARD'
+      JOIN supplier ON sk = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+    )
+    SELECT p_partkey, p_name, s_name, s_acctbal, n_name, cost
+    FROM ranked WHERE rn = 1
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    tags=("tpch",),
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 minimum-cost supplier: for each STANDARD-type part sourced
+    from EUROPE, the cheapest supplier. Adapted (no partsupp fixture):
+    ps_supplycost → MIN(l_extendedprice / l_quantity) over that
+    (part, supplier)'s lineitems — same correlated-min shape, derived
+    from the fact table. The correlated MIN subquery is a window
+    row_number over the rounded cost (rank on ROUNDED score with a
+    suppkey tie-break so both engines cut ties identically — registry
+    rule 3). Scale shape: the cost table is one fact groupBy; part /
+    supplier / nation / region are broadcast dims; the per-part rank
+    is a WindowGroupLimit-able window."""
+    li = table(spark, sf_dir, "lineitem")
+    cost = (
+        li.groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    joined = (
+        cost.join(F.broadcast(p), F.col("pk") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("sk") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .withColumn("cost", F.round("unit_cost", 6))
+    )
+    w = Window.partitionBy("p_partkey").orderBy(F.col("cost"), F.col("sk"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name", "cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@gate_query(
+    "tpch_q9",
+    oracle=f"""
+    SELECT n_name, yr, {DSUM("amount", "sum_profit")}
+    FROM (
+      SELECT n_name, year(o_orderdate) AS yr,
+             l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity AS amount
+      FROM lineitem
+      JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%red%'
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN orders   ON l_orderkey = o_orderkey
+    ) profit
+    GROUP BY n_name, yr
+    """,
+    tags=("tpch",),
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 product-type profit by supplier nation and year. Adapted (no
+    partsupp): ps_supplycost → p_retailprice as the unit-cost proxy, so
+    amount = revenue − retail_cost × qty; the '%green%' name filter →
+    '%red%' (fixture vocabulary). Plan shape: part/supplier/nation
+    broadcast, one orders equi-join on the fact, DECIMAL(38,6) exact
+    sum (registry rule 1), year cast to long (Spark year() is int,
+    DuckDB's is bigint)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("n_name", F.year("o_orderdate").cast("long").alias("yr"), amount.alias("amount"))
+        .groupBy("n_name", "yr")
+        .agg(dsum("amount", "sum_profit"))
+    )
+
+
+@gate_query(
+    "tpch_q11",
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey AND n_name = 'NATION_7'
+      GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(value) AS total FROM (SELECT value FROM val ORDER BY pk) ordered)
+    SELECT pk AS p_partkey, ROUND(value, 6) AS value
+    FROM val CROSS JOIN tot
+    WHERE value > 0.002 * total
+    """,
+    tags=("tpch",),
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 important stock: parts whose traded value through NATION_7
+    suppliers exceeds a fraction of the nation's total — HAVING against
+    an uncorrelated global scalar. Adapted (no partsupp):
+    ps_supplycost*ps_availqty → sum of l_extendedprice.
+
+    Parity subtlety: the global total is a sum of per-part DOUBLES, so
+    its value depends on addition order. Both engines therefore fold
+    the per-part values in EXPLICIT pk order — Spark via
+    aggregate(array_sort-by-pk) over collected (pk, value) structs,
+    DuckDB via an ORDER BY pk subquery (its SUM folds in scan order) —
+    making the 0.002×total threshold bit-identical. The scalar rides a
+    broadcast 1-row frame (no driver collect)."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    val = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double").alias("value"))
+    )
+    tot = val.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pk", "value"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["value"],
+        ).alias("total")
+    )
+    return (
+        val.join(F.broadcast(tot))
+        .filter(F.col("value") > 0.002 * F.col("total"))
+        .select(F.col("pk").alias("p_partkey"), F.round("value", 6).alias("value"))
+    )
+
+
+@gate_query(
+    "tpch_q16",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#15'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("tpch",),
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 parts/supplier relationship: how many distinct suppliers
+    serve each surviving part descriptor. Adapted (no partsupp): the
+    part-supplier relation is DISTINCT (l_partkey, l_suppkey) from the
+    fact table; the 'customer complaints' comment filter (column
+    absent) → a deterministic s_suppkey % 7 exclusion, expressed as the
+    same NOT IN anti-join shape. No ORDER BY: the oracle hash is
+    order-insensitive (registry rule 3 applies only to LIMIT outputs)."""
+    li = table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#15")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    bad_supp = table(spark, sf_dir, "supplier").filter(
+        F.col("s_suppkey") % 7 == 0
+    ).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@gate_query(
+    "tpch_q20",
+    oracle="""
+    WITH small_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+    ),
+    shipped AS (
+      SELECT l_suppkey,
+             CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                            AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                           THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_1996,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_total
+      FROM lineitem JOIN small_parts ON l_partkey = p_partkey
+      GROUP BY l_suppkey
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM shipped WHERE qty_1996 * 2 > qty_total
+    )
+    ORDER BY s_name
+    """,
+    tags=("tpch",),
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 potential excess inventory: NATION_3 suppliers who shipped
+    more than half their all-time volume of 'small%' parts during 1996.
+    Adapted (no partsupp): ps_availqty > 0.5×shipped → the 1996 share
+    of lifetime shipped quantity, same nested-aggregate-semi-join
+    shape. Quantity sums are exact BIGINT (l_quantity integral —
+    FIXTURES.md invariant) and the threshold is integer-only
+    (qty×2 > total), so no float boundary exists. IN → left-semi."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    li = table(spark, sf_dir, "lineitem")
+    in_1996 = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    shipped = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.when(in_1996, F.col("l_quantity").cast("bigint")).otherwise(0)).alias("qty_1996"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty_total"),
+        )
+        .filter(F.col("qty_1996") * 2 > F.col("qty_total"))
+        .select("l_suppkey")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(shipped), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
     )

@@ -140,6 +140,48 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(enriched, mode="complete")
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join — the canonical Structured
+    Streaming two-sided join: clicks joined to same-user purchases that
+    happen within 1 day AFTER the click. Both sides carry watermarks
+    and the join condition carries the time-range constraint, which is
+    what BOUNDS the join state at scale (each side's buffered rows are
+    dropped once the other side's watermark passes the range end —
+    without the time bound, stream-stream join state grows forever).
+
+    With availableNow over a bounded source all matches emit, so the
+    result must equal the identical batch join exactly — asserted in
+    tests/test_streaming.py::test_stream_stream_join_matches_batch."""
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("interval 1 day")),
+        "inner",
+    ).select("c_user", "click_id", "purchase_id", "click_ts", "purchase_ts")
+    return run_to_memory(joined, mode="append")
+
+
 def foreach_batch_sink(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
     """foreachBatch exactly-once-style sink: each micro-batch is written
     transactionally (per-epoch parquet dir) — the pattern for sinks

@@ -138,3 +138,40 @@ def test_cdc_latest_stream_matches_batch(spark):
         for r in etl_cdc_latest_snapshot(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Watermarked stream-stream join drained with availableNow must
+    equal the identical batch join: click -> same-user purchase within
+    1 day after."""
+    from big_data_flight_spark.io import table
+    from big_data_flight_spark.streaming.twins import stream_stream_join
+
+    from pyspark.sql import functions as F
+
+    ev = table(spark, SF_SMOKE, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = {
+        (r["click_id"], r["purchase_id"])
+        for r in clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("interval 1 day")),
+        ).collect()
+    }
+    stream = {
+        (r["click_id"], r["purchase_id"])
+        for r in stream_stream_join(spark, SF_SMOKE).collect()
+    }
+    assert stream == batch
+    assert len(stream) > 0  # fixture has same-user click->purchase pairs

@@ -135,10 +135,12 @@ def main(argv: list[str]) -> int:
     spark = get_session("compare")
     con = duck_connect(sf_dir)
     failed = []
+    statuses: dict[str, str] = {}
     for name in names:
         q = _REGISTRY[name]
         r = compare_one(spark, con, name, q, sf_dir)
         ok = r["status"] in ("OK", "WEAK_OK")
+        statuses[name] = r["status"]
         print(("PASS " if ok else "FAIL ") + name.ljust(28) + r["status"], flush=True)
         if not ok:
             failed.append(r)
@@ -148,6 +150,25 @@ def main(argv: list[str]) -> int:
             if k not in ("name", "status"):
                 print(f"  {k}: {v}")
     print(f"\n{len(names) - len(failed)}/{len(names)} passed @ {sf_dir}")
+    # Full-registry runs persist a committed artifact so every gate —
+    # not just the driver's alphabetical 50-name window — has a
+    # recorded correctness result per round (ADVICE r2: the r2
+    # regression hid precisely in the unwindowed remainder).
+    if not argv:
+        import json
+
+        with open(os.path.join(_REPO, "COMPARE_LOCAL.json"), "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_pass": len(names) - len(failed),
+                    "n_total": len(names),
+                    "statuses": statuses,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
     return 1 if failed else 0
 
 
