@@ -97,3 +97,18 @@ def test_frequency_cap_keeps_planted_near_dups(spark):
     }
     assert uncapped  # fixtures plant near-dups
     assert uncapped == capped
+
+
+def test_fan_out_noop_on_wide_input(spark):
+    """fan_out must widen single-split scans but leave already-parallel
+    inputs untouched (the 100 TB no-op contract)."""
+    from big_data_flight_spark.io import fan_out, table
+    from tests.conftest import SF_SMOKE
+
+    narrow = table(spark, SF_SMOKE, "lineitem")
+    assert narrow.rdd.getNumPartitions() == 1  # single-row-group fixture
+    widened = fan_out(narrow)
+    assert widened.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+    wide = narrow.repartition(spark.sparkContext.defaultParallelism)
+    assert fan_out(wide) is wide  # no extra exchange added
