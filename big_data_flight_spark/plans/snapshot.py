@@ -32,6 +32,9 @@ SNAPSHOT = {
     # the pushed TakeOrderedAndProject and the broadcast of the tiny
     # top-100 side are the two properties that must not regress.
     "tpch_q18": ["TakeOrderedAndProject", "BroadcastHashJoin"],
+    # Q2 (r3): correlated-min via rank — the rn=1 filter must push into
+    # the window (WindowGroupLimit) and all four dims must broadcast.
+    "tpch_q2": ["WindowGroupLimit", "BroadcastHashJoin"],
     "win_topk_per_group": ["WindowGroupLimit"],
     "limit_topk": ["TakeOrderedAndProject"],
     "filter_pred": ["PushedFilters"],
