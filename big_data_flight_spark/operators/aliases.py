@@ -33,6 +33,12 @@ _ALIASES = {
     "a0_sim_topk_neighbors": "sim_topk_neighbors",    # similarity exact kNN
     "a0_tpch_q18": "tpch_q18",                        # tpch (r2 plan rework)
     "a0_udf_scalar_arrow": "udf_scalar_arrow",        # arrow UDF family
+    # r3 additions: this round's NEW gates — newest code is the
+    # highest-risk code, so it goes straight into the driver window.
+    "a0_tpch_q2": "tpch_q2",                          # r3 partsupp adaptation
+    "a0_text_pii_scrub": "text_pii_scrub",            # r3 curation op
+    "a0_text_weighted_mix": "text_weighted_mix",      # r3 curation op
+    "a0_sim_quantize_int8": "sim_quantize_int8",      # r3 embedding op
 }
 
 
