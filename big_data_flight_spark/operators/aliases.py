@@ -9,12 +9,15 @@ missing" #2).
 
 Each alias below is a zero-code delegation: same builder object, same
 oracle SQL, registered under an ``a0_``-prefixed name that sorts before
-``agg_`` so it lands inside the driver's alphabetical window. The 10
-targets are one high-risk representative per never-driver-checked
+``agg_`` so it lands inside the driver's alphabetical window. The first
+10 targets are one high-risk representative per never-driver-checked
 family (joins, windows, sorts/sets, text-dedup, similarity, tpch, udf,
-streaming, sketches, multimodal). The 10 ``fn_*``-area gates they
-displace from the window all earned driver-green rows in round 2
-(CORRECTNESS_r02.json), so net driver-verified surface strictly grows.
+streaming, sketches, multimodal); 4 more cover round 3's brand-new
+gates. The 14 gates the aliases displace from the window (the window
+now ends at ``evt_transition_matrix``; displaced: the ``evt_tumbling``
+…``fn_json`` tail) ALL earned driver-green rows in round 2's window
+(CORRECTNESS_r02.json graded ``agg_approx_distinct``…``fn_json``, 50/50
+green), so net driver-verified surface strictly grows.
 """
 
 from __future__ import annotations

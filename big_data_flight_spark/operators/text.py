@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_flight_spark.io import fan_out, table
-from big_data_flight_spark.registry import DAVG, DSUM, davg, gate_query
+from big_data_flight_spark.registry import DAVG, DSUM, davg, dsum, gate_query
 
 
 def tokens(docs: DataFrame) -> DataFrame:
@@ -928,13 +928,10 @@ def text_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("rate_permille").cast("long").alias("rate_permille"),
         F.count(F.lit(1)).alias("n_total"),
         F.sum(F.when(F.col("slot") < F.col("rate_permille"), 1).otherwise(0)).alias("n_kept"),
-        F.sum(
-            F.when(F.col("slot") < F.col("rate_permille"), F.col("n_chars"))
-            .otherwise(0)
-            .cast("decimal(38,6)")
-        )
-        .cast("double")
-        .alias("kept_chars"),
+        dsum(
+            F.when(F.col("slot") < F.col("rate_permille"), F.col("n_chars")).otherwise(0),
+            "kept_chars",
+        ),
     )
 
 

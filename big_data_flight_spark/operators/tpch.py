@@ -850,7 +850,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nation   ON s_nationkey = n_nationkey AND n_name = 'NATION_7'
       GROUP BY l_partkey
     ),
-    tot AS (SELECT SUM(value) AS total FROM (SELECT value FROM val ORDER BY pk) ordered)
+    tot AS (SELECT list_sum(list(value ORDER BY pk)) AS total FROM val)
     SELECT pk AS p_partkey, ROUND(value, 6) AS value
     FROM val CROSS JOIN tot
     WHERE value > 0.002 * total
@@ -867,9 +867,13 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     its value depends on addition order. Both engines therefore fold
     the per-part values in EXPLICIT pk order — Spark via
     aggregate(array_sort-by-pk) over collected (pk, value) structs,
-    DuckDB via an ORDER BY pk subquery (its SUM folds in scan order) —
-    making the 0.002×total threshold bit-identical. The scalar rides a
-    broadcast 1-row frame (no driver collect)."""
+    DuckDB via list_sum(list(value ORDER BY pk)), its guaranteed
+    in-order list fold — making the 0.002×total threshold
+    bit-identical. (A plain SUM over an ORDER BY subquery is NOT
+    enough: multi-threaded DuckDB partial-aggregates it in
+    nondeterministic order — measured 5 distinct totals in 5 runs at
+    threads=8.) The scalar rides a broadcast 1-row frame (no driver
+    collect)."""
     li = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")

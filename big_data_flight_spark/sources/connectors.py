@@ -43,12 +43,15 @@ _TMP = os.path.join(_TMP_ROOT, f"s{os.getpid()}")
 atexit.register(lambda: shutil.rmtree(_TMP, ignore_errors=True))
 
 
-def _sweep_stale_scratch(max_age_sec: float = 6 * 3600.0) -> None:
-    """Remove scratch dirs of dead sessions. Two guards, both required:
-    the owning PID must be gone AND the dir must be old — the age gate
-    covers PID reuse (a recycled PID would otherwise pin a truly stale
-    dir forever) and non-/proc platforms (where the PID probe would
-    treat every live peer as dead)."""
+def _sweep_stale_scratch(min_age_sec: float = 600.0) -> None:
+    """Remove scratch dirs of dead sessions. Two guards, BOTH required:
+    the owning PID must be gone AND the dir must have been idle for a
+    while. The age gate protects against PID-probe false negatives
+    (non-/proc platforms report every peer as dead) and against
+    sweeping a dir whose owner exited moments ago mid-handoff; a LIVE
+    pid always protects its dir — a long-running idle session must
+    never lose its scratch (PID reuse can at worst *retain* a stale
+    dir until the recycled pid exits, which is the safe direction)."""
     if not os.path.isdir(_TMP_ROOT):
         return
     now = time.time()
@@ -63,7 +66,7 @@ def _sweep_stale_scratch(max_age_sec: float = 6 * 3600.0) -> None:
         except OSError:
             continue
         pid_alive = os.path.exists(f"/proc/{entry[1:]}")
-        if age > max_age_sec or (not pid_alive and age > 600):
+        if not pid_alive and age > min_age_sec:
             shutil.rmtree(path, ignore_errors=True)
 
 

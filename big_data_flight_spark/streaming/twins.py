@@ -140,6 +140,22 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(enriched, mode="complete")
 
 
+@gate_query(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.user_id AS c_user,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.ts AS click_ts,
+           p.ts AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 DAY
+    """,
+    tags=("streaming", "join"),
+)
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream inner join — the canonical Structured
     Streaming two-sided join: clicks joined to same-user purchases that
@@ -150,8 +166,11 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     without the time bound, stream-stream join state grows forever).
 
     With availableNow over a bounded source all matches emit, so the
-    result must equal the identical batch join exactly — asserted in
-    tests/test_streaming.py::test_stream_stream_join_matches_batch."""
+    STRONG oracle is the identical batch interval join (the set of
+    matches is arrival-order-insensitive); the batch-parity twin is
+    also asserted in tests/test_streaming.py. Both sides derive from
+    ONE events_stream source (a supported stream self-join) — one
+    footer read, one file-source instance."""
     ev = events_stream(spark, sf_dir)
     clicks = (
         ev.filter(F.col("event_type") == "click")
@@ -163,8 +182,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("click_ts", "1 hour")
     )
     purchases = (
-        events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
+        ev.filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user"),
             F.col("event_id").alias("purchase_id"),

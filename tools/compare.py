@@ -128,8 +128,13 @@ def main(argv: list[str]) -> int:
     _load_all_operator_modules()
     names = argv or sorted(_REGISTRY)
     if sf_dir.rstrip("/").endswith("sf0.1"):
-        skipped = [n for n in names if n in SLOW_ORACLE_AT_SF01]
-        names = [n for n in names if n not in SLOW_ORACLE_AT_SF01]
+        # Match by ORACLE identity, not name: a0_* delegation aliases
+        # share the target's oracle object, so they must skip too.
+        slow_oracles = {
+            _REGISTRY[n].oracle for n in SLOW_ORACLE_AT_SF01 if n in _REGISTRY
+        }
+        skipped = [n for n in names if _REGISTRY[n].oracle in slow_oracles]
+        names = [n for n in names if n not in set(skipped)]
         for n in skipped:
             print("SKIP " + n.ljust(28) + "QUADRATIC_ORACLE_SF01", flush=True)
     spark = get_session("compare")
