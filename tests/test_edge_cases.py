@@ -112,3 +112,30 @@ def test_fan_out_noop_on_wide_input(spark):
 
     wide = narrow.repartition(spark.sparkContext.defaultParallelism)
     assert fan_out(wide) is wide  # no extra exchange added
+
+
+def test_scratch_sweep_guards(tmp_path, monkeypatch):
+    """_sweep_stale_scratch: a LIVE pid always protects its dir; dead
+    pids are swept only after the idle-age gate (review finding r3)."""
+    import os
+    import time as _time
+
+    from big_data_flight_spark.sources import connectors
+
+    monkeypatch.setattr(connectors, "_TMP_ROOT", str(tmp_path))
+    dead_pid = 4194000  # beyond default pid_max ranges — never alive
+    assert not os.path.exists(f"/proc/{dead_pid}")
+
+    live_old = tmp_path / "s1"          # pid 1 is always alive
+    dead_old = tmp_path / f"s{dead_pid}"
+    dead_new = tmp_path / f"s{dead_pid - 1}"
+    for d in (live_old, dead_old, dead_new):
+        d.mkdir()
+    old = _time.time() - 7200
+    os.utime(live_old, (old, old))
+    os.utime(dead_old, (old, old))
+
+    connectors._sweep_stale_scratch()
+    assert live_old.exists()      # alive → protected at any age
+    assert not dead_old.exists()  # dead + idle > gate → swept
+    assert dead_new.exists()      # dead but recent → grace period
