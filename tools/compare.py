@@ -158,11 +158,16 @@ def main(argv: list[str]) -> int:
     # Full-registry runs persist a committed artifact so every gate —
     # not just the driver's alphabetical 50-name window — has a
     # recorded correctness result per round (ADVICE r2: the r2
-    # regression hid precisely in the unwindowed remainder).
+    # regression hid precisely in the unwindowed remainder). The
+    # artifact is per-scale so an sf0.1 sweep (which skips the
+    # quadratic-oracle family) can't clobber the canonical sf0.01
+    # record with a smaller registry.
     if not argv:
         import json
 
-        with open(os.path.join(_REPO, "COMPARE_LOCAL.json"), "w") as fh:
+        sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        suffix = "" if sf_tag == "sf0.01" else f"_{sf_tag}"
+        with open(os.path.join(_REPO, f"COMPARE_LOCAL{suffix}.json"), "w") as fh:
             json.dump(
                 {
                     "sf_dir": sf_dir,
