@@ -47,6 +47,11 @@ SNAPSHOT = {
     # — NOT row-at-a-time BatchEvalPython — scoring the candidates).
     "text_dedup_clusters_lss": ["HashAggregate"],
     "sim_rerank_pandas": ["ArrowEvalPython", "BroadcastNestedLoopJoin"],
+    # The two banded-LSH scale paths: their candidate generation must
+    # stay an equi-join (hash-partitioned band buckets), never a
+    # nested-loop over all pairs.
+    "text_minhash_lsh": ["HashAggregate", "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"],
+    "sim_ann_lsh": ["HashAggregate"],
     "etl_merge_upsert": ["BroadcastHashJoin"],
     "dq_profile": ["BroadcastHashJoin"],
 }
@@ -83,7 +88,9 @@ def main() -> int:
         txt = plan_text(q.builder(spark, sf_dir))
         checks = []
         for p in props:
-            ok = p in txt
+            # "A|B" means any-of (e.g. any equi-join strategy is fine,
+            # as long as it isn't a nested loop).
+            ok = any(alt in txt for alt in p.split("|"))
             checks.append(f"{'✅' if ok else '❌'} `{p}`")
             if not ok:
                 failures.append((name, p))
