@@ -621,9 +621,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@gate_query(
-    "tpch_q21",
-    oracle="""
+_Q21_ORACLE = """
     SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
     FROM supplier
     JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
@@ -644,9 +642,10 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY s_name
     ORDER BY numwait DESC, s_name
     LIMIT 100
-    """,
-    tags=("tpch",),
-)
+    """
+
+
+@gate_query("tpch_q21", oracle=_Q21_ORACLE, tags=("tpch",))
 def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 suppliers-who-kept-orders-waiting: the sole blamable supplier
     per failed multi-supplier order. Dual correlated subqueries over a
@@ -995,4 +994,56 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(shipped), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
+    )
+
+
+@gate_query("tpch_q21_onescan", oracle=_Q21_ORACLE, tags=("tpch",))
+def tpch_q21_onescan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan rewrite of Q21 — same oracle, different physical
+    strategy. The textbook form (tpch_q21) reads lineitem THREE times
+    (base + EXISTS semi + NOT-EXISTS anti); at 100 TB that is three
+    full fact scans. This twin folds all three predicates into ONE
+    groupBy over one scan:
+
+      per l_orderkey: n_supp   = countDistinct(suppkey)        (l2: ≥2)
+                      n_r_supp = countDistinct(suppkey | R)    (l3: ==1)
+                      r_supp   = min(suppkey | R)   (well-defined when
+                                                     n_r_supp == 1)
+                      n_r_rows = count(rows | R)    (numwait weight —
+                                 the EXISTS form counts every blamed
+                                 R-row, not one per order)
+
+    An order is blamed iff n_supp ≥ 2 AND n_r_supp == 1; the blamed
+    supplier is r_supp and contributes n_r_rows waits. One fact scan,
+    one fact shuffle (the orderkey groupBy), then broadcast-joins
+    against filtered orders and the supplier dim. Equivalence to the
+    EXISTS/NOT-EXISTS form is exact, not approximate: both count R-rows
+    of F-orders whose R-suppliers form a singleton strictly contained
+    in the order's supplier set.
+
+    Measured trade (sf0.1, local[32]): SLOWER than the 3-scan form
+    (1.7 s vs 0.96 s) — the two countDistincts expand the orderkey
+    shuffle 3×, and at this size the three scans are page-cached and
+    cheap. The crossover is scan-cost-bound: when the fact table is
+    100 TB of cold object-store parquet, two extra full scans dwarf a
+    3×-wider single shuffle; pick per deployment. Both forms share one
+    oracle, so either can serve the gate."""
+    li = table(spark, sf_dir, "lineitem")
+    is_r = F.col("l_returnflag") == "R"
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(is_r, F.col("l_suppkey"))).alias("n_r_supp"),
+        F.min(F.when(is_r, F.col("l_suppkey"))).alias("r_supp"),
+        F.sum(F.when(is_r, 1).otherwise(0)).alias("n_r_rows"),
+    )
+    blamed = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    s = table(spark, sf_dir, "supplier")
+    return (
+        blamed.join(o, blamed.l_orderkey == o.o_orderkey, "left_semi")
+        .join(F.broadcast(s), F.col("r_supp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("n_r_rows").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(100)
     )
