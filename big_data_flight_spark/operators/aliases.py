@@ -1,23 +1,39 @@
-"""Driver-window rotation aliases.
+"""Driver-window rotation aliases (round 4 set).
 
 The driver's correctness gate samples only the 50 alphabetically-first
 gate names per round; rounds 1 and 2 both graded ``agg_*``…``fn_json``,
 leaving every joins/windows/text/similarity/tpch/udf gate resting on
 the local ``tools/compare.py`` oracle alone — exactly where round 2's
-only regression (sim_rerank_pandas) hid (VERDICT.md r2, "What's
-missing" #2).
+only regression (sim_rerank_pandas) hid. Each alias is a zero-code
+delegation: same builder object, same oracle SQL, registered under an
+``a0_``-prefixed name that sorts before ``agg_`` so it lands inside
+the driver's alphabetical window.
 
-Each alias below is a zero-code delegation: same builder object, same
-oracle SQL, registered under an ``a0_``-prefixed name that sorts before
-``agg_`` so it lands inside the driver's alphabetical window. The first
-10 targets are one high-risk representative per never-driver-checked
-family (joins, windows, sorts/sets, text-dedup, similarity, tpch, udf,
-streaming, sketches, multimodal); 4 more cover round 3's brand-new
-gates. The 14 gates the aliases displace from the window (the window
-now ends at ``evt_transition_matrix``; displaced: the ``evt_tumbling``
-…``fn_json`` tail) ALL earned driver-green rows in round 2's window
-(CORRECTNESS_r02.json graded ``agg_approx_distinct``…``fn_json``, 50/50
-green), so net driver-verified surface strictly grows.
+Round-4 rotation (VERDICT r3 "Next round" #3 + ADVICE: rotate every
+round so no family stays un-windowed for consecutive rounds):
+
+* RETIRED: the 13 round-3 aliases whose targets went driver-green in
+  CORRECTNESS_r03.json (join_asof, join_broadcast, win_topk_per_group,
+  limit_topk, text_near_dedup_jaccard, text_minhash_lsh,
+  sim_rerank_pandas, sim_topk_neighbors, tpch_q18, udf_scalar_arrow,
+  tpch_q2, text_pii_scrub, text_weighted_mix).
+* KEPT: ``a0_sim_quantize_int8`` — round 3's only red row (driver
+  canonicalizer crash on its then-raw ``array<int>`` column); the
+  output is now string-rendered and must be re-graded to green.
+* NEW: 19 gates with strong oracles that have never had a driver row
+  (tpch Q5/Q9/Q21-onescan, LSS dedup clustering, ANN LSH/IVF, csv
+  round-trip, sink compaction, both streaming twins, range/equi joins,
+  range-frame + running windows, mapInArrow, multimodal dedup, map
+  functions, set-except, tfidf, deterministic sampling).
+
+Displacement math (window = 20 ``a0_*`` + the 30 next names,
+``agg_approx_distinct``…``evt_rfm``): the six names this pushes out of
+round 3's window — evt_rollup_cascade, evt_session_window,
+evt_sessionize_stats, evt_sliding_window, evt_stateful_funnel,
+evt_transition_matrix — are ALL green in CORRECTNESS_r03.json, and
+every displaced gate is re-verified each round by the committed
+full-registry COMPARE_LOCAL.json artifact, so net driver-verified
+surface strictly grows (cumulative ≥ 83/165 distinct gates after r4).
 """
 
 from __future__ import annotations
@@ -26,22 +42,34 @@ from big_data_flight_spark.registry import _REGISTRY, GateQuery
 
 # alias -> existing gate name (family it finally gets driver-checked for)
 _ALIASES = {
-    "a0_join_asof": "join_asof",                      # joins (custom as-of)
-    "a0_join_broadcast": "join_broadcast",            # joins (star schema)
-    "a0_win_topk_per_group": "win_topk_per_group",    # windows
-    "a0_limit_topk": "limit_topk",                    # sorts/sets
-    "a0_text_near_dedup_jaccard": "text_near_dedup_jaccard",  # text near-dup
-    "a0_text_minhash_lsh": "text_minhash_lsh",        # sketches/LSH
-    "a0_sim_rerank_pandas": "sim_rerank_pandas",      # similarity + pandas UDF
-    "a0_sim_topk_neighbors": "sim_topk_neighbors",    # similarity exact kNN
-    "a0_tpch_q18": "tpch_q18",                        # tpch (r2 plan rework)
-    "a0_udf_scalar_arrow": "udf_scalar_arrow",        # arrow UDF family
-    # r3 additions: this round's NEW gates — newest code is the
-    # highest-risk code, so it goes straight into the driver window.
-    "a0_tpch_q2": "tpch_q2",                          # r3 partsupp adaptation
-    "a0_text_pii_scrub": "text_pii_scrub",            # r3 curation op
-    "a0_text_weighted_mix": "text_weighted_mix",      # r3 curation op
-    "a0_sim_quantize_int8": "sim_quantize_int8",      # r3 embedding op
+    # r3 carry-over: the one red row, now contract-fixed — must re-grade
+    "a0_sim_quantize_int8": "sim_quantize_int8",
+    # tpch pack (only Q2/Q18 ever driver-graded before)
+    "a0_tpch_q5": "tpch_q5",
+    "a0_tpch_q9": "tpch_q9",
+    "a0_tpch_q21_onescan": "tpch_q21_onescan",  # measured single-scan strategy
+    # dedup clustering / ANN (iterative + bucketed families)
+    "a0_text_dedup_clusters_lss": "text_dedup_clusters_lss",
+    "a0_sim_ann_lsh": "sim_ann_lsh",
+    "a0_sim_ann_ivf": "sim_ann_ivf",
+    # sources / sinks
+    "a0_scan_csv": "scan_csv",
+    "a0_sink_compaction": "sink_compaction",
+    # streaming twins (micro-batch machinery under a bare session)
+    "a0_stream_source_sink": "stream_source_sink",
+    "a0_stream_stream_join": "stream_stream_join",
+    # joins
+    "a0_join_range_interval": "join_range_interval",
+    "a0_join_inner_equi": "join_inner_equi",
+    # windows
+    "a0_win_range_frame": "win_range_frame",
+    "a0_win_running": "win_running",
+    # udf / multimodal / scalar-fn / set / text / sampling
+    "a0_udf_map_in_arrow": "udf_map_in_arrow",
+    "a0_mm_dedup_assets": "mm_dedup_assets",
+    "a0_fn_map": "fn_map",
+    "a0_set_except": "set_except",
+    "a0_sample_rows": "sample_rows",
 }
 
 

@@ -287,10 +287,17 @@ def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (most recent click at-or-before each purchase, per
-    user). Spark has no native DataFrame as-of join → window-rank
-    pattern: equi-join on user, filter to the past, rank descending,
-    keep rn=1. One shuffle on the equi-key; ties broken by event_id
-    so the result is deterministic across engines.
+    user). Spark has no native DataFrame as-of join → equi-join on
+    user, filter to the past, then take the per-purchase MAX of
+    struct(click_ts, click_id): lexicographic struct-max ≡ the
+    window-rank rn=1 pick (latest ts, event_id tie-break), but it is
+    a hash AGGREGATE, not a window — the partial agg collapses each
+    purchase's candidate clicks map-side BEFORE the shuffle, so the
+    join fan-out (every past click per purchase) never crosses the
+    wire, and no per-partition sort is needed. Rewrote from
+    window-rank in r4: measured faster at sf0.1 and strictly less
+    shuffled at 100 TB; deterministic across engines (ties broken by
+    event_id inside the struct ordering).
 
     Scale path: the user_id equi-key bounds the intermediate; for
     high-fanout keys, pre-bucket by (user, day) and roll back one
@@ -308,18 +315,16 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("click_id"),
     )
     joined = p.join(c, (F.col("c_user") == F.col("p_user")) & (F.col("click_ts") <= F.col("p_ts")))
-    w = Window.partitionBy("purchase_id").orderBy(
-        F.col("click_ts").desc(), F.col("click_id").desc()
-    )
+    best = F.max(F.struct(F.col("click_ts"), F.col("click_id"))).alias("best")
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        joined.groupBy("purchase_id", "p_user", "p_ts")
+        .agg(best)
         .select(
             "purchase_id",
             F.col("p_user").alias("user_id"),
             "p_ts",
-            "click_ts",
-            "click_id",
+            F.col("best.click_ts").alias("click_ts"),
+            F.col("best.click_id").alias("click_id"),
         )
     )
 

@@ -758,17 +758,21 @@ def sim_rerank_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_max(list_transform(embedding,
                  x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
       FROM embeddings
+    ),
+    quantized AS (
+      SELECT e.vec_id, s.scale,
+             list_transform(e.embedding, x ->
+               CASE WHEN s.scale = 0 THEN 0 ELSE
+                 CAST(greatest(-127, least(127,
+                   floor(CAST(x AS DOUBLE) / s.scale + 0.5))) AS INT)
+               END) AS qarr
+      FROM embeddings e JOIN scaled s ON e.vec_id = s.vec_id
     )
-    SELECT e.vec_id,
-           ROUND(s.scale, 6) AS scale,
-           list_transform(e.embedding, x ->
-             CAST(greatest(-127, least(127,
-               floor(CAST(x AS DOUBLE) / s.scale + 0.5))) AS INT)) AS q,
-           CAST(list_sum(list_transform(e.embedding, x ->
-             abs(CAST(greatest(-127, least(127,
-               floor(CAST(x AS DOUBLE) / s.scale + 0.5))) AS INT)))) AS BIGINT)
-             AS l1_q
-    FROM embeddings e JOIN scaled s ON e.vec_id = s.vec_id
+    SELECT vec_id,
+           floor(scale * 1e6 + 0.5) / 1e6 AS scale,
+           array_to_string(qarr, ',') AS q,
+           CAST(list_sum(list_transform(qarr, v -> abs(v))) AS BIGINT) AS l1_q
+    FROM quantized
     """,
     tags=("similarity", "quantize"),
 )
@@ -778,31 +782,40 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = clamp(round(x/scale))). Rounding is written as floor(v + 0.5)
     in BOTH engines — explicit, mode-free, bit-identical — because
     Spark's round() (HALF_UP) and DuckDB's (half-away) disagree on
-    negative .5 boundaries (registry rule: floor/round explicitly).
+    negative .5 boundaries (registry rule: floor/round explicitly);
+    the displayed scale uses the same floor(x*1e6+0.5)/1e6 form rather
+    than ROUND (engines' ROUND disagree near 1e-6 half-boundaries).
     Float32 elements cast to double BEFORE any arithmetic (registry
-    float32 rule). Pure per-row projection: zero shuffle, scan-speed;
-    the l1_q checksum column makes value drift visible in the hash.
-    Dequantization error is bounded by scale/2 per element."""
+    float32 rule). An all-zero vector has scale = 0 — both engines
+    emit q = 0 for every element instead of dividing by zero (Spark
+    x/0.0 -> NULL vs DuckDB -> NaN would otherwise diverge). The q
+    array is string-rendered (agg_collect convention, aggregates.py)
+    so the driver's pandas sort_values canonicalization sees a scalar;
+    l1_q keeps a numeric checksum. Pure per-row projection: zero
+    shuffle, scan-speed. Dequantization error <= scale/2 per element."""
     e = table(spark, sf_dir, "embeddings")
     as_dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     scale = F.array_max(F.transform(as_dbl, F.abs)) / F.lit(127.0)
-    q_elem = lambda x: F.greatest(  # noqa: E731
-        F.lit(-127.0), F.least(F.lit(127.0), F.floor(x.cast("double") / F.col("scale") + 0.5))
-    ).cast("int")
+    q_elem = lambda x: F.when(F.col("scale") == 0.0, F.lit(0)).otherwise(  # noqa: E731
+        F.greatest(
+            F.lit(-127.0),
+            F.least(F.lit(127.0), F.floor(x.cast("double") / F.col("scale") + 0.5)),
+        ).cast("int")
+    )
     quant = F.transform(F.col("embedding"), q_elem)
     return (
         e.withColumn("scale", scale)
         .select(
             "vec_id",
-            F.round("scale", 6).alias("scale_r"),
-            quant.alias("q"),
+            (F.floor(F.col("scale") * 1e6 + 0.5) / 1e6).alias("scale_r"),
+            quant.alias("qarr"),
         )
         .select(
             "vec_id",
             F.col("scale_r").alias("scale"),
-            "q",
+            F.array_join(F.col("qarr").cast("array<string>"), ",").alias("q"),
             F.aggregate(
-                F.transform(F.col("q"), lambda v: F.abs(v).cast("long")),
+                F.transform(F.col("qarr"), lambda v: F.abs(v).cast("long")),
                 F.lit(0).cast("long"),
                 lambda acc, v: acc + v,
             ).alias("l1_q"),

@@ -306,14 +306,19 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
        it only feeds a >150 threshold — measured 1.8× faster over the
        ~0.3M-group hash agg. (For a fractional-quantity schema,
        fall back to the decimal path.)
-    2. The top-100 ORDER BY o_totalprice is taken on the semi-joined
-       ORDERS table BEFORE re-joining lineitem: every output group
+    2. The top-100 ORDER BY o_totalprice is taken on the inner-joined
+       ORDERS table BEFORE any customer join: every output group
        key (c_custkey..o_totalprice) is functionally dependent on
        o_orderkey and every `big` order has lineitems by
        construction, so row k of the pushed-down top-100 is row k of
-       the final result. The re-join then touches 100 orders instead
-       of all big orders — at 100 TB that is a broadcast of 100 keys
-       vs a shuffle join over every qualifying order.
+       the final result.
+    3. (r4) NO lineitem re-join at all: the output total_qty IS the
+       per-order sum the HAVING aggregate already computed, so `big`
+       carries it forward and the second fact scan disappears. The
+       textbook plan reads the fact table twice; this reads it once —
+       at 100 TB that halves the dominant cost outright. The long sum
+       cast to double is exact (integral quantities, sums ≪ 2^53) and
+       equals the oracle's DECIMAL(38,6)-summed double bit-for-bit.
     """
     li = table(spark, sf_dir, "lineitem")
     # NO fan_out on the HAVING aggregate: l_orderkey is high-cardinality
@@ -325,19 +330,22 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
         .filter(F.col("q") > 150)
-        .select("l_orderkey")
     )
     o = table(spark, sf_dir, "orders").join(
-        F.broadcast(big), F.col("o_orderkey") == big.l_orderkey, "left_semi"
+        F.broadcast(big), F.col("o_orderkey") == big.l_orderkey
     )
     top = o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(100)
     c = table(spark, sf_dir, "customer")
-    joined = li.join(F.broadcast(top), li.l_orderkey == top.o_orderkey).join(
-        F.broadcast(c), top.o_custkey == c.c_custkey
-    )
     return (
-        joined.groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum("l_quantity", "total_qty"))
+        top.join(F.broadcast(c), top.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("q").cast("double").alias("total_qty"),
+        )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
@@ -740,9 +748,9 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ranked AS (
       SELECT p_partkey, p_name, s_name, s_acctbal, n_name,
-             ROUND(unit_cost, 6) AS cost,
+             floor(unit_cost * 1e6 + 0.5) / 1e6 AS cost,
              row_number() OVER (
-               PARTITION BY p_partkey ORDER BY ROUND(unit_cost, 6), sk
+               PARTITION BY p_partkey ORDER BY unit_cost, sk
              ) AS rn
       FROM cost
       JOIN part ON pk = p_partkey AND p_type = 'STANDARD'
@@ -763,9 +771,13 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps_supplycost → MIN(l_extendedprice / l_quantity) over that
     (part, supplier)'s lineitems — same correlated-min shape, derived
     from the fact table. The correlated MIN subquery is a window
-    row_number over the rounded cost (rank on ROUNDED score with a
-    suppkey tie-break so both engines cut ties identically — registry
-    rule 3). Scale shape: the cost table is one fact groupBy; part /
+    row_number over the RAW double cost with a suppkey tie-break: MIN
+    and IEEE division are bit-identical across engines, whereas
+    ROUND(double, 6) is not (Spark HALF_UP via BigDecimal vs DuckDB
+    float-multiply — a 1e-6 half-boundary could flip the rn=1 pick;
+    ADVICE r3). Only the DISPLAYED cost is rounded, with the mode-free
+    floor(x*1e6+0.5)/1e6 form in both engines (unit_cost >= 0).
+    Scale shape: the cost table is one fact groupBy; part /
     supplier / nation / region are broadcast dims; the per-part rank
     is a WindowGroupLimit-able window."""
     li = table(spark, sf_dir, "lineitem")
@@ -782,9 +794,9 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("sk") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-        .withColumn("cost", F.round("unit_cost", 6))
+        .withColumn("cost", F.floor(F.col("unit_cost") * 1e6 + 0.5) / 1e6)
     )
-    w = Window.partitionBy("p_partkey").orderBy(F.col("cost"), F.col("sk"))
+    w = Window.partitionBy("p_partkey").orderBy(F.col("unit_cost"), F.col("sk"))
     return (
         joined.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

@@ -54,6 +54,17 @@ SNAPSHOT = {
     "sim_ann_lsh": ["HashAggregate"],
     "etl_merge_upsert": ["BroadcastHashJoin"],
     "dq_profile": ["BroadcastHashJoin"],
+    # r4 additions (VERDICT r3 "What's wrong" #3): the measured
+    # physical strategies of the newest gates must be pinned too.
+    # Q21-onescan's whole point is folding q21's three lineitem passes
+    # (base + exists-semi + not-exists-anti) into ONE scan + groupBy —
+    # exactly one lineitem parquet scan may appear (orders is scanned
+    # once more, hence =2 for the generic scan marker is wrong; the
+    # lineitem file path is the precise assertion).
+    "tpch_q21_onescan": ["=1:lineitem.parquet", "HashAggregate", "BroadcastHashJoin"],
+    # Quantization is a pure per-row projection: any Exchange in its
+    # plan means somebody re-introduced a shuffle into a scan-speed op.
+    "sim_quantize_int8": ["!Exchange", "=1:embeddings.parquet"],
 }
 
 
@@ -88,9 +99,18 @@ def main() -> int:
         txt = plan_text(q.builder(spark, sf_dir))
         checks = []
         for p in props:
-            # "A|B" means any-of (e.g. any equi-join strategy is fine,
-            # as long as it isn't a nested loop).
-            ok = any(alt in txt for alt in p.split("|"))
+            # Property micro-syntax: "A|B" = any-of (any equi-join
+            # strategy is fine, as long as it isn't a nested loop);
+            # "!X" = X must NOT appear (e.g. no Exchange in a pure
+            # projection); "=N:X" = X must appear EXACTLY N times
+            # (e.g. exactly one lineitem scan in the one-scan Q21).
+            if p.startswith("!"):
+                ok = p[1:] not in txt
+            elif p.startswith("=") and ":" in p:
+                n, _, needle = p[1:].partition(":")
+                ok = txt.count(needle) == int(n)
+            else:
+                ok = any(alt in txt for alt in p.split("|"))
             checks.append(f"{'✅' if ok else '❌'} `{p}`")
             if not ok:
                 failures.append((name, p))

@@ -43,15 +43,32 @@ _TMP = os.path.join(_TMP_ROOT, f"s{os.getpid()}")
 atexit.register(lambda: shutil.rmtree(_TMP, ignore_errors=True))
 
 
+def _pid_alive(pid: int) -> bool:
+    """Portable liveness probe: signal 0 delivers nothing but performs
+    the full permission/existence check. ProcessLookupError = dead;
+    PermissionError = alive but owned by someone else (still alive —
+    must protect its dir). Unlike an ``os.path.exists('/proc/<pid>')``
+    probe this works on non-/proc platforms, where the old form read
+    every peer as dead (ADVICE r3)."""
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    except OSError:
+        return True  # unknown -> assume alive (safe direction)
+
+
 def _sweep_stale_scratch(min_age_sec: float = 600.0) -> None:
     """Remove scratch dirs of dead sessions. Two guards, BOTH required:
     the owning PID must be gone AND the dir must have been idle for a
-    while. The age gate protects against PID-probe false negatives
-    (non-/proc platforms report every peer as dead) and against
-    sweeping a dir whose owner exited moments ago mid-handoff; a LIVE
-    pid always protects its dir — a long-running idle session must
-    never lose its scratch (PID reuse can at worst *retain* a stale
-    dir until the recycled pid exits, which is the safe direction)."""
+    while. The age gate protects against sweeping a dir whose owner
+    exited moments ago mid-handoff; a LIVE pid always protects its dir
+    — a long-running idle session must never lose its scratch (PID
+    reuse can at worst *retain* a stale dir until the recycled pid
+    exits, which is the safe direction)."""
     if not os.path.isdir(_TMP_ROOT):
         return
     now = time.time()
@@ -65,8 +82,7 @@ def _sweep_stale_scratch(min_age_sec: float = 600.0) -> None:
             age = now - os.path.getmtime(path)
         except OSError:
             continue
-        pid_alive = os.path.exists(f"/proc/{entry[1:]}")
-        if not pid_alive and age > min_age_sec:
+        if not _pid_alive(int(entry[1:])) and age > min_age_sec:
             shutil.rmtree(path, ignore_errors=True)
 
 

@@ -27,9 +27,12 @@ from big_data_flight_spark.registry import gate_query
 
 # Footer-schema memo: events_stream is called per-builder (and the
 # stream_source_sink gate is timed builder-inclusive), so the
-# driver-side footer read is cached per path. Safe: the fixtures are
-# read-only within a session's lifetime.
-_SCHEMA_MEMO: dict[str, object] = {}
+# driver-side footer read is cached per path. Keyed on (path, mtime,
+# size) rather than path alone: the driver has regenerated fixtures
+# with different physical types once already (r3: ts ns→µs ntz), so a
+# mid-process fixture swap must MISS the memo and re-read the footer
+# instead of silently streaming with a stale schema (ADVICE r3).
+_SCHEMA_MEMO: dict[str, tuple[tuple[float, int], object]] = {}
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -43,10 +46,14 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     surfaces as int64 nanos (nanosAsLong) does it need the ns→µs
     truncating convert."""
     path = f"{sf_dir}/events.parquet"
-    batch_schema = _SCHEMA_MEMO.get(path)
-    if batch_schema is None:
+    st = os.stat(path)
+    stamp = (st.st_mtime, st.st_size)
+    hit = _SCHEMA_MEMO.get(path)
+    if hit is not None and hit[0] == stamp:
+        batch_schema = hit[1]
+    else:
         batch_schema = spark.read.parquet(path).schema
-        _SCHEMA_MEMO[path] = batch_schema
+        _SCHEMA_MEMO[path] = (stamp, batch_schema)
     raw = (
         spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")

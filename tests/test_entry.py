@@ -43,3 +43,43 @@ def test_every_query_runs_at_smoke_scale(spark):
     for name, fn in mod.queries().items():
         df = fn(spark, SF_SMOKE)
         assert df.limit(1).count() >= 0, name
+
+
+def _complex_fields(schema) -> list[str]:
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f.name for f in schema.fields if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
+def test_no_complex_output_columns(spark):
+    """No gate may return an array/map/struct column. The driver
+    canonicalizes every result with a pandas ``sort_values`` over all
+    columns, which factorizes object columns — an unhashable cell
+    (numpy.ndarray from array<...>) raises TypeError and the gate
+    errors out even when the values are exactly right. This is how
+    round 3's only red row shipped (a0_sim_quantize_int8,
+    CORRECTNESS_r03.json) while compare.py showed 179/179 green.
+    String-render complex values instead (agg_collect convention,
+    operators/aggregates.py) and keep a numeric checksum column."""
+    mod = _entry_module()
+    offenders = {}
+    for name, fn in mod.queries().items():
+        bad = _complex_fields(fn(spark, SF_SMOKE).schema)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"complex-typed output columns crash the driver canonicalizer: {offenders}"
+    )
+
+
+def test_complex_output_guard_flags_arrays(spark):
+    """Self-test: the guard must flag a deliberately-arrayed frame
+    (and its string-rendered repair must pass)."""
+    from pyspark.sql import functions as F
+
+    bad = spark.range(1).select(F.array(F.lit(1), F.lit(2)).alias("q"))
+    assert _complex_fields(bad.schema) == ["q"]
+    good = bad.select(F.array_join(F.col("q").cast("array<string>"), ",").alias("q"))
+    assert _complex_fields(good.schema) == []

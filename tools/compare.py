@@ -69,6 +69,20 @@ def canon(df: pd.DataFrame) -> list[tuple]:
     return out
 
 
+def driver_canon(df: pd.DataFrame) -> None:
+    """Replicate the DRIVER's canonicalization verbatim: a pandas
+    ``sort_values`` over all columns. Round 3's only driver-red row
+    (a0_sim_quantize_int8) crashed inside this exact call — pandas
+    factorizes object columns for lexsort, and an unhashable cell
+    (numpy.ndarray from an array<...> output column) raises TypeError
+    — while this harness's home-grown tuple canonicalization sailed
+    through (VERDICT r3 "What's wrong" #2). Run the driver's form
+    FIRST so any output a driver would choke on fails locally too.
+    Result is discarded: the stricter exact-value comparison below
+    still uses canon()."""
+    df.sort_values(by=sorted(df.columns))
+
+
 def compare_one(spark, con, name: str, q, sf_dir: str, verbose: bool = True) -> dict:
     res: dict = {"name": name}
     t0 = time.time()
@@ -79,6 +93,12 @@ def compare_one(spark, con, name: str, q, sf_dir: str, verbose: bool = True) -> 
         return res
     res["spark_sec"] = round(time.time() - t0, 2)
     res["rows"] = len(sdf)
+
+    try:
+        driver_canon(sdf)
+    except Exception as exc:  # noqa: BLE001
+        res.update(status="DRIVER_CANON_ERROR", error=str(exc)[:500])
+        return res
 
     if q.oracle is None:
         res["status"] = "WEAK_OK" if len(sdf) >= 0 else "WEAK_EMPTY"
