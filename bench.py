@@ -74,7 +74,14 @@ EAGER_BUILDERS = {"stream_source_sink"}
 # runtime-settable and read at each execution's physical planning, so
 # setting it around the timed runs is enough — the logical plan is
 # unchanged.
-SHUFFLE_OVERRIDE = {"text_near_dedup_jaccard": "32"}
+SHUFFLE_OVERRIDE = {
+    "text_near_dedup_jaccard": "32",
+    # r4: the single-scan as-of window is mildly data-bound too —
+    # measured 0.137 s @8 / 0.129 s @16 / 0.132 s @32 (7-run medians);
+    # 16 splits the 200k-row per-user sort across twice the tasks
+    # without doubling scheduling overhead.
+    "join_asof": "16",
+}
 
 
 def materialize(df) -> None:

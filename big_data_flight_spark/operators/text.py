@@ -1053,3 +1053,232 @@ def text_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r4 curation additions: repetition quality stats, benchmark
+# decontamination, stratified split
+# ---------------------------------------------------------------------------
+
+@gate_query(
+    "text_repetition_stats",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, w, ord FROM (
+        SELECT doc_id,
+               unnest(string_split(lower(text), ' ')) AS w,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord
+        FROM documents
+      ) WHERE w <> ''
+    ),
+    wc AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+    ),
+    per_word AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(c) AS BIGINT) AS top_word_n
+      FROM wc GROUP BY doc_id
+    ),
+    bigr AS (
+      SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY ord) AS bg
+      FROM words
+    ),
+    bc AS (
+      SELECT doc_id, bg, COUNT(*) AS c FROM bigr WHERE bg IS NOT NULL
+      GROUP BY doc_id, bg
+    ),
+    per_bigram AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             CAST(MAX(c) AS BIGINT) AS top_bigram_n
+      FROM bc GROUP BY doc_id
+    )
+    SELECT w.doc_id, w.n_words, w.n_distinct, w.top_word_n,
+           b.top_bigram_n,
+           floor(w.top_word_n * 1e6 / w.n_words + 0.5) / 1e6 AS rep_word_ratio,
+           floor(b.top_bigram_n * 1e6 / b.n_bigrams + 0.5) / 1e6 AS rep_bigram_ratio
+    FROM per_word w JOIN per_bigram b ON w.doc_id = b.doc_id
+    """,
+    tags=("text", "quality"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText rule
+    family): per document, the fraction of tokens taken by the most
+    frequent word and the fraction of bigrams taken by the most
+    frequent bigram — high values mark boilerplate/spam for the
+    curation filter. Only the top COUNT is emitted (not which token):
+    the max count is unique per doc regardless of which token holds
+    it, so the output is deterministic across engines with no
+    tie-break contract on the token itself. Ratios use the mode-free
+    floor(x*1e6+0.5)/1e6 form (registry rule). Shape: explode →
+    (doc, term) partial-count → per-doc max/sum — two shuffles keyed
+    by doc-sized groups, no windows over raw tokens, embarrassingly
+    parallel at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    base = d.select("doc_id", F.filter(toks, lambda t: t != "").alias("toks"))
+    words = base.select("doc_id", F.explode("toks").alias("w"))
+    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    per_word = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("top_word_n"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.concat_ws(" ", F.element_at("toks", i), F.element_at("toks", i + 1)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    )
+    bc = bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    per_bigram = bc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.max("c").cast("long").alias("top_bigram_n"),
+    )
+    return per_word.join(per_bigram, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        "top_word_n",
+        "top_bigram_n",
+        (F.floor(F.col("top_word_n") * 1e6 / F.col("n_words") + 0.5) / 1e6).alias(
+            "rep_word_ratio"
+        ),
+        (F.floor(F.col("top_bigram_n") * 1e6 / F.col("n_bigrams") + 0.5) / 1e6).alias(
+            "rep_bigram_ratio"
+        ),
+    )
+
+
+@gate_query(
+    "text_decontaminate",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, w, ord FROM (
+        SELECT doc_id,
+               unnest(string_split(lower(text), ' ')) AS w,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord
+        FROM documents
+      ) WHERE w <> ''
+    ),
+    sh AS (
+      SELECT doc_id,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win || ' ' ||
+             lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win || ' ' ||
+             lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win || ' ' ||
+             lead(w, 7) OVER win AS shingle
+      FROM words
+      WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL
+    ),
+    probe AS (
+      SELECT doc_id AS probe_id, shingle FROM shingles WHERE doc_id % 50 = 0
+    ),
+    hits AS (
+      SELECT s.doc_id, s.shingle, p.probe_id
+      FROM shingles s JOIN probe p USING (shingle)
+      WHERE s.doc_id % 50 <> 0
+    )
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_shared_shingles,
+           CAST(COUNT(DISTINCT probe_id) AS BIGINT) AS n_probe_docs
+    FROM hits GROUP BY doc_id
+    """,
+    tags=("text", "dedup", "contamination"),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    8-gram word shingle with a held-out probe set (here the
+    deterministic pseudo-eval slice doc_id % 50 == 0 — in production,
+    the benchmark suite). This is the standard n-gram contamination
+    check (GPT-3 appendix C / The Pile): shingle both sides, inner
+    equi-join on the shingle's inverted index, count distinct shared
+    shingles and probe docs per corpus doc. NEVER all-pairs: the
+    shingle join only touches colliding postings, the same structural
+    win as text_near_dedup_jaccard. At 100 TB the probe side is tiny
+    (a benchmark suite) → broadcast; here both sides derive from the
+    corpus, so the join hash-partitions by shingle."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    grams = F.when(
+        F.size("toks") >= 8,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 7),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at("toks", i + k) for k in range(8)],
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shingles = (
+        d.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(grams).alias("shingle"))
+    )
+    probe = shingles.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("probe_id"), "shingle"
+    )
+    corpus = shingles.filter(F.col("doc_id") % 50 != 0)
+    return (
+        corpus.join(probe, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").cast("long").alias("n_shared_shingles"),
+            F.countDistinct("probe_id").cast("long").alias("n_probe_docs"),
+        )
+    )
+
+
+@gate_query(
+    "text_stratified_split",
+    oracle="""
+    WITH ordered AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN rn <= ceil(n_lang * 0.9) THEN 'train' ELSE 'val' END AS split
+    FROM ordered
+    """,
+    tags=("text", "sampling"),
+)
+def text_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified train/val split with exact per-language 90/10
+    quotas: order each language's docs by a deterministic hash
+    (md5 of the id string — hex-identical across engines, re-run
+    stable, uncorrelated with any data column) and cut at the quota.
+    Unlike bernoulli hash sampling (text_weighted_mix), the quota is
+    EXACT per stratum — ceil(0.9·n) docs land in train, always.
+    Scale note: one window per language partition; languages are few
+    → for very large strata swap in the sharded-window pattern
+    (text_pack_sequences_sharded) or sort-within-lang via
+    repartitionByRange on (lang, hash)."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n_lang"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("rn") <= F.ceil(F.col("n_lang") * 0.9), F.lit("train")
+        ).otherwise(F.lit("val")).alias("split"),
+    )

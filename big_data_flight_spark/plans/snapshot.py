@@ -65,6 +65,14 @@ SNAPSHOT = {
     # Quantization is a pure per-row projection: any Exchange in its
     # plan means somebody re-introduced a shuffle into a scan-speed op.
     "sim_quantize_int8": ["!Exchange", "=1:embeddings.parquet"],
+    # Contamination check (r4): candidate generation must stay an
+    # inverted-index equi-join on the shingle, never a nested loop
+    # over doc pairs — same contract as the banded-LSH plans.
+    "text_decontaminate": [
+        "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin",
+        "!BroadcastNestedLoopJoin",
+        "HashAggregate",
+    ],
 }
 
 

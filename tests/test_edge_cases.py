@@ -114,6 +114,27 @@ def test_fan_out_noop_on_wide_input(spark):
     assert fan_out(wide) is wide  # no extra exchange added
 
 
+def test_fan_out_noop_on_multifile_scan(spark, tmp_path):
+    """The cluster-scan case, not just a repartitioned frame: a real
+    multi-file parquet source already arrives in >= cores/2 splits, so
+    fan_out must return the SAME DataFrame — no round-robin exchange
+    sneaks into 100 TB plans (VERDICT r3 #8: extend the guard-logic
+    unit test to an actual multi-file read)."""
+    from big_data_flight_spark.io import fan_out, table
+    from tests.conftest import SF_SMOKE
+
+    n_files = spark.sparkContext.defaultParallelism
+    (
+        table(spark, SF_SMOKE, "lineitem")
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "li_multi"))
+    )
+    multi = spark.read.parquet(str(tmp_path / "li_multi"))
+    assert multi.rdd.getNumPartitions() >= max(2, n_files // 2)
+    assert fan_out(multi) is multi
+
+
 def test_scratch_sweep_guards(tmp_path, monkeypatch):
     """_sweep_stale_scratch: a LIVE pid always protects its dir; dead
     pids are swept only after the idle-age gate (review finding r3)."""
