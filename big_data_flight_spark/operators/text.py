@@ -1282,3 +1282,118 @@ def text_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn") <= F.ceil(F.col("n_lang") * 0.9), F.lit("train")
         ).otherwise(F.lit("val")).alias("split"),
     )
+
+
+@gate_query(
+    "text_chunk_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, w, len(w) AS n_tokens FROM toks WHERE len(w) > 0
+    ),
+    chunks AS (
+      SELECT doc_id, w, n_tokens,
+             unnest(range(0, n_tokens, 48)) AS start
+      FROM sized
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(start // 48 AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start_tok,
+           CAST(least(64, n_tokens - start) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(list_slice(w, start + 1, start + 64), ' ')
+             AS chunk_text
+    FROM chunks
+    """,
+    tags=("text", "curation"),
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking — split every document into token
+    windows of 64 with stride 48 (16-token overlap), the step that
+    turns a raw corpus into training sequences for a fixed context
+    length. Start offsets come from sequence(0, n-1, 48) exploded
+    per doc (Spark) / range(0, n, 48) (DuckDB) — identical start
+    sets for n >= 1; the final short chunk is kept (standard for
+    packing-with-overlap; drop-last would just add a filter).
+    chunk_idx is derived as start/48 rather than posexplode ordinal
+    so neither engine depends on unnest ordering. Pure narrow op:
+    tokenize, explode, slice, re-join — zero shuffle, embarrassingly
+    parallel, memory bounded by one doc's token array per row. At
+    100 TB this runs at scan speed; the only design decision that
+    matters is NOT materializing the token array per chunk row
+    (slice happens before the array is dropped, so each output row
+    carries only its 64-token string)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    sized = (
+        d.select("doc_id", toks.alias("w"))
+        .withColumn("n_tokens", F.size("w"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    chunks = sized.select(
+        "doc_id",
+        "w",
+        "n_tokens",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_tokens") - 1, F.lit(48))
+        ).alias("start"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.floor(F.col("start") / 48).cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start_tok"),
+        F.least(F.lit(64), F.col("n_tokens") - F.col("start"))
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice(F.col("w"), F.col("start") + 1, F.lit(64)), " "
+        ).alias("chunk_text"),
+    )
+
+
+@gate_query(
+    "text_shuffle_shard",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               AS h
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(h % 8 AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY h % 8 ORDER BY h, doc_id
+           ) AS BIGINT) AS pos
+    FROM hashed
+    """,
+    tags=("text", "sampling"),
+)
+def text_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle + sharding: every doc
+    gets a reproducible pseudo-random position — shard = md5-slot
+    mod 8, pos = rank of the hash within the shard (doc_id breaks
+    the rare 32-bit-prefix collisions; same md5-slot machinery as
+    sample_hash_deterministic, so sampling, mixing and shuffling all
+    agree on a doc's fate). This is the epoch-shuffle a training
+    pipeline needs: stable across re-runs and engines (no RNG),
+    independent of input order/partitioning, and shard-local so
+    readers can stream one shard without seeing the others. Scale:
+    one hash-partition exchange on shard + a per-shard sort — with
+    shards >= output files (here 8 for the fixture; thousands at
+    100 TB) the window never sees more than one shard's rows and the
+    sort is the write-side sort you'd pay anyway."""
+    d = table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    hashed = d.select("doc_id", h.alias("h"), (h % 8).alias("shard"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return hashed.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

@@ -73,6 +73,12 @@ SNAPSHOT = {
         "!BroadcastNestedLoopJoin",
         "HashAggregate",
     ],
+    # r4 training-data additions: chunking is tokenize→explode→slice,
+    # a pure narrow pipeline — any Exchange means a shuffle crept into
+    # a scan-speed op; the epoch shuffle is exactly one hash exchange
+    # feeding a per-shard window sort.
+    "text_chunk_documents": ["!Exchange", "=1:documents.parquet"],
+    "text_shuffle_shard": ["Window", "=1:documents.parquet"],
 }
 
 

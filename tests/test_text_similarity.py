@@ -253,3 +253,63 @@ def test_lss_components_random_graphs(spark, seed):
     e = spark.createDataFrame(edges, "u long, v long")
     got = {r["u"]: r["v"] for r in connected_components_lss(e).collect()}
     assert got == expected
+
+
+def test_chunk_documents_boundary_semantics(spark):
+    """Window/stride arithmetic on planted doc lengths: 1 token, exactly
+    one stride (48), exactly one window (64), window+1 (65), and a long
+    doc — n_chunks must be floor((n-1)/48)+1, the last chunk short."""
+    import big_data_flight_spark.operators.text as text_mod
+
+    texts = {
+        0: "w0",                                  # 1 token  -> 1 chunk
+        1: " ".join(f"t{i}" for i in range(48)),  # 48       -> 1 chunk
+        2: " ".join(f"t{i}" for i in range(64)),  # 64       -> 2 chunks
+        3: " ".join(f"t{i}" for i in range(65)),  # 65       -> 2 chunks
+        4: " ".join(f"t{i}" for i in range(200)), # 200      -> 5 chunks
+    }
+    d = _docs(spark, [texts[k] for k in sorted(texts)])
+    orig = text_mod.table
+    text_mod.table = lambda s, dd, n: d
+    try:
+        rows = text_mod.text_chunk_documents(spark, "ignored").collect()
+    finally:
+        text_mod.table = orig
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, chunks in by_doc.items():
+        n = len(texts[doc_id].split())
+        expect = (n - 1) // 48 + 1
+        assert len(chunks) == expect, (doc_id, n)
+        for c in sorted(chunks, key=lambda r: r["chunk_idx"]):
+            assert c["start_tok"] == c["chunk_idx"] * 48
+            assert c["n_chunk_tokens"] == min(64, n - c["start_tok"])
+            assert len(c["chunk_text"].split()) == c["n_chunk_tokens"]
+    # overlap: chunk k's last 16 tokens == chunk k+1's first 16 (full windows)
+    c200 = sorted(by_doc[4], key=lambda r: r["chunk_idx"])
+    w0, w1 = c200[0]["chunk_text"].split(), c200[1]["chunk_text"].split()
+    assert w0[48:] == w1[:16]
+
+
+def test_shuffle_shard_is_permutation_and_stable(spark):
+    """Every doc appears exactly once, positions are dense 1..n per
+    shard, and re-running yields the identical assignment (no RNG)."""
+    import big_data_flight_spark.operators.text as text_mod
+
+    d = _docs(spark, [f"doc number {i} body" for i in range(40)])
+    orig = text_mod.table
+    text_mod.table = lambda s, dd, n: d
+    try:
+        a = text_mod.text_shuffle_shard(spark, "ignored").collect()
+        b = text_mod.text_shuffle_shard(spark, "ignored").collect()
+    finally:
+        text_mod.table = orig
+    assert sorted(r["doc_id"] for r in a) == list(range(40))
+    shards = {}
+    for r in a:
+        shards.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in shards.items():
+        assert 0 <= shard < 8
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
