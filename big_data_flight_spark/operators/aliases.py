@@ -25,15 +25,19 @@ round so no family stays un-windowed for consecutive rounds):
   round-trip, sink compaction, both streaming twins, range/equi joins,
   range-frame + running windows, mapInArrow, multimodal dedup, map
   functions, set-except, tfidf, deterministic sampling).
+* NEW (session 2): the 5 gates born this session — chunking, epoch
+  shuffle, matryoshka truncation, xml round-trip, chunk→pack
+  pipeline — so no brand-new gate ships without a driver row.
 
-Displacement math (window = 20 ``a0_*`` + the 30 next names,
-``agg_approx_distinct``…``evt_rfm``): the six names this pushes out of
-round 3's window — evt_rollup_cascade, evt_session_window,
-evt_sessionize_stats, evt_sliding_window, evt_stateful_funnel,
-evt_transition_matrix — are ALL green in CORRECTNESS_r03.json, and
-every displaced gate is re-verified each round by the committed
+Displacement math (window = 25 ``a0_*`` + the 25 next names,
+``agg_approx_distinct``…``evt_dedup``): the names pushed out of round
+3's window — evt_rollup_cascade … evt_transition_matrix by the
+session-1 set, evt_gap_fill / evt_late_data / evt_rate_alert /
+evt_retention / evt_rfm by the session-2 five — are ALL green in
+CORRECTNESS_r03.json (the last five in r1 and r2 as well), and every
+displaced gate is re-verified each round by the committed
 full-registry COMPARE_LOCAL.json artifact, so net driver-verified
-surface strictly grows (cumulative ≥ 83/165 distinct gates after r4).
+surface strictly grows (cumulative ≥ 88/173 distinct gates after r4).
 """
 
 from __future__ import annotations
@@ -70,6 +74,19 @@ _ALIASES = {
     "a0_fn_map": "fn_map",
     "a0_set_except": "set_except",
     "a0_sample_rows": "sample_rows",
+    # session-2 additions: every BRAND-NEW gate gets a driver row the
+    # round it ships — the r2 (rerank) / r3 (quantize) lesson was that
+    # the newest gate is exactly where driver-visible defects hide.
+    # Displacing these 5 pushes evt_gap_fill / evt_late_data /
+    # evt_rate_alert / evt_retention / evt_rfm out of the 50-name
+    # window; all five are driver-green in r1 AND r2 AND r3
+    # (verified against the committed CORRECTNESS artifacts) and stay
+    # covered by COMPARE_LOCAL.json.
+    "a0_text_chunk_documents": "text_chunk_documents",
+    "a0_text_shuffle_shard": "text_shuffle_shard",
+    "a0_sim_matryoshka_truncate": "sim_matryoshka_truncate",
+    "a0_scan_xml": "scan_xml",
+    "a0_text_chunk_pack_pipeline": "text_chunk_pack_pipeline",
 }
 
 

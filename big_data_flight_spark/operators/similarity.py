@@ -821,3 +821,97 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("l1_q"),
         )
     )
+
+
+@gate_query(
+    "sim_matryoshka_truncate",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS norm_full,
+             e[1:8] AS sub
+      FROM d
+    ),
+    m AS (
+      SELECT vec_id, norm_full, sub,
+             sqrt(list_sum(list_transform(sub, x -> x * x))) AS norm_sub
+      FROM n
+    ),
+    r AS (
+      SELECT vec_id, norm_full, norm_sub,
+             CASE WHEN norm_sub = 0
+                  THEN list_transform(sub, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(sub, x ->
+                    CAST(floor(x / norm_sub * 1e6 + 0.5) AS BIGINT))
+             END AS qm
+      FROM m
+    )
+    SELECT vec_id,
+           floor(norm_full * 1e6 + 0.5) / 1e6 AS norm_full,
+           floor(CASE WHEN norm_full = 0 THEN 0.0
+                      ELSE norm_sub / norm_full END * 1e6 + 0.5) / 1e6
+             AS energy_8,
+           array_to_string(qm, ',') AS q8,
+           CAST(list_sum(list_transform(qm, v -> abs(v))) AS BIGINT) AS l1_q8
+    FROM r
+    """,
+    tags=("similarity", "quantize"),
+)
+def sim_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation: keep the first 8 of 64 embedding
+    dims and re-normalize — the storage/latency knob used when a model
+    was trained with nested (MRL) representations. Outputs the
+    retained-energy ratio ||e[:8]|| / ||e|| (how much of the vector's
+    norm the prefix carries) and the re-normalized prefix.
+
+    Parity discipline: float32 elements cast to double BEFORE any
+    arithmetic; norms via an ordered left fold (F.aggregate == DuckDB
+    list_sum, both in list order) and IEEE sqrt, so the doubles agree
+    bit-for-bit; the re-normalized prefix is emitted as INTEGER
+    micro-units (floor(v*1e6 + 0.5), Spark floor(double) is already
+    LONG) then string-joined — integers render identically across
+    engines, sidestepping double->string formatting divergence (the
+    agg_collect convention, kept numeric in the l1_q8 checksum);
+    zero-norm vectors short-circuit to all-zero output in both
+    engines (NULL-vs-NaN division guard, same as sim_quantize_int8).
+    Pure per-row projection: zero shuffle, scan-speed, trivially
+    embarrassingly parallel at 100 TB."""
+    e = table(spark, sf_dir, "embeddings")
+    as_dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq_sum = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0.0), lambda a, x: a + x * x
+    )
+    d = (
+        e.select("vec_id", as_dbl.alias("e"))
+        .withColumn("norm_full", F.sqrt(sq_sum(F.col("e"))))
+        .withColumn("sub", F.slice(F.col("e"), 1, 8))
+    )
+    d = d.withColumn("norm_sub", F.sqrt(sq_sum(F.col("sub"))))
+    qm = F.when(
+        F.col("norm_sub") == 0.0,
+        F.transform(F.col("sub"), lambda x: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(
+            F.col("sub"),
+            lambda x: F.floor(x / F.col("norm_sub") * 1e6 + 0.5),
+        )
+    )
+    energy = F.when(F.col("norm_full") == 0.0, F.lit(0.0)).otherwise(
+        F.col("norm_sub") / F.col("norm_full")
+    )
+    return d.select(
+        "vec_id",
+        (F.floor(F.col("norm_full") * 1e6 + 0.5) / 1e6).alias("norm_full"),
+        (F.floor(energy * 1e6 + 0.5) / 1e6).alias("energy_8"),
+        F.array_join(qm.cast("array<string>"), ",").alias("q8"),
+        F.aggregate(
+            F.transform(qm, lambda v: F.abs(v)),
+            F.lit(0).cast("long"),
+            lambda a, v: a + v,
+        ).alias("l1_q8"),
+    )

@@ -1397,3 +1397,98 @@ def text_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shard").cast("long").alias("shard"),
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+@gate_query(
+    "text_chunk_pack_pipeline",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS n_tokens
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(doc_id % 16 AS BIGINT) AS shard,
+             CAST(start // 48 AS BIGINT) AS chunk_idx,
+             least(64, n_tokens - start) AS n_chunk_tokens
+      FROM (SELECT doc_id, n_tokens, unnest(range(0, n_tokens, 48)) AS start
+            FROM sized WHERE n_tokens > 0)
+    ),
+    placed AS (
+      SELECT shard, doc_id, chunk_idx, n_chunk_tokens,
+             shard * 1099511627776 +
+             CAST(FLOOR((SUM(n_chunk_tokens) OVER (
+                           PARTITION BY shard ORDER BY doc_id, chunk_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_chunk_tokens) / 512.0) AS BIGINT) AS bin_id
+      FROM chunks
+    )
+    SELECT bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_chunk_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM placed
+    GROUP BY bin_id
+    """,
+    tags=("text", "curation"),
+)
+def text_chunk_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus → training-sequence accounting in ONE lazy
+    plan: context-window chunking (64-token windows, stride 48 — the
+    text_chunk_documents arithmetic) feeding sharded sequence packing
+    (512-token bins per doc_id%16 shard, namespaced bin ids — the
+    text_pack_sequences_sharded recipe). The composition is the point:
+    Catalyst fuses both steps into scan → explode → one shard-window
+    shuffle → hash agg.
+
+    Scale observation this gate pins: bin PLACEMENT needs only each
+    chunk's token count — derived from n_tokens alone, so the document
+    text is pruned at the scan and chunk payloads never enter the
+    shuffle (ReadSchema carries doc_id + text only as far as the
+    tokenize projection; the window moves 3 longs per chunk). The
+    payload slice-and-write happens chunk-locally afterwards, keyed by
+    (doc_id, chunk_idx) — embarrassingly parallel, no second
+    shuffle."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    sized = d.select("doc_id", F.size(toks).alias("n_tokens")).filter(
+        F.col("n_tokens") > 0
+    )
+    chunks = sized.select(
+        "doc_id",
+        (F.col("doc_id") % 16).cast("long").alias("shard"),
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_tokens") - 1, F.lit(48))
+        ).alias("start"),
+        "n_tokens",
+    ).select(
+        "doc_id",
+        "shard",
+        F.floor(F.col("start") / 48).cast("long").alias("chunk_idx"),
+        F.least(F.lit(64), F.col("n_tokens") - F.col("start")).alias(
+            "n_chunk_tokens"
+        ),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = chunks.withColumn(
+        "bin_id",
+        F.col("shard") * F.lit(1099511627776).cast("long")
+        + F.floor(
+            (F.sum("n_chunk_tokens").over(w) - F.col("n_chunk_tokens")) / 512.0
+        ).cast("long"),
+    )
+    return placed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").cast("long").alias("total_tokens"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -79,6 +79,12 @@ SNAPSHOT = {
     # feeding a per-shard window sort.
     "text_chunk_documents": ["!Exchange", "=1:documents.parquet"],
     "text_shuffle_shard": ["Window", "=1:documents.parquet"],
+    # Matryoshka truncation is a pure projection like quantize — no
+    # Exchange may ever appear.
+    "sim_matryoshka_truncate": ["!Exchange", "=1:embeddings.parquet"],
+    # Chunk→pack composition: one scan, one shard-window shuffle, one
+    # hash agg — Catalyst must fuse the two pipeline steps.
+    "text_chunk_pack_pipeline": ["Window", "HashAggregate", "=1:documents.parquet"],
 }
 
 

@@ -356,3 +356,50 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price")
     )
+
+
+_XML_SCHEMA = T.StructType(
+    [
+        T.StructField("p_partkey", T.LongType()),
+        T.StructField("p_brand", T.StringType()),
+        T.StructField("p_size", T.LongType()),
+        T.StructField("p_retailprice", T.DoubleType()),
+    ]
+)
+
+
+@gate_query(
+    "scan_xml",
+    oracle=f"""
+    SELECT p_brand, COUNT(*) AS n, {DSUM("p_retailprice", "sum_price")},
+           CAST(SUM(p_size) AS BIGINT) AS sum_size,
+           CAST(MIN(p_partkey) AS BIGINT) AS min_key
+    FROM part WHERE p_partkey < 1000
+    GROUP BY p_brand
+    """,
+    tags=("source",),
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip on Spark 4's built-in XML source (merged
+    spark-xml): write a part slice as <part> row elements, read back
+    with an EXPLICIT schema (schema-on-read, no inference job), and
+    aggregate. The oracle aggregates the original parquet — a value
+    match proves element encoding/escaping and double formatting
+    survived the trip. Same distributed properties as the CSV/JSON
+    round-trips: splittable writes, per-file parallel reads, and the
+    explicit schema keeps the read single-pass at 100 TB (inference
+    would scan twice)."""
+    out = os.path.join(_TMP, "xml_part")
+    src = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 1000)
+        .select("p_partkey", "p_brand", "p_size", "p_retailprice")
+    )
+    src.write.mode("overwrite").format("xml").option("rowTag", "part").save(out)
+    df = spark.read.schema(_XML_SCHEMA).format("xml").option("rowTag", "part").load(out)
+    return df.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("p_retailprice", "sum_price"),
+        F.sum("p_size").alias("sum_size"),
+        F.min("p_partkey").alias("min_key"),
+    )
