@@ -448,3 +448,31 @@ def cdc_latest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(latest, mode="complete")
+
+
+@gate_query(
+    "stream_windowed_agg",
+    oracle="""
+    SELECT
+      time_bucket(INTERVAL '1 day', ts) AS day_start,
+      event_type,
+      COUNT(*) AS n
+    FROM events
+    GROUP BY day_start, event_type
+    """,
+    tags=("streaming", "event"),
+)
+def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time windowed aggregation — THE canonical
+    Structured Streaming op — as a driver-gated query, not just a
+    tested twin: readStream → withWatermark(1h) → window(1 day) →
+    count → memory sink, drained with availableNow. The strong batch
+    oracle holds because with a bounded source every window emits
+    (nothing arrives later than the final watermark) and counting is
+    arrival-order-insensitive; window starts align to epoch midnight
+    under the pinned UTC session tz, matching time_bucket. At scale
+    this is the continuously-running form of evt_tumbling_window:
+    state per (window, event_type) is bounded by the watermark
+    horizon, and the same plan serves micro-batch or continuous
+    triggers unchanged."""
+    return tumbling_window_stream(spark, sf_dir)
