@@ -160,3 +160,35 @@ def test_scratch_sweep_guards(tmp_path, monkeypatch):
     assert live_old.exists()      # alive → protected at any age
     assert not dead_old.exists()  # dead + idle > gate → swept
     assert dead_new.exists()      # dead but recent → grace period
+
+
+def test_flagship_layout_invariant(spark, tmp_path):
+    """Same answer regardless of physical layout: the flagship run on
+    the single-file fixture and on a 16-file re-write of the same rows
+    must produce identical values — the property that lets the engine
+    move from the fixture to a partitioned 100 TB directory without a
+    semantic change (io.table takes any path Spark can scan)."""
+    import big_data_flight_spark.operators.aggregates as agg_mod
+    from big_data_flight_spark.io import table
+    from tests.conftest import SF_SMOKE
+
+    out = str(tmp_path / "li16")
+    table(spark, SF_SMOKE, "lineitem").repartition(16).write.mode(
+        "overwrite"
+    ).parquet(out)
+
+    single = agg_mod.flagship(spark, SF_SMOKE).collect()
+
+    orig = agg_mod.table
+    try:
+        agg_mod.table = lambda s, d, n: (
+            s.read.parquet(out) if n == "lineitem" else orig(s, d, n)
+        )
+        multi = agg_mod.flagship(spark, SF_SMOKE).collect()
+    finally:
+        agg_mod.table = orig
+
+    key = lambda r: (r["l_returnflag"], r["l_linestatus"])  # noqa: E731
+    assert sorted(map(tuple, sorted(single, key=key))) == sorted(
+        map(tuple, sorted(multi, key=key))
+    )
