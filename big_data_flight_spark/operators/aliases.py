@@ -25,20 +25,21 @@ round so no family stays un-windowed for consecutive rounds):
   round-trip, sink compaction, both streaming twins, range/equi joins,
   range-frame + running windows, mapInArrow, multimodal dedup, map
   functions, set-except, tfidf, deterministic sampling).
-* NEW (session 2): the 6 gates born this session — chunking, epoch
+* NEW (session 2): the 7 gates born this session — chunking, epoch
   shuffle, matryoshka truncation, xml round-trip, chunk→pack
-  pipeline, watermarked streaming window agg — so no brand-new gate
-  ships without a driver row.
+  pipeline, watermarked streaming window agg, mergeSchema drift
+  ingest — so no brand-new gate ships without a driver row.
 
-Displacement math (window = 26 ``a0_*`` + the 24 next names,
-``agg_approx_distinct``…``evt_cooccurrence_pmi``): the names pushed
+Displacement math (window = 27 ``a0_*`` + the 23 next names,
+``agg_approx_distinct``…``etl_scd2_intervals``): the names pushed
 out of round 3's window — evt_rollup_cascade … evt_transition_matrix
 by the session-1 set, evt_gap_fill / evt_late_data / evt_rate_alert /
-evt_retention / evt_rfm / evt_dedup by the session-2 six — are ALL
-green in CORRECTNESS_r03.json (the last six in r1 and r2 as well),
-and every displaced gate is re-verified each round by the committed
-full-registry COMPARE_LOCAL.json artifact, so net driver-verified
-surface strictly grows (cumulative ≥ 89/174 distinct gates after r4).
+evt_retention / evt_rfm / evt_dedup / evt_cooccurrence_pmi by the
+session-2 seven — are ALL green in CORRECTNESS_r03.json (the last
+seven in r1 and r2 as well), and every displaced gate is re-verified
+each round by the committed full-registry COMPARE_LOCAL.json
+artifact, so net driver-verified surface strictly grows (cumulative
+≥ 90/175 distinct gates after r4).
 """
 
 from __future__ import annotations
@@ -90,6 +91,8 @@ _ALIASES = {
     "a0_text_chunk_pack_pipeline": "text_chunk_pack_pipeline",
     # displaces evt_dedup (green r1+r2+r3)
     "a0_stream_windowed_agg": "stream_windowed_agg",
+    # displaces evt_cooccurrence_pmi (green r1+r2+r3)
+    "a0_scan_schema_evolution": "scan_schema_evolution",
 }
 
 

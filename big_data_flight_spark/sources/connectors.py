@@ -403,3 +403,51 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p_size").alias("sum_size"),
         F.min("p_partkey").alias("min_key"),
     )
+
+
+@gate_query(
+    "scan_schema_evolution",
+    oracle=f"""
+    SELECT CASE WHEN o_orderkey < 500 THEN NULL ELSE o_orderpriority END
+             AS priority,
+           COUNT(*) AS n,
+           {DSUM("o_totalprice", "sum_price")},
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM orders
+    WHERE o_orderkey < 1000
+    GROUP BY priority
+    """,
+    tags=("source", "etl"),
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift ingest: two parquet batches of the same logical
+    table where the OLDER batch predates a column (orders < 500
+    written without o_orderpriority, >= 500 with it), read back as one
+    dataset with mergeSchema=true — the reader unions the footers and
+    nulls the missing column for old files, exactly what a 100 TB
+    directory accumulated across pipeline versions needs. The oracle
+    reproduces the drift declaratively on the source table (the
+    round-trip-oracle trick of scan_csv: a value match proves the
+    merged read preserved every row and nulled exactly the pre-drift
+    slice). Plan note: mergeSchema is a footer-only driver-side merge
+    — the data path stays parallel scans; keep it OFF for stable-
+    schema tables (footer merge is O(files)) and evolve via explicit
+    schema where possible."""
+    out = os.path.join(_TMP, "schema_evolution")
+    src = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    src.filter(F.col("o_orderkey") < 500).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(os.path.join(out, "b1"))
+    src.filter(F.col("o_orderkey") >= 500).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(os.path.join(out, "b2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "b1"), os.path.join(out, "b2")
+    )
+    return merged.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", "sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+    )
