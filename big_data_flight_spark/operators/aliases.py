@@ -25,21 +25,22 @@ round so no family stays un-windowed for consecutive rounds):
   round-trip, sink compaction, both streaming twins, range/equi joins,
   range-frame + running windows, mapInArrow, multimodal dedup, map
   functions, set-except, tfidf, deterministic sampling).
-* NEW (session 2): the 7 gates born this session — chunking, epoch
+* NEW (session 2): the 8 gates born this session — chunking, epoch
   shuffle, matryoshka truncation, xml round-trip, chunk→pack
   pipeline, watermarked streaming window agg, mergeSchema drift
-  ingest — so no brand-new gate ships without a driver row.
+  ingest, range+sort time-series layout — so no brand-new gate ships
+  without a driver row.
 
-Displacement math (window = 27 ``a0_*`` + the 23 next names,
-``agg_approx_distinct``…``etl_scd2_intervals``): the names pushed
+Displacement math (window = 28 ``a0_*`` + the 22 next names,
+``agg_approx_distinct``…``etl_merge_upsert``): the names pushed
 out of round 3's window — evt_rollup_cascade … evt_transition_matrix
 by the session-1 set, evt_gap_fill / evt_late_data / evt_rate_alert /
-evt_retention / evt_rfm / evt_dedup / evt_cooccurrence_pmi by the
-session-2 seven — are ALL green in CORRECTNESS_r03.json (the last
-seven in r1 and r2 as well), and every displaced gate is re-verified
-each round by the committed full-registry COMPARE_LOCAL.json
-artifact, so net driver-verified surface strictly grows (cumulative
-≥ 90/175 distinct gates after r4).
+evt_retention / evt_rfm / evt_dedup / evt_cooccurrence_pmi /
+etl_scd2_intervals by the session-2 eight — are ALL green in
+CORRECTNESS_r03.json (and in r1 and r2), and every displaced gate is
+re-verified each round by the committed full-registry
+COMPARE_LOCAL.json artifact, so net driver-verified surface strictly
+grows (cumulative ≥ 91/176 distinct gates after r4).
 """
 
 from __future__ import annotations
@@ -93,6 +94,8 @@ _ALIASES = {
     "a0_stream_windowed_agg": "stream_windowed_agg",
     # displaces evt_cooccurrence_pmi (green r1+r2+r3)
     "a0_scan_schema_evolution": "scan_schema_evolution",
+    # displaces etl_scd2_intervals (green r1+r2+r3)
+    "a0_sink_sorted_layout": "sink_sorted_layout",
 }
 
 

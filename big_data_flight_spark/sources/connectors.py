@@ -451,3 +451,50 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("o_totalprice", "sum_price"),
         F.min("o_orderkey").alias("min_key"),
     )
+
+
+@gate_query(
+    "sink_sorted_layout",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, {DSUM("value", "sum_value")},
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-17 00:00:00'
+    GROUP BY event_type
+    """,
+    tags=("sink", "source"),
+)
+def sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series write layout: repartitionByRange(ts) +
+    sortWithinPartitions(ts) → parquet, then read back with a week
+    predicate and aggregate. Range partitioning puts disjoint time
+    spans in separate files and the in-file sort makes row-group
+    min/max statistics tight, so a time predicate prunes whole files
+    AND whole row groups at plan time — the layout every append-only
+    event store needs at 100 TB (there: partitionBy(date) for
+    directory pruning + this sort for row-group pruning within each
+    date). The oracle runs the same week filter on the source table —
+    a value match proves the re-layout lost and duplicated nothing
+    while making the scan prunable."""
+    out = os.path.join(_TMP, "sorted_events")
+    src = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    (
+        src.repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(
+        (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-17").cast("timestamp"))
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", "sum_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
