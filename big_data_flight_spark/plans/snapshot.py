@@ -85,6 +85,10 @@ SNAPSHOT = {
     # Chunk→pack composition: one scan, one shard-window shuffle, one
     # hash agg — Catalyst must fuse the two pipeline steps.
     "text_chunk_pack_pipeline": ["Window", "HashAggregate", "=1:documents.parquet"],
+    # The sorted-layout read-back: the week predicate must reach the
+    # re-written parquet's row groups (that pruning is the layout's
+    # whole point).
+    "sink_sorted_layout": ["PushedFilters", "HashAggregate"],
 }
 
 
