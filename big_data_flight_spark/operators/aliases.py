@@ -96,6 +96,12 @@ _ALIASES = {
     "a0_scan_schema_evolution": "scan_schema_evolution",
     # displaces etl_scd2_intervals (green r1+r2+r3)
     "a0_sink_sorted_layout": "sink_sorted_layout",
+    # session-3 additions (same brand-new-gate rule); displacing these
+    # 2 pushes etl_cdc_latest_snapshot / etl_merge_upsert out of the
+    # window — both driver-green in r1+r2+r3 and covered by
+    # COMPARE_LOCAL.json.
+    "a0_sim_hamming_topk": "sim_hamming_topk",
+    "a0_stream_dedup": "stream_dedup",
 }
 
 

@@ -915,3 +915,90 @@ def sim_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, v: a + v,
         ).alias("l1_q8"),
     )
+
+
+@gate_query(
+    "sim_hamming_topk",
+    oracle="""
+    WITH sig AS (
+      SELECT vec_id,
+        CAST(list_sum(list_transform(range(1, 33), i ->
+          CASE WHEN CAST(embedding[i] AS DOUBLE) > 0 THEN 2 ** (i - 1) ELSE 0 END))
+          AS BIGINT) AS sig_lo,
+        CAST(list_sum(list_transform(range(33, 65), i ->
+          CASE WHEN CAST(embedding[i] AS DOUBLE) > 0 THEN 2 ** (i - 33) ELSE 0 END))
+          AS BIGINT) AS sig_hi
+      FROM embeddings
+    )
+    SELECT query_id, neighbor_id, hamming, rn FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(q.sig_lo, c.sig_lo))
+                + bit_count(xor(q.sig_hi, c.sig_hi)) AS BIGINT) AS hamming,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY bit_count(xor(q.sig_lo, c.sig_lo))
+                      + bit_count(xor(q.sig_hi, c.sig_hi)), c.vec_id
+             ) AS BIGINT) AS rn
+      FROM sig q JOIN sig c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 8
+    ) WHERE rn <= 5
+    """,
+    tags=("similarity", "quantize"),
+)
+def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (1-bit sign) quantization + Hamming-distance retrieval —
+    the most aggressive point on the embedding-compression curve after
+    sim_quantize_int8: 64 float32 dims collapse to 8 BYTES per vector
+    (two 32-bit halves packed into BIGINTs; the split avoids the
+    engine-specific sign-bit-63 shift edge entirely). Retrieval is
+    integer-only — bit_count(xor(sig_a, sig_b)) — so the oracle is
+    exact with zero float-parity risk, and ties on the small 0..64
+    Hamming range are broken by neighbor_id (total order, registry
+    rule). Scale posture mirrors sim_topk_neighbors: the 8 query
+    signatures are broadcast, the corpus side streams (repartitioned
+    off the single fixture split); at 100 TB the corpus scan reads
+    8 bytes/vector instead of 256 — a 32x scan-bandwidth win — and
+    the usual pipeline re-ranks the Hamming candidates with exact
+    cosine (sim_rerank_pandas is that stage here)."""
+    e = table(spark, sf_dir, "embeddings")
+
+    def _sig(lo: int):
+        terms = [
+            F.when(
+                F.col("embedding")[i].cast("double") > 0,
+                F.lit(1 << (i - lo)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(lo, lo + 32)
+        ]
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        return acc
+
+    sigs = e.select("vec_id", _sig(0).alias("sig_lo"), _sig(32).alias("sig_hi"))
+    q = sigs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sig_lo").alias("q_lo"),
+        F.col("sig_hi").alias("q_hi"),
+    )
+    c = sigs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("sig_lo").alias("c_lo"),
+        F.col("sig_hi").alias("c_hi"),
+    ).repartition(32)
+    ham = (
+        F.bit_count(F.col("q_lo").bitwiseXOR(F.col("c_lo")))
+        + F.bit_count(F.col("q_hi").bitwiseXOR(F.col("c_hi")))
+    ).cast("long")
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", ham.alias("hamming"))
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "hamming", "rn")
+    )

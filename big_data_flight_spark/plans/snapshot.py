@@ -89,6 +89,11 @@ SNAPSHOT = {
     # re-written parquet's row groups (that pruning is the layout's
     # whole point).
     "sink_sorted_layout": ["PushedFilters", "HashAggregate"],
+    # Binary-signature retrieval (session 3): the 8-byte signatures
+    # are computed in-scan (integer codegen), the tiny query side is
+    # broadcast against the streamed corpus, and the per-query top-5
+    # must push into the window — same contract as win_topk_per_group.
+    "sim_hamming_topk": ["BroadcastNestedLoopJoin", "WindowGroupLimit"],
 }
 
 

@@ -133,6 +133,29 @@ def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(deduped, mode="append")
 
 
+@gate_query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    """,
+    tags=("streaming", "event"),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup as a driver-gated query: readStream
+    → withWatermark(1h) → dropDuplicatesWithinWatermark(event_id) →
+    append-mode memory sink. The oracle is strong and simple because
+    event_id is unique in the fixtures (verified: count = distinct
+    count), so exactly-once delivery must reproduce the full
+    projection byte-for-byte; with availableNow over the bounded
+    single-file source everything lands in one micro-batch, so the
+    starting watermark drops nothing. The 100 TB posture is the point
+    of the operator: dedup state is bounded by the 1-hour watermark
+    horizon instead of growing with the stream's lifetime (contrast
+    plain dropDuplicates, whose state never expires), which is the
+    only viable shape for a continuously-running ingest dedup."""
+    return dedup_stream(spark, sf_dir)
+
+
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched against a static
     dimension (per-user lifetime purchase counts computed batch-side).
