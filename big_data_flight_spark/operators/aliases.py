@@ -102,6 +102,11 @@ _ALIASES = {
     # COMPARE_LOCAL.json.
     "a0_sim_hamming_topk": "sim_hamming_topk",
     "a0_stream_dedup": "stream_dedup",
+    # session-3 graph family (brand-new gates + the family's first-ever
+    # driver rows); displacing these 2 pushes distinct_rows / dq_profile
+    # out of the window — both r3-green and covered by COMPARE_LOCAL.
+    "a0_graph_pagerank": "graph_pagerank",
+    "a0_graph_degree_hist": "graph_degree_hist",
 }
 
 

@@ -94,6 +94,13 @@ SNAPSHOT = {
     # broadcast against the streamed corpus, and the per-query top-5
     # must push into the window — same contract as win_topk_per_group.
     "sim_hamming_topk": ["BroadcastNestedLoopJoin", "WindowGroupLimit"],
+    # Iterative PageRank (session 3): each round's localCheckpoint
+    # cuts lineage (LSS rule), so the FINAL plan must read the last
+    # round's materialized scores as an ExistingRDD scan — a deep
+    # 3-round join tree here would mean the checkpoint regressed. The
+    # per-iteration broadcast-join shape is asserted in
+    # tests/test_plans.py against a single un-checkpointed round.
+    "graph_pagerank": ["ExistingRDD", "!BroadcastHashJoin"],
 }
 
 

@@ -77,6 +77,7 @@ def _load_all_operator_modules() -> None:
     import big_data_flight_spark.operators.aggregates  # noqa: F401
     import big_data_flight_spark.operators.etl  # noqa: F401
     import big_data_flight_spark.operators.events  # noqa: F401
+    import big_data_flight_spark.operators.graph  # noqa: F401
     import big_data_flight_spark.operators.joins  # noqa: F401
     import big_data_flight_spark.operators.multimodal  # noqa: F401
     import big_data_flight_spark.operators.relational  # noqa: F401

@@ -119,3 +119,44 @@ def test_zorder_layout_tightens_file_bounds(spark, tmp_path):
     coded.repartitionByRange(8, "zorder").sortWithinPartitions("zorder").write.parquet(z_dir)
     coded.repartitionByRange(8, "p_partkey").write.parquet(base_dir)
     assert mean_bound_area(z_dir) < 0.5 * mean_bound_area(base_dir)
+
+
+def test_pagerank_iteration_broadcasts_scores(spark):
+    """One un-checkpointed PageRank round must broadcast the small
+    score table against the edge list (never shuffle edges on src) —
+    the gated plan can't show this because each round's
+    localCheckpoint cuts lineage (the snapshot asserts ExistingRDD
+    instead), so the per-iteration shape is pinned here."""
+    from pyspark.sql import functions as F
+
+    from big_data_flight_spark.operators.graph import _trading_edges
+
+    edges = _trading_edges(spark, SF_SMOKE)
+    deg = (
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed("src", "node")
+    )
+    sd = deg.select("node", F.lit(1_000_000).cast("long").alias("score"), "d")
+    contrib = (
+        edges.join(F.broadcast(sd), edges.src == sd.node)
+        .groupBy("dst")
+        .agg(F.sum(F.floor(F.col("score") / F.col("d"))).alias("contrib"))
+    )
+    plan = _plan(contrib)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_scores_conserve_mass(spark):
+    """Sanity invariant of the integer formulation: every node's score
+    stays positive and total mass stays within the floor-loss bound of
+    N * SCALE (each of the 3 rounds can only lose to floor(), never
+    create mass)."""
+    from big_data_flight_spark.operators.graph import _SCALE, graph_pagerank
+
+    rows = graph_pagerank(spark, SF_SMOKE).collect()
+    n = len(rows)
+    total = sum(r.score for r in rows)
+    assert n > 0 and all(r.score > 0 for r in rows)
+    assert total <= n * _SCALE
+    # floor-loss across 3 rounds is tiny relative to total mass
+    assert total > 0.95 * n * _SCALE
