@@ -107,6 +107,8 @@ _ALIASES = {
     # out of the window — both r3-green and covered by COMPARE_LOCAL.
     "a0_graph_pagerank": "graph_pagerank",
     "a0_graph_degree_hist": "graph_degree_hist",
+    # session-3: sixth dedup modality (displaces agg_stats — r3-green)
+    "a0_text_near_dedup_editdist": "text_near_dedup_editdist",
 }
 
 

@@ -1492,3 +1492,49 @@ def text_chunk_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@gate_query(
+    "text_near_dedup_editdist",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text, substring(text, 1, 32) AS blk FROM documents
+    )
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           CAST(levenshtein(a.text, c.text) AS BIGINT) AS edit_dist
+    FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+    WHERE levenshtein(a.text, c.text) <= 16
+    """,
+    tags=("text", "dedup"),
+)
+def text_near_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance near-dup — the sixth dedup modality
+    (exact hash, shingle-Jaccard, MinHash-LSH, SimHash, embedding-
+    cosine, and now character-level Levenshtein), catching the
+    small-insertion/typo duplicates token-set methods miss (the
+    fixtures plant pairs at distance 4 that share zero shingle
+    advantage). Candidate generation is prefix blocking: docs joined
+    on their first 32 characters — an equi-join, NEVER an all-pairs
+    nested loop (the Levenshtein DP is O(len^2) per pair; at 100 TB
+    the blocked join yields ~0 candidates per doc while the quadratic
+    form is impossible). The declared semantics ARE the blocked form
+    (both engines compute identical blocks, so the oracle is exact);
+    recall is bounded by the block key — an edit inside the first 32
+    chars moves a doc to another block, the standard prefix-blocking
+    trade documented in record-linkage practice. Exact DP distance
+    verifies candidates on both sides; integer output, zero float
+    parity risk."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.substring("text", 1, 32).alias("blk")
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"), "blk"
+    ).repartition(32, "blk")
+    c = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"), "blk")
+    return (
+        a.join(c, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("edit_dist", F.levenshtein("text_a", "text_b").cast("long"))
+        .filter(F.col("edit_dist") <= 16)
+        .select("doc_a", "doc_b", "edit_dist")
+    )

@@ -101,6 +101,14 @@ SNAPSHOT = {
     # per-iteration broadcast-join shape is asserted in
     # tests/test_plans.py against a single un-checkpointed round.
     "graph_pagerank": ["ExistingRDD", "!BroadcastHashJoin"],
+    # Blocked edit-distance dedup: candidates must come from the
+    # prefix-block equi-join, never an all-pairs nested loop (the
+    # Levenshtein DP is quadratic per pair — same contract as the
+    # banded-LSH and decontaminate plans).
+    "text_near_dedup_editdist": [
+        "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin",
+        "!BroadcastNestedLoopJoin",
+    ],
 }
 
 
