@@ -217,3 +217,45 @@ def test_partition_count_invariance(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     for g, (a, b) in results.items():
         assert a == b, f"{g} diverged across shuffle partition counts"
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_pagerank_matches_python_reference(spark, raw_edges):
+    """The integer PageRank kernel must agree EXACTLY with a
+    pure-Python reference on arbitrary small graphs — the fixture gate
+    can't catch a wrong-but-self-consistent implementation because its
+    oracle is generated from the same constants, so this pins the
+    semantics independently (floor(score/deg) messages,
+    floor(contrib * 85 / 100.0) + 150_000 update, undirected edges)."""
+    import math
+
+    from big_data_flight_spark.operators.graph import _SCALE, pagerank_scores
+
+    pairs = sorted({(u, v) for u, v in raw_edges if u != v})
+    if not pairs:
+        return
+    edges = [(u, v) for u, v in pairs] + [(v, u) for u, v in pairs]
+
+    # pure-Python reference (dict-based, same integer arithmetic)
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    score = {n: _SCALE for n in deg}
+    for _ in range(3):
+        contrib: dict[int, int] = {n: 0 for n in deg}
+        for s, d in edges:
+            contrib[d] += math.floor(score[s] / deg[s])
+        score = {
+            n: _SCALE * 15 // 100 + math.floor(contrib[n] * 85 / 100.0) for n in deg
+        }
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.score for r in pagerank_scores(df).collect()}
+    assert got == score
