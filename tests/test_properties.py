@@ -202,6 +202,13 @@ def test_partition_count_invariance(spark):
         "agg_count_min",
         "text_pack_sequences",
         "etl_cdc_latest_snapshot",
+        # session-3 additions: blocked-join dedup, integer Hamming
+        # retrieval, and the graph profile must be partitioning-blind
+        # too (their joins/aggs all carry explicit total-order ranks
+        # or integer outputs, so any divergence is a real bug).
+        "text_near_dedup_editdist",
+        "sim_hamming_topk",
+        "graph_degree_hist",
     ]
     sf = "/root/testdata/sf0.001"
     old = spark.conf.get("spark.sql.shuffle.partitions")
