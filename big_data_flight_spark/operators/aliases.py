@@ -109,6 +109,9 @@ _ALIASES = {
     "a0_graph_degree_hist": "graph_degree_hist",
     # session-3: sixth dedup modality (displaces agg_stats — r3-green)
     "a0_text_near_dedup_editdist": "text_near_dedup_editdist",
+    # session-3: real WAV codec round-trip (displaces agg_rollup —
+    # r3-green)
+    "a0_mm_audio_decode_wav": "mm_audio_decode_wav",
 }
 
 

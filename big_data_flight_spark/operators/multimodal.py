@@ -367,3 +367,91 @@ def mm_dedup_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+def _synth_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Ingest-side kernel: render a REAL RIFF/WAV container (PCM16
+    mono @16 kHz, 160 frames) per doc via the stdlib ``wave`` writer.
+    Sample values are a deterministic integer sawtooth parameterized
+    by doc_id, so the decode side has a closed form to be checked
+    against."""
+    import io as _io
+    import wave as _wave
+
+    import numpy as np
+
+    for pdf in batches:
+        blobs = []
+        for doc_id in pdf["doc_id"]:
+            step = int(doc_id) % 13 + 1
+            samples = ((np.arange(160, dtype=np.int64) * step) % 2048 - 1024).astype(
+                "<i2"
+            )
+            bio = _io.BytesIO()
+            with _wave.open(bio, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes(samples.tobytes())
+            blobs.append(bio.getvalue())
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "wav_bin": blobs})
+
+
+def _decode_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Feature-side kernel: parse the WAV container back through the
+    stdlib ``wave`` reader (header + PCM frames — no trust in the
+    synth side) and reduce to integer features."""
+    import io as _io
+    import wave as _wave
+
+    import numpy as np
+
+    for pdf in batches:
+        rows = {"doc_id": [], "n_frames": [], "sample_rate": [], "sum_abs": [], "peak": []}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["wav_bin"]):
+            with _wave.open(_io.BytesIO(blob), "rb") as w:
+                assert w.getnchannels() == 1 and w.getsampwidth() == 2
+                n, rate = w.getnframes(), w.getframerate()
+                x = np.frombuffer(w.readframes(n), dtype="<i2").astype(np.int64)
+            rows["doc_id"].append(doc_id)
+            rows["n_frames"].append(n)
+            rows["sample_rate"].append(rate)
+            rows["sum_abs"].append(int(np.abs(x).sum()))
+            rows["peak"].append(int(x.max()) if len(x) else 0)
+        yield pd.DataFrame(rows)
+
+
+@gate_query(
+    "mm_audio_decode_wav",
+    oracle="""
+    SELECT doc_id,
+           CAST(160 AS BIGINT) AS n_frames,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           CAST(list_sum(list_transform(range(0, 160),
+             i -> abs(((i * (doc_id % 13 + 1)) % 2048) - 1024))) AS BIGINT) AS sum_abs,
+           CAST(list_max(list_transform(range(0, 160),
+             i -> ((i * (doc_id % 13 + 1)) % 2048) - 1024)) AS BIGINT) AS peak
+    FROM documents
+    """,
+    tags=("multimodal", "udf"),
+)
+def mm_audio_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec round-trip — the one container format the
+    environment can genuinely decode with zero external deps: RIFF/WAV
+    PCM16 through the stdlib ``wave`` module (the image path stays
+    honestly stubbed; no PIL exists here). Two Arrow-batched
+    mapInPandas stages mirror a production pipeline: an ingest kernel
+    renders a real WAV container per doc (deterministic integer
+    sawtooth), a feature kernel re-parses header + frames and reduces
+    to integer features. The oracle is the sawtooth's CLOSED FORM in
+    SQL — it never sees the container, so a hash-match proves the
+    encode→container→decode chain is lossless (any header/endianness/
+    width mistake shifts sum_abs/peak). All-integer output, zero float
+    parity surface. Scale: narrow pipeline, binary payload born and
+    consumed inside the same task — never shuffled, never collected."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    wav = docs.mapInPandas(_synth_wav, "doc_id long, wav_bin binary")
+    return wav.mapInPandas(
+        _decode_wav,
+        "doc_id long, n_frames long, sample_rate long, sum_abs long, peak long",
+    )

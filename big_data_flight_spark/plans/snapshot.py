@@ -109,6 +109,10 @@ SNAPSHOT = {
         "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin",
         "!BroadcastNestedLoopJoin",
     ],
+    # WAV round-trip: the binary payload is born and consumed inside
+    # one narrow Arrow pipeline — two MapInPandas stages, zero
+    # Exchange (a shuffle here would move the blobs).
+    "mm_audio_decode_wav": ["MapInPandas", "!Exchange"],
 }
 
 
