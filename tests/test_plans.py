@@ -129,12 +129,10 @@ def test_pagerank_iteration_broadcasts_scores(spark):
     instead), so the per-iteration shape is pinned here."""
     from pyspark.sql import functions as F
 
-    from big_data_flight_spark.operators.graph import _trading_edges
+    from big_data_flight_spark.operators.graph import _degrees, _trading_edges
 
     edges = _trading_edges(spark, SF_SMOKE)
-    deg = (
-        edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed("src", "node")
-    )
+    deg = _degrees(edges)
     sd = deg.select("node", F.lit(1_000_000).cast("long").alias("score"), "d")
     contrib = (
         edges.join(F.broadcast(sd), edges.src == sd.node)

@@ -4,11 +4,12 @@ Times each headline gate's ORACLE SQL in DuckDB on the same sf dir the
 Spark bench uses, with the same estimator (1 warm-up + min of N timed
 runs, default 5) so the Spark:DuckDB ratio in BASELINE.md compares
 like with like. Queries whose oracle is structurally non-comparable
-are skipped with a reason:
+are listed in SKIP with a reason and reported in the JSON's
+"skipped" map instead of being timed:
 
-* text_near_dedup_jaccard / text_minhash_* — the DuckDB oracle is the
-  quadratic all-pairs form and aborts at sf0.1 (the asymmetry IS the
-  point of those gates; recorded as "abort").
+* text_near_dedup_jaccard / text_minhash_lsh / text_minhash_mllib —
+  the DuckDB oracle is the quadratic all-pairs form and aborts at
+  sf0.1 (the asymmetry IS the point of those gates).
 * stream_source_sink — micro-batch machinery has no DuckDB analogue.
 
 Usage:
@@ -34,6 +35,8 @@ from big_data_flight_spark.registry import _REGISTRY, _load_all_operator_modules
 
 SKIP = {
     "text_near_dedup_jaccard": "quadratic oracle aborts at sf0.1",
+    "text_minhash_lsh": "quadratic oracle aborts at sf0.1",
+    "text_minhash_mllib": "quadratic oracle aborts at sf0.1",
     "stream_source_sink": "no DuckDB analogue (micro-batch machinery)",
 }
 
