@@ -147,13 +147,14 @@ def main(argv: list[str]) -> int:
     sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
     _load_all_operator_modules()
     names = argv or sorted(_REGISTRY)
+    skipped: list[str] = []
     if sf_dir.rstrip("/").endswith("sf0.1"):
         # Match by ORACLE identity, not name: a0_* delegation aliases
         # share the target's oracle object, so they must skip too.
         slow_oracles = {
             _REGISTRY[n].oracle for n in SLOW_ORACLE_AT_SF01 if n in _REGISTRY
         }
-        skipped = [n for n in names if _REGISTRY[n].oracle in slow_oracles]
+        skipped.extend(n for n in names if _REGISTRY[n].oracle in slow_oracles)
         names = [n for n in names if n not in set(skipped)]
         for n in skipped:
             print("SKIP " + n.ljust(28) + "QUADRATIC_ORACLE_SF01", flush=True)
@@ -194,6 +195,10 @@ def main(argv: list[str]) -> int:
                     "n_pass": len(names) - len(failed),
                     "n_total": len(names),
                     "statuses": statuses,
+                    # Skips are part of the record, not a silent hole:
+                    # the quadratic-oracle family is compared at sf0.01
+                    # (the canonical artifact), never at bench scale.
+                    "skipped": {n: "QUADRATIC_ORACLE_SF01" for n in skipped},
                 },
                 fh,
                 indent=1,
