@@ -133,3 +133,32 @@ def test_real_decoder_on_generated_png():
     assert mean == pytest.approx(87.5)  # mean of pixels 0,100,50,200
     assert contrast == 200.0
     assert n == len(payload)
+
+
+def test_wav_roundtrip_kernels_and_corruption():
+    """The WAV kernels must round-trip losslessly and FAIL LOUDLY on a
+    corrupted container — silently decoding garbage into features is
+    the failure mode a real multimodal pipeline can least afford."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from big_data_flight_spark.operators.multimodal import _decode_wav, _synth_wav
+
+    src = pd.DataFrame({"doc_id": [0, 5, 12]})
+    wav = next(_synth_wav(iter([src])))
+    assert all(b[:4] == b"RIFF" and b[8:12] == b"WAVE" for b in wav["wav_bin"])
+
+    out = next(_decode_wav(iter([wav])))
+    # doc_id=0 -> step 1: sawtooth i%2048-1024 over 160 frames
+    row = out[out.doc_id == 0].iloc[0]
+    assert (row.n_frames, row.sample_rate) == (160, 16000)
+    assert row.sum_abs == sum(abs((i % 2048) - 1024) for i in range(160))
+    assert row.peak == max(((i % 2048) - 1024) for i in range(160))
+
+    # corrupt the format chunk -> wave must refuse, not mis-decode
+    bad = wav.copy()
+    blob = bytearray(bad["wav_bin"].iloc[0])
+    blob[20] = 0xFF  # wFormatTag -> unknown codec
+    bad.loc[0, "wav_bin"] = bytes(blob)
+    with _pytest.raises(Exception):
+        next(_decode_wav(iter([bad])))
