@@ -113,6 +113,10 @@ SNAPSHOT = {
     # one narrow Arrow pipeline — two MapInPandas stages, zero
     # Exchange (a shuffle here would move the blobs).
     "mm_audio_decode_wav": ["MapInPandas", "!Exchange"],
+    # Degree profile: one scan of each side of the trading join, dims
+    # broadcast, then two hash aggs (distinct pairs + histogram) — a
+    # SortMergeJoin here would mean the orders side lost its broadcast.
+    "graph_degree_hist": ["BroadcastHashJoin", "HashAggregate", "=1:lineitem.parquet"],
 }
 
 
