@@ -410,7 +410,14 @@ def _decode_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = {"doc_id": [], "n_frames": [], "sample_rate": [], "sum_abs": [], "peak": []}
         for doc_id, blob in zip(pdf["doc_id"], pdf["wav_bin"]):
             with _wave.open(_io.BytesIO(blob), "rb") as w:
-                assert w.getnchannels() == 1 and w.getsampwidth() == 2
+                # explicit raise, not assert: the fail-loudly contract
+                # must survive python -O (wave itself accepts stereo /
+                # 8-bit containers — only unknown format tags raise)
+                if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                    raise ValueError(
+                        f"doc {doc_id}: expected mono PCM16, got "
+                        f"channels={w.getnchannels()} width={w.getsampwidth()}"
+                    )
                 n, rate = w.getnframes(), w.getframerate()
                 x = np.frombuffer(w.readframes(n), dtype="<i2").astype(np.int64)
             rows["doc_id"].append(doc_id)

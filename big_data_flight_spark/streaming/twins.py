@@ -136,19 +136,24 @@ def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 @gate_query(
     "stream_dedup",
     oracle="""
-    SELECT event_id, user_id, event_type FROM events
+    SELECT DISTINCT event_id, user_id, event_type FROM events
     """,
     tags=("streaming", "event"),
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked streaming dedup as a driver-gated query: readStream
     → withWatermark(1h) → dropDuplicatesWithinWatermark(event_id) →
-    append-mode memory sink. The oracle is strong and simple because
-    event_id is unique in the fixtures (verified: count = distinct
-    count), so exactly-once delivery must reproduce the full
-    projection byte-for-byte; with availableNow over the bounded
-    single-file source everything lands in one micro-batch, so the
-    starting watermark drops nothing. The 100 TB posture is the point
+    append-mode memory sink. The oracle is DISTINCT over the projected
+    rows: identical to the bare projection on today's fixtures
+    (event_id is unique — verified count = distinct count) but still
+    correct if a regenerated fixture ever plants full-row duplicate
+    events (the driver MAY regenerate testdata — CLAUDE.md). The one
+    case neither side can pin is duplicate event_ids with DIFFERING
+    payloads: dropDuplicatesWithinWatermark keeps an arbitrary winner
+    there, which is exactly why the batch gate (evt_dedup) uses the
+    deterministic rank form instead. With availableNow over the
+    bounded single-file source everything lands in one micro-batch,
+    so the starting watermark drops nothing. The 100 TB posture is the point
     of the operator: dedup state is bounded by the 1-hour watermark
     horizon instead of growing with the stream's lifetime (contrast
     plain dropDuplicates, whose state never expires), which is the

@@ -3,13 +3,16 @@
 Times each headline gate's ORACLE SQL in DuckDB on the same sf dir the
 Spark bench uses, with the same estimator (1 warm-up + min of N timed
 runs, default 5) so the Spark:DuckDB ratio in BASELINE.md compares
-like with like. Queries whose oracle is structurally non-comparable
-are listed in SKIP with a reason and reported in the JSON's
-"skipped" map instead of being timed:
+like with like. Headline queries whose oracle is structurally non-comparable are
+listed in SKIP with a reason and reported in the JSON's "skipped"
+map instead of being timed (SKIP mirrors compare.py's
+SLOW_ORACLE_AT_SF01 plus the streaming gate):
 
-* text_near_dedup_jaccard / text_minhash_lsh / text_minhash_mllib —
-  the DuckDB oracle is the quadratic all-pairs form and aborts at
-  sf0.1 (the asymmetry IS the point of those gates).
+* text_near_dedup_jaccard / text_minhash_mllib — the DuckDB oracle
+  is the quadratic all-pairs form and aborts at sf0.1 (the asymmetry
+  IS the point of those gates). Neither mllib nor any other
+  non-headline gate is timed; the entry exists so adding one to
+  HEADLINE can never silently hang this tool.
 * stream_source_sink — micro-batch machinery has no DuckDB analogue.
 
 Usage:
@@ -25,17 +28,14 @@ import os
 import sys
 import time
 
-import duckdb
-
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
-from big_data_flight_spark.io import TABLES  # noqa: E402
 from big_data_flight_spark.registry import _REGISTRY, _load_all_operator_modules  # noqa: E402
+from tools.compare import duck_connect  # noqa: E402  (same view setup as the oracle)
 
 SKIP = {
     "text_near_dedup_jaccard": "quadratic oracle aborts at sf0.1",
-    "text_minhash_lsh": "quadratic oracle aborts at sf0.1",
     "text_minhash_mllib": "quadratic oracle aborts at sf0.1",
     "stream_source_sink": "no DuckDB analogue (micro-batch machinery)",
 }
@@ -47,12 +47,9 @@ def main() -> int:
     _load_all_operator_modules()
     from bench import HEADLINE  # noqa: E402  (repo root on sys.path)
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    con = duck_connect(sf_dir)
     timings: dict[str, float] = {}
+    skipped = {n: SKIP[n] for n in HEADLINE if n in SKIP}
     for name in HEADLINE:
         if name in SKIP:
             continue
@@ -65,7 +62,7 @@ def main() -> int:
             samples.append(time.perf_counter() - t0)
         timings[name] = round(min(samples), 3)
         print(f"{name}: {timings[name]}", file=sys.stderr)
-    print(json.dumps({"queries": timings, "skipped": SKIP, "sf_dir": sf_dir, "runs": runs}))
+    print(json.dumps({"queries": timings, "skipped": skipped, "sf_dir": sf_dir, "runs": runs}))
     return 0
 
 
