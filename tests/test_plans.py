@@ -158,3 +158,23 @@ def test_pagerank_scores_conserve_mass(spark):
     assert total <= n * _SCALE
     # floor-loss across 3 rounds is tiny relative to total mass
     assert total > 0.95 * n * _SCALE
+
+def test_pagerank_converged_terminates_early(spark):
+    """The convergence-gated variant must actually exercise its gate:
+    on the fixture the geometric 0.85 contraction crosses the integer
+    eps tolerance BEFORE the round cap, and every row carries the same
+    audited rounds_executed (the oracle independently recomputes both
+    the stop round and that round's scores)."""
+    from big_data_flight_spark.operators.graph import (
+        _CONV_EPS,
+        _MAX_ROUNDS,
+        graph_pagerank_converged,
+    )
+
+    rows = graph_pagerank_converged(spark, SF_SMOKE).collect()
+    assert rows
+    executed = {r.rounds_executed for r in rows}
+    assert len(executed) == 1
+    k = executed.pop()
+    assert 1 <= k < _MAX_ROUNDS, f"expected early stop, ran {k}/{_MAX_ROUNDS}"
+    assert _CONV_EPS > 0
