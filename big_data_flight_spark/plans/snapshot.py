@@ -117,6 +117,28 @@ SNAPSHOT = {
     # broadcast, then two hash aggs (distinct pairs + histogram) — a
     # SortMergeJoin here would mean the orders side lost its broadcast.
     "graph_degree_hist": ["BroadcastHashJoin", "HashAggregate", "=1:lineitem.parquet"],
+    # r5 additions. Capped jaccard: the stop-shingle filter must reach
+    # the inverted index through a broadcast semi-join (a shuffled semi
+    # would re-key the whole shingle table just to drop hot keys).
+    # EXACTLY one nested-loop join may appear: the deliberate 1-row
+    # broadcast cross join attaching the dropped-shingle audit scalar
+    # (the sanctioned 1-row shape) — a second one would mean candidate
+    # generation degraded to all-pairs. formatted-explain mentions each
+    # physical node twice (tree line + numbered detail), so one node
+    # asserts as =2.
+    "text_near_dedup_jaccard_capped": [
+        "BroadcastHashJoin",
+        "=2:BroadcastNestedLoopJoin",
+        "HashAggregate",
+    ],
+    # PPM round-trip: same contract as the WAV codec — binary payloads
+    # born and consumed inside one narrow Arrow pipeline, zero Exchange.
+    "mm_decode_image_ppm": ["MapInPandas", "!Exchange"],
+    # Convergence-gated PageRank: the early-stopped loop must leave the
+    # same flat lineage as the fixed-depth gate (final plan reads the
+    # last round's checkpoint as ExistingRDD; a join tree here means a
+    # checkpoint regressed and Catalyst planning grows with rounds).
+    "graph_pagerank_converged": ["ExistingRDD", "!BroadcastHashJoin"],
 }
 
 

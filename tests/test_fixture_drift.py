@@ -84,3 +84,27 @@ def test_schema_memo_invalidates_on_fixture_swap(spark, tmp_path):
     # memoized schema must be the µs one (TimestampNTZ), not ns int64
     memo_schema = _SCHEMA_MEMO[path][1]
     assert "timestamp" in memo_schema["ts"].dataType.typeName()
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_event_ids_unique_in_fixture(sf):
+    """stream_dedup's oracle (DISTINCT event_id,user_id,event_type)
+    matches dropDuplicatesWithinWatermark(event_id) ONLY while
+    event_id is unique in the fixture: a regenerated fixture planting
+    duplicate event_ids with DIFFERING payloads would make streaming
+    keep one arbitrary winner while the oracle keeps all distinct
+    rows (ADVICE r4). This guard turns that silent gate mismatch into
+    a named failure at round-boundary re-verification."""
+    import duckdb
+
+    path = f"/root/testdata/{sf}/events.parquet"
+    if not os.path.exists(path):
+        pytest.skip(f"{path} absent")
+    n, d = duckdb.sql(
+        f"SELECT COUNT(*), COUNT(DISTINCT event_id) "
+        f"FROM read_parquet('{path}')"
+    ).fetchone()
+    assert n == d, (
+        f"{sf}: {n - d} duplicate event_ids — stream_dedup's oracle "
+        "contract no longer holds; see its docstring before re-gating"
+    )

@@ -95,7 +95,12 @@ def test_tws_funnel_matches_batch(spark):
     try:
         stream_rows = funnel_tws_stream(spark, SF_SMOKE).collect()
     except NotImplementedError:
-        pytest.skip("protobuf not available: TWS gated off in this env")
+        pytest.skip(
+            "TWS wire protocol unavailable: pyspark/sql/streaming/proto/"
+            "StateMessage_pb2.py:23 needs google.protobuf.descriptor and "
+            "no 'google' package exists here (pip install out of scope); "
+            "the applyInPandasWithState twin covers the stateful surface"
+        )
     stream = {r["user_id"]: r["converted"] for r in stream_rows}
     batch = {
         r["user_id"]: r["converted"]
