@@ -122,6 +122,60 @@ def evt_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate_query(
+    "evt_session_window_native",
+    oracle="""
+    WITH sess AS (
+      SELECT user_id, ts,
+             SUM(CASE WHEN prev_ts IS NULL
+                        OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM (
+        SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+      )
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    tags=("event",),
+)
+def evt_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE session_window(ts, gap) in a
+    batch groupBy — the built-in operator the composed lag/cumsum gate
+    (evt_session_window) reimplements, gated so the two surfaces are
+    both oracle-checked. Boundary semantics differ deliberately and
+    the oracle encodes the native one: session_window assigns each
+    event the half-open range [ts, ts+gap) and merges OVERLAPPING
+    ranges, so a successor at exactly ts+gap starts a NEW session
+    (break at gap >= timeout), while the lag-based gate breaks
+    strictly at gap > timeout — the oracle's new-session flag uses
+    >= 1800 s in integer µs accordingly, and session_end is
+    last_event_ts + gap by definition. At scale the native operator
+    is the better physical shape: one hash exchange on user_id and a
+    sort-merge session assignment inside the aggregate — no windowed
+    lag pass, no second aggregation over session ids."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@gate_query(
     "evt_sessionize_stats",
     oracle=f"""
     WITH {_SESSION_CTE}

@@ -44,15 +44,26 @@ def text_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global token frequencies + document frequencies. explode →
     groupBy is the distributed word-count shape: partial counts
     map-side, one shuffle on token. NO fan_out here (measured r4,
-    sf0.1 A/B: 0.216 s plain vs 0.246 s fanned): unlike ngram's
-    array-building map side, this query's cost sits in the
-    countDistinct(doc_id) expand-shuffle over ~100× exploded rows,
-    which fan-out widens rather than parallelizes — the same
-    few-groups-only rule as tpch_q18's counter-example."""
+    sf0.1 A/B: 0.216 s plain vs 0.246 s fanned — the same
+    few-groups-only rule as tpch_q18's counter-example).
+
+    doc_frequency = size(collect_set(doc_id)), not countDistinct
+    (measured r5, quiet-window interleaved min-of-9 at sf0.1:
+    0.190 s vs 0.230 s, identical output): countDistinct alongside
+    count() plans an Expand that doubles every exploded row through
+    the shuffle, while partial_collect_set ships the same distinct
+    (token, doc_id) information as per-token id arrays with one row
+    per token per map task. Scale boundary, stated honestly: the
+    merged set for ONE token must fit a single aggregation buffer
+    (set size = that token's df), so this exact plan holds while
+    max-df × 8 B fits executor memory — beyond that (web-scale stop
+    words) switch back to the Expand form, whose distinct phase
+    spreads (token, doc_id) across reducers, or pre-cap hot tokens
+    exactly like text_near_dedup_jaccard_capped's stop-shingle cap."""
     t = tokens(table(spark, sf_dir, "documents"))
     return t.groupBy("token").agg(
         F.count(F.lit(1)).alias("n_occurrences"),
-        F.countDistinct("doc_id").alias("n_docs"),
+        F.size(F.collect_set("doc_id")).cast("long").alias("n_docs"),
     )
 
 

@@ -429,10 +429,41 @@ def funnel_tws_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
+@gate_query(
+    "stream_session_window",
+    oracle="""
+    WITH sess AS (
+      SELECT user_id, ts,
+             SUM(CASE WHEN prev_ts IS NULL
+                        OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM (
+        SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+      )
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "event"),
+)
 def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming twin of evt_session_window using the native
-    session_window(ts, gap) — per-user sessions with a 30-minute gap,
-    closed by the watermark."""
+    """Streaming sessionization with the native session_window(ts,
+    gap): per-user 30-minute-gap sessions, state merged incrementally
+    by the streaming aggregation engine and closed by the watermark —
+    the production shape for clickstream sessionization (session state
+    is bounded by watermark + gap, unlike a batch lag pass which needs
+    the whole history). With availableNow over the bounded source and
+    complete mode, every session emits, so the STRONG oracle is the
+    same gap->=timeout sessionization SQL as the batch native gate
+    (evt_session_window_native) — streaming and batch session_window
+    must agree exactly."""
     agg = (
         events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
