@@ -774,7 +774,16 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     block). Spark builds bigrams inside one higher-order ``transform``
     over the token array — no per-token explode before the pair is
     formed, no window; the only shuffle is the final count. The oracle
-    reconstructs identical pairs via unnest + lead() per document."""
+    reconstructs identical pairs via unnest + lead() per document.
+
+    doc frequency = size(collect_set), not countDistinct, for the same
+    measured reason as text_tokenize_counts (r5 quiet-window
+    interleaved min-of-9 at sf0.1: 0.210 s vs 0.274 s, identical
+    output — the Expand doubling every exploded bigram through the
+    shuffle is gone). Scale boundary is even safer here than for
+    single tokens: per-bigram document sets are far smaller than
+    per-token ones (bigram df ≪ token df), so the one-buffer-per-key
+    concentration limit sits correspondingly further out."""
     d = table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), " ")
     # sequence(1, 0) would count DOWN for 1-token docs — guard to empty.
@@ -789,7 +798,7 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bigram")
         .agg(
             F.count(F.lit(1)).alias("n_occurrences"),
-            F.countDistinct("doc_id").alias("n_docs"),
+            F.size(F.collect_set("doc_id")).cast("long").alias("n_docs"),
         )
         .filter(F.col("n_occurrences") >= 3)
     )
