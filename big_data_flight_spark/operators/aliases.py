@@ -32,16 +32,19 @@ driver-verification debt on SURVEY §2):
   VERDICT #3), mm_decode_image_ppm (real stdlib image codec, VERDICT
   #4), graph_pagerank_converged (convergence-gated loop, VERDICT #6),
   evt_session_window_native + stream_session_window (the built-in
-  session_window operator, batch and streaming, both strong-oracled).
+  session_window operator, batch and streaming, both strong-oracled),
+  mm_audio_features_wav + mm_resize_ppm (the last two stub kernels
+  graduated to real codec-backed ones).
 
-Displacement math (window = 50 alphabetically-first names): with 37
+Displacement math (window = 50 alphabetically-first names): with 39
 ``a0_*`` aliases the non-alias tail of the window shrinks from r4's 16
-names (agg_approx_distinct … agg_pivot) to 13 (… agg_histogram).
-The names displaced vs round 4 — agg_mode, agg_percentile, agg_pivot —
-plus everything the retired r4 aliases displaced before, are ALL green
-in CORRECTNESS_r04.json (each green r1-r4) and re-verified each round
-by COMPARE_LOCAL.json, so net driver-verified surface strictly grows
-(cumulative ≥ 135/187 distinct gates after r5).
+names (agg_approx_distinct … agg_pivot) to 11 (… agg_groupby).
+The names displaced vs round 4 — agg_grouping_sets, agg_histogram,
+agg_mode, agg_percentile, agg_pivot — plus everything the retired r4
+aliases displaced before, are ALL green in CORRECTNESS_r04.json (each
+green r1-r4) and re-verified each round by COMPARE_LOCAL.json, so net
+driver-verified surface strictly grows (cumulative ≥ 139/189 distinct
+gates after r5).
 """
 
 from __future__ import annotations
@@ -101,6 +104,8 @@ _NEW_GATE_ALIASES = {
     "a0_graph_pagerank_converged": "graph_pagerank_converged",
     "a0_evt_session_window_native": "evt_session_window_native",
     "a0_stream_session_window": "stream_session_window",
+    "a0_mm_audio_features_wav": "mm_audio_features_wav",
+    "a0_mm_resize_ppm": "mm_resize_ppm",
 }
 
 

@@ -220,7 +220,9 @@ def resize_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     tags=("multimodal", "udf"),
 )
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Thumbnail/resize pass (stubbed kernel, real plumbing): metadata
+    """Thumbnail/resize pass (stubbed kernel, real plumbing; the REAL
+    codec-backed twin is mm_resize_ppm below, which downsamples a
+    genuine decoded raster): metadata
     joins the binary inside one mapInPandas so the payload is read
     exactly once. The stub's output geometry and byte count are pure
     integer arithmetic on the metadata (clip to 32, slice length
@@ -316,7 +318,9 @@ def audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 )
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction over the binary column (stub kernel,
-    real mapInPandas plumbing + metadata passthrough). STRONG oracle:
+    real mapInPandas plumbing + metadata passthrough; the REAL
+    codec-backed twin is mm_audio_features_wav below, which windows
+    genuine decoded PCM). STRONG oracle:
     the pseudo-RMS/zero-crossing math is integer byte arithmetic —
     the 64 squared deviations are exact in float64 regardless of
     numpy's pairwise summation order (every partial sum is an integer
@@ -595,4 +599,158 @@ def mm_decode_image_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         _decode_ppm,
         "doc_id long, width long, height long, "
         "sum_r long, sum_g long, sum_b long, peak long",
+    )
+
+
+def _wav_window_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL frame-windowed audio features over decoded PCM: the blob is
+    re-parsed through the stdlib ``wave`` reader, then each of the 4
+    non-overlapping 40-sample windows reduces to integer features
+    (energy = sum of squares, zero crossings = sign flips, peak =
+    max |x|) — the classic VAD/segmentation feature row, all-integer
+    so the closed-form oracle has zero float surface."""
+    import io as _io
+    import wave as _wave
+
+    import numpy as np
+
+    for pdf in batches:
+        rows = {
+            "doc_id": [], "window_idx": [],
+            "energy": [], "n_zero_cross": [], "peak_abs": [],
+        }
+        for doc_id, blob in zip(pdf["doc_id"], pdf["wav_bin"]):
+            with _wave.open(_io.BytesIO(blob), "rb") as w:
+                if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                    raise ValueError(
+                        f"doc {doc_id}: expected mono PCM16, got "
+                        f"channels={w.getnchannels()} width={w.getsampwidth()}"
+                    )
+                x = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2").astype(
+                    np.int64
+                )
+            if len(x) != 160:
+                raise ValueError(f"doc {doc_id}: expected 160 frames, got {len(x)}")
+            neg = x < 0
+            for wi in range(4):
+                seg = x[wi * 40 : wi * 40 + 40]
+                nseg = neg[wi * 40 : wi * 40 + 40]
+                rows["doc_id"].append(doc_id)
+                rows["window_idx"].append(wi)
+                rows["energy"].append(int((seg * seg).sum()))
+                rows["n_zero_cross"].append(int((nseg[:-1] != nseg[1:]).sum()))
+                rows["peak_abs"].append(int(np.abs(seg).max()))
+        yield pd.DataFrame(rows)
+
+
+@gate_query(
+    "mm_audio_features_wav",
+    oracle="""
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS window_idx,
+           CAST(list_sum(list_transform(range(w * 40, w * 40 + 40),
+             i -> (((i * (doc_id % 13 + 1)) % 2048) - 1024)
+                  * (((i * (doc_id % 13 + 1)) % 2048) - 1024))) AS BIGINT)
+             AS energy,
+           CAST(list_sum(list_transform(range(w * 40 + 1, w * 40 + 40),
+             i -> CASE WHEN (((((i - 1) * (doc_id % 13 + 1)) % 2048) - 1024 < 0)
+                            <> ((((i * (doc_id % 13 + 1)) % 2048) - 1024) < 0))
+                       THEN 1 ELSE 0 END)) AS BIGINT)
+             AS n_zero_cross,
+           CAST(list_max(list_transform(range(w * 40, w * 40 + 40),
+             i -> abs(((i * (doc_id % 13 + 1)) % 2048) - 1024))) AS BIGINT)
+             AS peak_abs
+    FROM documents CROSS JOIN range(0, 4) t(w)
+    """,
+    tags=("multimodal", "udf"),
+)
+def mm_audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction (retires the stub-kernel caveat on
+    mm_audio_features): render a genuine RIFF/WAV container per doc,
+    re-parse it, and reduce each 40-sample window to integer
+    energy / zero-crossing / peak features — 4 feature rows per asset,
+    the per-window shape a VAD or segmentation pipeline emits. The
+    oracle recomputes every window from the sawtooth's CLOSED FORM
+    (never sees the container), so a hash-match proves container
+    round-trip AND windowing arithmetic. All work happens inside one
+    narrow two-stage Arrow pipeline; payloads never shuffle (the
+    4-rows-per-doc expansion happens AFTER reduction to integers)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    wav = docs.mapInPandas(_synth_wav, "doc_id long, wav_bin binary")
+    return wav.mapInPandas(
+        _wav_window_features,
+        "doc_id long, window_idx long, energy long, n_zero_cross long, peak_abs long",
+    )
+
+
+def _resize_ppm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL image resize kernel: parse the P6 container, nearest-
+    neighbor 2x downsample on the decoded raster (every 2nd pixel in
+    both axes), reduce the thumbnail to integer channel sums."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = {
+            "doc_id": [], "out_w": [], "out_h": [],
+            "sum_r": [], "sum_g": [], "sum_b": [],
+        }
+        for doc_id, blob in zip(pdf["doc_id"], pdf["ppm_bin"]):
+            w, h, raster = _parse_ppm(bytes(blob))
+            px = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+            w2, h2 = w // 2, h // 2
+            thumb = px[0 : 2 * h2 : 2, 0 : 2 * w2 : 2].astype(np.int64)
+            rows["doc_id"].append(doc_id)
+            rows["out_w"].append(w2)
+            rows["out_h"].append(h2)
+            rows["sum_r"].append(int(thumb[:, :, 0].sum()))
+            rows["sum_g"].append(int(thumb[:, :, 1].sum()))
+            rows["sum_b"].append(int(thumb[:, :, 2].sum()))
+        yield pd.DataFrame(rows)
+
+
+@gate_query(
+    "mm_resize_ppm",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             doc_id % 7 + 4 AS w,
+             doc_id % 5 + 3 AS h,
+             doc_id % 13 + 1 AS a
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w // 2 AS BIGINT) AS out_w,
+           CAST(h // 2 AS BIGINT) AS out_h,
+           CAST(list_sum(list_transform(range(0, (w // 2) * (h // 2)),
+             j -> (((2 * (j // (w // 2))) * w + 2 * (j % (w // 2))) * a) % 256))
+             AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(range(0, (w // 2) * (h // 2)),
+             j -> ((2 * (j // (w // 2))) * w + 2 * (j % (w // 2)) + doc_id) % 256))
+             AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(range(0, (w // 2) * (h // 2)),
+             j -> ((2 * (j // (w // 2))) * w + 2 * (j % (w // 2))) * 3 % 256 + 7
+                  - CASE WHEN ((2 * (j // (w // 2))) * w + 2 * (j % (w // 2)))
+                              * 3 % 256 + 7 >= 256 THEN 256 ELSE 0 END))
+             AS BIGINT) AS sum_b
+    FROM p
+    """,
+    tags=("multimodal", "udf"),
+)
+def mm_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize (retires the stub-kernel caveat on mm_resize):
+    decode the genuine P6 container, nearest-neighbor 2x downsample on
+    the actual raster (pixels at even (row, col)), reduce the thumbnail
+    to integer channel sums. The oracle recomputes the sampled pixel
+    grid from the pattern's CLOSED FORM — sampled index = (2*row)*w +
+    2*col — so a hash-match proves the decode geometry (row-major RGB
+    interleave, stride arithmetic) is exactly right; an off-by-one in
+    the parse or a channel swap shifts every sum. The b-channel closed
+    form is ((idx*3) % 256 + 7) wrapped back into [0, 256) to mirror
+    the synth side's ((idx*3 + 7) % 256) without relying on DuckDB %
+    precedence inside the lambda."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    ppm = docs.mapInPandas(_synth_ppm, "doc_id long, ppm_bin binary")
+    return ppm.mapInPandas(
+        _resize_ppm,
+        "doc_id long, out_w long, out_h long, sum_r long, sum_g long, sum_b long",
     )

@@ -134,6 +134,9 @@ SNAPSHOT = {
     # PPM round-trip: same contract as the WAV codec — binary payloads
     # born and consumed inside one narrow Arrow pipeline, zero Exchange.
     "mm_decode_image_ppm": ["MapInPandas", "!Exchange"],
+    # The real resize + windowed-audio-features kernels share it.
+    "mm_resize_ppm": ["MapInPandas", "!Exchange"],
+    "mm_audio_features_wav": ["MapInPandas", "!Exchange"],
     # Convergence-gated PageRank: the early-stopped loop must leave the
     # same flat lineage as the fixed-depth gate (final plan reads the
     # last round's checkpoint as ExistingRDD; a join tree here means a

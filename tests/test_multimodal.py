@@ -162,3 +162,65 @@ def test_wav_roundtrip_kernels_and_corruption():
     bad.loc[0, "wav_bin"] = bytes(blob)
     with _pytest.raises(Exception):
         next(_decode_wav(iter([bad])))
+
+
+def test_ppm_roundtrip_kernels_and_corruption():
+    """The P6 kernels must round-trip pixel-exactly through a genuine
+    container (header with a comment line + raw raster) and fail
+    LOUDLY on a corrupted header or truncated raster — never
+    mis-decode silently."""
+    import pandas as pd
+    import pytest
+
+    from big_data_flight_spark.operators.multimodal import (
+        _decode_ppm,
+        _parse_ppm,
+        _synth_ppm,
+    )
+
+    src = pd.DataFrame({"doc_id": [3, 10, 24]})
+    ppm = next(_synth_ppm(iter([src])))
+    assert all(b.startswith(b"P6\n#") for b in ppm["ppm_bin"])
+    out = next(_decode_ppm(iter([ppm])))
+    for _, r in out.iterrows():
+        d = int(r["doc_id"])
+        w, h, a = d % 7 + 4, d % 5 + 3, d % 13 + 1
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["sum_r"] == sum((i * a) % 256 for i in range(w * h))
+        assert r["sum_g"] == sum((i + d) % 256 for i in range(w * h))
+        assert r["sum_b"] == sum((i * 3 + 7) % 256 for i in range(w * h))
+    # corrupted magic -> loud refusal
+    blob = bytearray(ppm["ppm_bin"].iloc[0])
+    blob[1:2] = b"5"  # P6 -> P5
+    with pytest.raises(ValueError, match="not a P6"):
+        _parse_ppm(bytes(blob))
+    # truncated raster -> loud refusal
+    good = bytes(ppm["ppm_bin"].iloc[0])
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_ppm(good[:-1])
+
+
+def test_wav_window_features_match_closed_form():
+    """The windowed audio features must reproduce the sawtooth's
+    closed form per 40-sample window — proving the decode + windowing
+    stride arithmetic, not just the whole-signal sums."""
+    import pandas as pd
+
+    from big_data_flight_spark.operators.multimodal import (
+        _synth_wav,
+        _wav_window_features,
+    )
+
+    src = pd.DataFrame({"doc_id": [7]})
+    out = next(_wav_window_features(iter([_synth_wav(iter([src])).__next__()])))
+    step = 7 % 13 + 1
+    xs = [((i * step) % 2048) - 1024 for i in range(160)]
+    assert len(out) == 4
+    for _, r in out.iterrows():
+        w = int(r["window_idx"])
+        seg = xs[w * 40 : w * 40 + 40]
+        assert r["energy"] == sum(v * v for v in seg)
+        assert r["n_zero_cross"] == sum(
+            (seg[i - 1] < 0) != (seg[i] < 0) for i in range(1, 40)
+        )
+        assert r["peak_abs"] == max(abs(v) for v in seg)
