@@ -137,6 +137,9 @@ SNAPSHOT = {
     # The real resize + windowed-audio-features kernels share it.
     "mm_resize_ppm": ["MapInPandas", "!Exchange"],
     "mm_audio_features_wav": ["MapInPandas", "!Exchange"],
+    # Hive-partitioned layout: the event_type predicate must be a
+    # PartitionFilters entry (directory pruning), NOT a data filter.
+    "sink_partitioned_layout": ["PartitionFilters: [event_type"],
     # Convergence-gated PageRank: the early-stopped loop must leave the
     # same flat lineage as the fixed-depth gate (final plan reads the
     # last round's checkpoint as ExistingRDD; a join tree here means a

@@ -498,3 +498,92 @@ def sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
     )
+
+
+@gate_query(
+    "sink_partitioned_layout",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, {DSUM("value", "sum_value")},
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+    tags=("sink", "source"),
+)
+def sink_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned table layout: partitionBy(event_type) →
+    one directory per partition value, then read back with a partition
+    predicate. The predicate is satisfied by DIRECTORY pruning — the
+    scan lists only event_type=click/ and event_type=purchase/, reading
+    zero bytes of any other partition (PartitionFilters in the plan,
+    pinned in the snapshot) — which is THE table layout for 100 TB
+    append-only stores: partitionBy(low-cardinality key, usually date)
+    for directory pruning, plus sink_sorted_layout's in-file sort for
+    row-group pruning within each directory. The oracle runs the same
+    predicate over the source table — a value match proves the
+    re-layout lost and duplicated nothing (the partition column itself
+    round-trips through the directory name, exercising partition-value
+    encode/decode)."""
+    out = os.path.join(_TMP, "part_events")
+    src = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", "sum_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+@gate_query(
+    "sink_bucketed_join",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n_items,
+           {DSUM("l_extendedprice", "sum_price")}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+    tags=("sink", "source", "join"),
+)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join: both fact tables written
+    bucketBy(8, key) + sortBy(key) as EXTERNAL tables (explicit paths
+    under the session scratch dir — the in-memory catalog holds only
+    metadata), then joined on the bucket key. Bucketing is the
+    pay-the-shuffle-once mechanism for repeated fact-fact joins at
+    100 TB: both sides hash-place rows into matching bucket files at
+    WRITE time, so every later join on that key is exchange-free
+    (asserted with broadcast disabled in tests/test_bucketing.py; at
+    fixture scale the optimizer may still prefer a broadcast — also
+    exchange-free). The oracle joins the original parquet — a value
+    match proves the bucketed layout preserved every row and the
+    bucket-pruned join matched them all."""
+    for t in ("li_bucketed_gate", "o_bucketed_gate"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    (
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", os.path.join(_TMP, "li_bucketed_gate"))
+        .mode("overwrite").format("parquet").saveAsTable("li_bucketed_gate")
+    )
+    (
+        o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", os.path.join(_TMP, "o_bucketed_gate"))
+        .mode("overwrite").format("parquet").saveAsTable("o_bucketed_gate")
+    )
+    j = spark.table("li_bucketed_gate").join(
+        spark.table("o_bucketed_gate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_extendedprice", "sum_price"),
+    )
