@@ -1627,3 +1627,132 @@ def text_near_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 16)
         .select("doc_a", "doc_b", "edit_dist")
     )
+
+
+@gate_query(
+    "text_substring_dedup_stats",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS w
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, len(w) AS n_tokens, GREATEST(len(w) - 7, 0) AS n_grams, w
+      FROM base
+    ),
+    pos AS (
+      SELECT doc_id,
+             unnest([array_to_string(w[i+1:i+8], ' ')
+                     for i in range(0, GREATEST(len(w) - 7, 0))]) AS gram,
+             unnest(range(0, GREATEST(len(w) - 7, 0))) AS s
+      FROM base
+    ),
+    df AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM pos GROUP BY gram),
+    dup AS (SELECT p.doc_id, p.s FROM pos p JOIN df USING (gram) WHERE nd >= 2),
+    cov AS (
+      SELECT doc_id, s,
+             GREATEST(0, s + 8 - GREATEST(s,
+               COALESCE(MAX(s + 8) OVER (
+                 PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)))
+               AS contrib
+      FROM dup
+    ),
+    stats AS (
+      SELECT doc_id, COUNT(*) AS n_dup_grams,
+             CAST(SUM(contrib) AS BIGINT) AS n_covered_tokens
+      FROM cov GROUP BY doc_id
+    )
+    SELECT z.doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(COALESCE(n_covered_tokens, 0) AS BIGINT) AS n_covered_tokens
+    FROM sized z LEFT JOIN stats USING (doc_id)
+    """,
+    tags=("text", "dedup"),
+)
+def text_substring_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-level duplication profile — the seventh dedup modality
+    (document / Jaccard / MinHash-LSH / SimHash / embedding / edit
+    distance / substring): for each document, how many of its 8-token
+    windows also occur verbatim in ANOTHER document, and how many
+    tokens those duplicated windows cover (exact interval union via a
+    running-max window — overlapping spans are not double-counted).
+    This is the measurement pass of substring-level training-data
+    dedup ("Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2022, arXiv:2107.06499 — public method): the coverage
+    ratio n_covered_tokens / n_tokens is the signal that decides
+    span-removal vs doc-removal downstream.
+
+    Shape at 100 TB: positioned 8-grams explode ~|tokens| rows, the
+    gram inverted index is ONE hash shuffle (same structural win as
+    text_near_dedup_jaccard — colliding grams only, never all-pairs),
+    the coverage union is a per-doc window over only the DUPLICATED
+    positions (sparse), and like the jaccard family a production run
+    would cap ultra-hot grams (boilerplate) exactly as
+    text_near_dedup_jaccard_capped does with stop-shingles. All-integer
+    output, zero float surface. Within-doc repeats deliberately do NOT
+    count (cross-doc df >= 2 on distinct doc_ids): self-repetition is
+    text_repetition_gopher's signal, corpus duplication is this one's."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    base = d.select("doc_id", toks.alias("w")).repartition(32, "doc_id")
+    n = F.size("w")
+    grams_arr = F.when(
+        n >= 8,
+        F.transform(
+            F.sequence(F.lit(0), n - 8),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("w", i + k + 1) for k in range(8)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sized = base.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.greatest(n - 7, F.lit(0)).cast("long").alias("n_grams"),
+        grams_arr.alias("grams"),
+    )
+    pos = sized.select(
+        "doc_id", F.posexplode("grams").alias("s", "gram")
+    )
+    dup_grams = (
+        pos.groupBy("gram")
+        .agg(F.size(F.collect_set("doc_id")).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    dup = pos.join(dup_grams, "gram", "left_semi").select("doc_id", "s")
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cov = dup.select(
+        "doc_id",
+        F.greatest(
+            F.lit(0),
+            F.col("s") + 8
+            - F.greatest(
+                F.col("s"), F.coalesce(F.max(F.col("s") + 8).over(wprev), F.lit(0))
+            ),
+        ).alias("contrib"),
+    )
+    stats = cov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_grams"),
+        F.sum("contrib").cast("long").alias("n_covered_tokens"),
+    )
+    return (
+        sized.select("doc_id", "n_tokens", "n_grams")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.coalesce("n_covered_tokens", F.lit(0)).cast("long").alias(
+                "n_covered_tokens"
+            ),
+        )
+    )

@@ -140,6 +140,14 @@ SNAPSHOT = {
     # Hive-partitioned layout: the event_type predicate must be a
     # PartitionFilters entry (directory pruning), NOT a data filter.
     "sink_partitioned_layout": ["PartitionFilters: [event_type"],
+    # Substring dedup: positioned-gram candidates must come from the
+    # inverted-index equi-join (semi on gram), never all-pairs — the
+    # same contract as decontaminate/editdist.
+    "text_substring_dedup_stats": [
+        "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin",
+        "!BroadcastNestedLoopJoin",
+        "HashAggregate",
+    ],
     # Convergence-gated PageRank: the early-stopped loop must leave the
     # same flat lineage as the fixed-depth gate (final plan reads the
     # last round's checkpoint as ExistingRDD; a join tree here means a

@@ -313,3 +313,40 @@ def test_shuffle_shard_is_permutation_and_stable(spark):
         assert 0 <= shard < 8
         assert sorted(poss) == list(range(1, len(poss) + 1))
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_substring_dedup_interval_union(spark):
+    """Overlapping duplicated 8-gram spans must union, not sum: two
+    docs sharing a 10-token run have 3 duplicated gram starts
+    (s=0,1,2) covering exactly 10 tokens — a naive 3*8=24 would
+    double-count the overlaps. A third unrelated doc contributes
+    nothing."""
+    from big_data_flight_spark.operators import text as T
+    from big_data_flight_spark.registry import _REGISTRY
+
+    shared = "a b c d e f g h i j"          # 10 shared tokens
+    rows = [
+        (1, shared + " x1 y1 z1"),
+        (2, shared + " x2 y2 z2"),
+        (3, "p q r s t u v w aa bb cc dd"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = T.table
+    try:
+        T.table = lambda s, d, n: docs
+        out = {
+            r["doc_id"]: r
+            for r in _REGISTRY["text_substring_dedup_stats"]
+            .builder(spark, "ignored")
+            .collect()
+        }
+    finally:
+        T.table = orig
+    # docs 1/2: 13 tokens -> 6 gram starts; duplicated grams are those
+    # fully inside the shared 10-token prefix: s=0,1,2 -> union covers
+    # tokens 0..9 = 10 tokens.
+    for d in (1, 2):
+        assert out[d]["n_grams"] == 6
+        assert out[d]["n_dup_grams"] == 3
+        assert out[d]["n_covered_tokens"] == 10
+    assert out[3]["n_dup_grams"] == 0 and out[3]["n_covered_tokens"] == 0
