@@ -1756,3 +1756,96 @@ def text_substring_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@gate_query(
+    "text_substring_dedup_clean",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS w
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id,
+             unnest([array_to_string(w[i+1:i+8], ' ')
+                     for i in range(0, GREATEST(len(w) - 7, 0))]) AS gram,
+             unnest(range(0, GREATEST(len(w) - 7, 0))) AS s
+      FROM base
+    ),
+    df AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM pos GROUP BY gram),
+    dup AS (
+      SELECT doc_id, list_sort(list(s)) AS starts
+      FROM (SELECT p.doc_id, p.s FROM pos p JOIN df USING (gram) WHERE nd >= 2)
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(list_filter(range(0, len(w)),
+             p -> len(list_filter(COALESCE(starts, []),
+                      s -> s <= p AND p <= s + 7)) = 0)) AS BIGINT) AS n_kept,
+           COALESCE(array_to_string(
+             list_transform(
+               list_filter(range(0, len(w)),
+                 p -> len(list_filter(COALESCE(starts, []),
+                          s -> s <= p AND p <= s + 7)) = 0),
+               p -> w[CAST(p + 1 AS INT)]), ' '), '') AS cleaned_text
+    FROM base b LEFT JOIN dup USING (doc_id)
+    """,
+    tags=("text", "dedup"),
+)
+def text_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL pass of substring-level dedup (the execution twin of
+    text_substring_dedup_stats): drop every token covered by a
+    cross-document duplicated 8-gram window and emit the cleaned
+    document. The policy is symmetric-removal (all copies lose the
+    span) — deterministic with no keeper election, which is what makes
+    the output oracle-checkable; a production keep-one policy is this
+    plus a min-doc_id keeper exemption, the same election
+    text_exact_dedup already demonstrates. Per-doc work is one array
+    expression over (token array × its duplicated starts list) — the
+    heavy lifting (which grams are duplicated) is the SAME single
+    inverted-index shuffle as the stats gate; the cleaned text never
+    shuffles (built in the final projection). String-rendered output
+    (agg_collect convention) plus an integer kept-count checksum."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    base = d.select("doc_id", toks.alias("w")).repartition(32, "doc_id")
+    n = F.size("w")
+    grams_arr = F.when(
+        n >= 8,
+        F.transform(
+            F.sequence(F.lit(0), n - 8),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("w", i + k + 1) for k in range(8)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = base.select("doc_id", F.posexplode(grams_arr).alias("s", "gram"))
+    dup_grams = (
+        pos.groupBy("gram")
+        .agg(F.size(F.collect_set("doc_id")).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    starts = (
+        pos.join(dup_grams, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("starts"))
+    )
+    joined = base.join(starts, "doc_id", "left").select(
+        "doc_id",
+        "w",
+        F.coalesce("starts", F.array().cast("array<int>")).alias("starts"),
+    )
+    kept_pos = F.filter(
+        F.sequence(F.lit(0), F.size("w") - 1),
+        lambda p: ~F.exists(
+            "starts", lambda s: (s <= p) & (p <= s + 7)
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size(kept_pos).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(kept_pos, lambda p: F.element_at("w", p + 1)), " "
+        ).alias("cleaned_text"),
+    )

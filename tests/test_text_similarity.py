@@ -350,3 +350,32 @@ def test_substring_dedup_interval_union(spark):
         assert out[d]["n_dup_grams"] == 3
         assert out[d]["n_covered_tokens"] == 10
     assert out[3]["n_dup_grams"] == 0 and out[3]["n_covered_tokens"] == 0
+
+
+def test_substring_clean_consistent_with_stats(spark):
+    """The removal gate and the stats gate must agree doc-by-doc:
+    tokens kept = tokens - covered (both derive coverage from the same
+    duplicated-gram starts, via different mechanisms — window interval
+    union vs per-position filter)."""
+    from big_data_flight_spark.registry import (
+        _REGISTRY,
+        _load_all_operator_modules,
+    )
+    from tests.conftest import SF_SMOKE
+
+    _load_all_operator_modules()
+    stats = {
+        r["doc_id"]: (r["n_tokens"], r["n_covered_tokens"])
+        for r in _REGISTRY["text_substring_dedup_stats"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    }
+    clean = {
+        r["doc_id"]: r["n_kept"]
+        for r in _REGISTRY["text_substring_dedup_clean"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    }
+    assert set(stats) == set(clean)
+    for d, (n_tok, n_cov) in stats.items():
+        assert clean[d] == n_tok - n_cov, f"doc {d}"
