@@ -498,3 +498,62 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey < 300
         """
     )
+
+
+@gate_query(
+    "join_asof_forward",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ranked AS (
+      SELECT p.purchase_id, p.user_id, p.p_ts, c.ts AS click_ts, c.event_id AS click_id,
+             row_number() OVER (
+               PARTITION BY p.purchase_id ORDER BY c.ts ASC, c.event_id ASC
+             ) AS rn
+      FROM p JOIN events c
+        ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts > p.p_ts
+    )
+    SELECT purchase_id, user_id, p_ts, click_ts, click_id
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("join", "event", "custom"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (earliest click strictly AFTER each purchase,
+    per user — next-touch attribution, the mirror of join_asof's
+    last-touch). Same merge-pass strategy, time-reversed: one scan of
+    clicks+purchases, one window per user ordered by ts DESCENDING
+    carrying the running nearest-future-click struct — no self-join
+    fan-out, one event shuffle. Strict > semantics + determinism via
+    the ordering (ts DESC, purchases-before-clicks, event_id DESC):
+    a purchase never sees a same-ts click (strictness), and among
+    same-ts future clicks the positional last in the descending scan
+    is the MIN event_id — identical to the oracle's rank ASC/ASC
+    pick. Scale posture identical to join_asof."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    is_click = F.col("event_type") == "click"
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").desc(), is_click.cast("int").asc(), F.col("event_id").desc()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    next_click = F.last(
+        F.when(is_click, F.struct("ts", "event_id")), ignorenulls=True
+    ).over(w)
+    return (
+        e.withColumn("nc", next_click)
+        .filter(~is_click & F.col("nc").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("nc.ts").alias("click_ts"),
+            F.col("nc.event_id").alias("click_id"),
+        )
+    )
