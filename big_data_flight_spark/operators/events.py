@@ -121,13 +121,20 @@ def evt_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_session_id(e).select("user_id", "event_id", "session_id")
 
 
-@gate_query(
-    "evt_session_window_native",
-    oracle="""
+# Shared by evt_session_window_native (batch) and stream_session_window
+# (streaming/twins.py) — ONE definition so the two gates cannot drift
+# (the graph-family _step_ctes convention). Boundary semantics verified
+# EMPIRICALLY on this Spark build (r5 review): two events exactly
+# 1800 s apart MERGE into one session — session_window treats an event
+# landing exactly on a prior window's end as overlapping — so a new
+# session starts strictly at gap > timeout, the SAME boundary as the
+# composed lag/cumsum gate. session_end = last event ts + gap by
+# definition of the native operator.
+SESSION_WINDOW_NATIVE_ORACLE = """
     WITH sess AS (
       SELECT user_id, ts,
              SUM(CASE WHEN prev_ts IS NULL
-                        OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+                        OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
                       THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING) AS session_id
@@ -142,24 +149,28 @@ def evt_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events
     FROM sess
     GROUP BY user_id, session_id
-    """,
+    """
+
+
+@gate_query(
+    "evt_session_window_native",
+    oracle=SESSION_WINDOW_NATIVE_ORACLE,
     tags=("event",),
 )
 def evt_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via Spark's NATIVE session_window(ts, gap) in a
     batch groupBy — the built-in operator the composed lag/cumsum gate
     (evt_session_window) reimplements, gated so the two surfaces are
-    both oracle-checked. Boundary semantics differ deliberately and
-    the oracle encodes the native one: session_window assigns each
-    event the half-open range [ts, ts+gap) and merges OVERLAPPING
-    ranges, so a successor at exactly ts+gap starts a NEW session
-    (break at gap >= timeout), while the lag-based gate breaks
-    strictly at gap > timeout — the oracle's new-session flag uses
-    >= 1800 s in integer µs accordingly, and session_end is
-    last_event_ts + gap by definition. At scale the native operator
-    is the better physical shape: one hash exchange on user_id and a
-    sort-merge session assignment inside the aggregate — no windowed
-    lag pass, no second aggregation over session ids."""
+    both oracle-checked. Boundary semantics: measured on this Spark
+    build, an event exactly gap seconds after the previous one MERGES
+    (a new session starts strictly at gap > timeout) — the same
+    boundary as the lag-based gate, so the two surfaces must agree on
+    session membership; the oracle (shared with the streaming twin via
+    SESSION_WINDOW_NATIVE_ORACLE) encodes strict > and adds the native
+    operator's session_end = last_event_ts + gap. At scale the native
+    operator is the better physical shape: one hash exchange on
+    user_id and a sort-merge session assignment inside the aggregate —
+    no windowed lag pass, no second aggregation over session ids."""
     e = table(spark, sf_dir, "events")
     return (
         e.groupBy(

@@ -1629,6 +1629,47 @@ def text_near_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _positioned_dup_grams(spark: SparkSession, sf_dir: str):
+    """The ONE definition of the positioned-8-gram duplication base,
+    shared by the stats and removal gates (same rule as the jaccard
+    family's shingles()/near_dup_pairs): any change to the token
+    filter, gram width, or the nd>=2 cross-doc threshold lands in both
+    gates at once. Returns (base, sized, dup):
+      base  = (doc_id, w: array<token>)           — repartitioned
+      sized = (doc_id, n_tokens, n_grams, grams)  — counters + grams
+      dup   = (doc_id, s)                          — duplicated starts
+    A gram is 'duplicated' when it occurs in >= 2 DISTINCT documents
+    (within-doc repeats are text_repetition_gopher's signal)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    base = d.select("doc_id", toks.alias("w")).repartition(32, "doc_id")
+    n = F.size("w")
+    grams_arr = F.when(
+        n >= 8,
+        F.transform(
+            F.sequence(F.lit(0), n - 8),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("w", i + k + 1) for k in range(8)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sized = base.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.greatest(n - 7, F.lit(0)).cast("long").alias("n_grams"),
+        grams_arr.alias("grams"),
+    )
+    pos = sized.select("doc_id", F.posexplode("grams").alias("s", "gram"))
+    dup_grams = (
+        pos.groupBy("gram")
+        .agg(F.size(F.collect_set("doc_id")).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    dup = pos.join(dup_grams, "gram", "left_semi").select("doc_id", "s")
+    return base, sized, dup
+
+
 @gate_query(
     "text_substring_dedup_stats",
     oracle="""
@@ -1695,35 +1736,7 @@ def text_substring_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     output, zero float surface. Within-doc repeats deliberately do NOT
     count (cross-doc df >= 2 on distinct doc_ids): self-repetition is
     text_repetition_gopher's signal, corpus duplication is this one's."""
-    d = table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
-    base = d.select("doc_id", toks.alias("w")).repartition(32, "doc_id")
-    n = F.size("w")
-    grams_arr = F.when(
-        n >= 8,
-        F.transform(
-            F.sequence(F.lit(0), n - 8),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at("w", i + k + 1) for k in range(8)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sized = base.select(
-        "doc_id",
-        n.cast("long").alias("n_tokens"),
-        F.greatest(n - 7, F.lit(0)).cast("long").alias("n_grams"),
-        grams_arr.alias("grams"),
-    )
-    pos = sized.select(
-        "doc_id", F.posexplode("grams").alias("s", "gram")
-    )
-    dup_grams = (
-        pos.groupBy("gram")
-        .agg(F.size(F.collect_set("doc_id")).alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gram")
-    )
-    dup = pos.join(dup_grams, "gram", "left_semi").select("doc_id", "s")
+    base, sized, dup = _positioned_dup_grams(spark, sf_dir)
     wprev = (
         Window.partitionBy("doc_id")
         .orderBy("s")
@@ -1802,45 +1815,30 @@ def text_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus a min-doc_id keeper exemption, the same election
     text_exact_dedup already demonstrates. Per-doc work is one array
     expression over (token array × its duplicated starts list) — the
-    heavy lifting (which grams are duplicated) is the SAME single
-    inverted-index shuffle as the stats gate; the cleaned text never
-    shuffles (built in the final projection). String-rendered output
-    (agg_collect convention) plus an integer kept-count checksum."""
-    d = table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
-    base = d.select("doc_id", toks.alias("w")).repartition(32, "doc_id")
-    n = F.size("w")
-    grams_arr = F.when(
-        n >= 8,
-        F.transform(
-            F.sequence(F.lit(0), n - 8),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at("w", i + k + 1) for k in range(8)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    pos = base.select("doc_id", F.posexplode(grams_arr).alias("s", "gram"))
-    dup_grams = (
-        pos.groupBy("gram")
-        .agg(F.size(F.collect_set("doc_id")).alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gram")
-    )
-    starts = (
-        pos.join(dup_grams, "gram", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list("s")).alias("starts"))
+    heavy lifting (which grams are duplicated) is _positioned_dup_grams,
+    the SAME shared base (and therefore the same single inverted-index
+    shuffle) as the stats gate; the cleaned text never shuffles (built
+    in the final projection). String-rendered output (agg_collect
+    convention) plus an integer kept-count checksum."""
+    base, _, dup = _positioned_dup_grams(spark, sf_dir)
+    starts = dup.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("s")).alias("starts")
     )
     joined = base.join(starts, "doc_id", "left").select(
         "doc_id",
         "w",
         F.coalesce("starts", F.array().cast("array<int>")).alias("starts"),
     )
+    # Empty/whitespace-only doc guard (r5 review): sequence(0, -1)
+    # DESCENDS in Spark and would drive element_at out of bounds — the
+    # same hazard shingles()/text_ngram_freq guard against. Empty docs
+    # keep nothing: positions = [] (matching the oracle's range(0, 0)).
+    positions = F.when(
+        F.size("w") > 0, F.sequence(F.lit(0), F.size("w") - 1)
+    ).otherwise(F.array().cast("array<int>"))
     kept_pos = F.filter(
-        F.sequence(F.lit(0), F.size("w") - 1),
-        lambda p: ~F.exists(
-            "starts", lambda s: (s <= p) & (p <= s + 7)
-        ),
+        positions,
+        lambda p: ~F.exists("starts", lambda s: (s <= p) & (p <= s + 7)),
     )
     return joined.select(
         "doc_id",

@@ -23,6 +23,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from big_data_flight_spark.operators.events import SESSION_WINDOW_NATIVE_ORACLE
 from big_data_flight_spark.registry import DSUM, dsum, gate_query
 
 # Footer-schema memo: events_stream is called per-builder (and the
@@ -431,26 +432,7 @@ def funnel_tws_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @gate_query(
     "stream_session_window",
-    oracle="""
-    WITH sess AS (
-      SELECT user_id, ts,
-             SUM(CASE WHEN prev_ts IS NULL
-                        OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
-                      THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS UNBOUNDED PRECEDING) AS session_id
-      FROM (
-        SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        FROM events
-      )
-    )
-    SELECT user_id,
-           MIN(ts) AS session_start,
-           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
-           COUNT(*) AS n_events
-    FROM sess
-    GROUP BY user_id, session_id
-    """,
+    oracle=SESSION_WINDOW_NATIVE_ORACLE,
     tags=("streaming", "event"),
 )
 def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -460,10 +442,12 @@ def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the production shape for clickstream sessionization (session state
     is bounded by watermark + gap, unlike a batch lag pass which needs
     the whole history). With availableNow over the bounded source and
-    complete mode, every session emits, so the STRONG oracle is the
-    same gap->=timeout sessionization SQL as the batch native gate
-    (evt_session_window_native) — streaming and batch session_window
-    must agree exactly."""
+    complete mode, every session emits, so the STRONG oracle is THE
+    SAME SQL object as the batch native gate's
+    (events.SESSION_WINDOW_NATIVE_ORACLE, strict gap > timeout —
+    empirically the native boundary) — streaming and batch
+    session_window must agree exactly, and a boundary fix lands in
+    both gates by construction."""
     agg = (
         events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")

@@ -146,6 +146,9 @@ def test_frequency_cap_drops_hot_shingles_and_audits(spark):
     # "bb cc xx", + 4 rare chain) -> true jac = 6/7; capped common = 5
     # -> lower bound 5/8.
     assert pair["jaccard"] <= 6 / 7
+
+
+def test_fan_out_noop_on_wide_input(spark):
     """fan_out must widen single-split scans but leave already-parallel
     inputs untouched (the 100 TB no-op contract)."""
     from big_data_flight_spark.io import fan_out, table

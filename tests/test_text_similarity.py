@@ -379,3 +379,33 @@ def test_substring_clean_consistent_with_stats(spark):
     assert set(stats) == set(clean)
     for d, (n_tok, n_cov) in stats.items():
         assert clean[d] == n_tok - n_cov, f"doc {d}"
+
+
+def test_substring_clean_survives_empty_doc(spark):
+    """r5 review regression: an empty/whitespace-only document must
+    clean to (0, '') — the unguarded sequence(0, -1) form crashed with
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT (Spark sequences DESCEND when
+    stop < start, the documented shingles() hazard)."""
+    from big_data_flight_spark.operators import text as T
+    from big_data_flight_spark.registry import (
+        _REGISTRY,
+        _load_all_operator_modules,
+    )
+
+    _load_all_operator_modules()
+    rows = [(1, ""), (2, "   "), (3, "just a few words here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = T.table
+    try:
+        T.table = lambda s, d, n: docs
+        out = {
+            r["doc_id"]: (r["n_kept"], r["cleaned_text"])
+            for r in _REGISTRY["text_substring_dedup_clean"]
+            .builder(spark, "ignored")
+            .collect()
+        }
+    finally:
+        T.table = orig
+    assert out[1] == (0, "")
+    assert out[2] == (0, "")
+    assert out[3] == (5, "just a few words here")
