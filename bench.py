@@ -219,8 +219,12 @@ def main() -> int:
     # audit, and any query still above threshold after retries is
     # flagged `noise_suspected` in the JSON so the artifact explains
     # its own excess instead of silently regressing the record.
+    # The records (and the prev-round artifact) are sf0.1 protocol
+    # numbers — comparing another scale factor against them would flag
+    # every query at sf>0.1 and none at sf<0.1. The retry pass only
+    # runs at the driver's bench scale.
     noise_suspected: list[str] = []
-    for name in HEADLINE:
+    for name in HEADLINE if sf == 0.1 else []:
         ref = BEST_KNOWN.get(name) or (prev or {}).get("queries", {}).get(name)
         if ref is None or timings[name] < 0:
             continue

@@ -41,6 +41,12 @@ def test_bench_main_emits_contract_json(spark, monkeypatch, capsys):
     if "delta_vs_prev" in data:
         assert set(data["delta_vs_prev"]) <= set(slice_)
 
+    # r5 contract additions: the stall-retry pass must emit its noise
+    # audit fields; at sf0.001 every min is far below its sf0.1
+    # BEST_KNOWN threshold, so the suspected list must be empty.
+    assert data["noise_suspected"] == []
+    assert data["best_known_total"] > 0
+
     # the harness must restore the session's shuffle partitions to
     # whatever they were before the per-query overrides (join_asof
     # runs at 16); compare against the pre-bench value, not the env
