@@ -38,18 +38,20 @@ driver-verification debt on SURVEY §2):
   sink_bucketed_join (hive directory pruning and pay-the-shuffle-once
   bucketed co-located joins — the two 100 TB table layouts).
 
-Displacement math (window = 50 alphabetically-first names): with 45
-``a0_*`` aliases the non-alias tail of the window shrinks from r4's 16
-names (agg_approx_distinct … agg_pivot) to 5 (… agg_conditional).
-The names displaced vs round 4 — agg_count_min, agg_cube,
-agg_distinct, agg_equidepth_histogram, agg_global, agg_groupby,
-agg_grouping_sets, agg_histogram, agg_mode, agg_percentile, agg_pivot
-— plus everything the retired r4 aliases displaced before, are ALL
-green in CORRECTNESS_r04.json (each green r1-r4; agg_groupby is
-additionally smoke-checked every round as the driver's entry()
-flagship) and re-verified each round by COMPARE_LOCAL.json, so net
-driver-verified surface strictly grows (cumulative ≥ 145/195 distinct
-gates after r5).
+Displacement math (window = 50 alphabetically-first names): with 50
+``a0_*`` aliases (45 from the session-1 rotation + 5 session-2
+brand-new gates) the window is now EXACTLY the alias set — the
+non-alias names of the session-1 window (the agg_approx_distinct …
+agg_conditional run) drop out. Every displaced
+name is green in CORRECTNESS_r04.json (each green r1-r4;
+agg_groupby is additionally smoke-checked every round as the
+driver's entry() flagship) and re-verified each round by
+COMPARE_LOCAL.json, so net driver-verified surface strictly grows
+(cumulative ≥ 150/200 distinct gates after r5). The five new gates
+(agg_bitmap_distinct, agg_kmv_distinct, graph_triangle_count,
+mm_phash_dedup, join_interval_binned) sort OUTSIDE the all-alias
+window under their own names, so per the brand-new-gate rule each
+ships with its ``a0_`` alias and gets a driver row this round.
 """
 
 from __future__ import annotations
@@ -117,6 +119,15 @@ _NEW_GATE_ALIASES = {
     "a0_text_substring_dedup_clean": "text_substring_dedup_clean",
     "a0_join_asof_forward": "join_asof_forward",
     "a0_stream_foreach_batch_sink": "stream_foreach_batch_sink",
+    # session-2 additions: the five new scale-pattern gates (bitmap
+    # exact-distinct, mergeable KMV sketch, oriented triangle count,
+    # perceptual image-hash dedup, binned interval join) — driver rows
+    # the round they ship, filling the 50-name window exactly.
+    "a0_agg_bitmap_distinct": "agg_bitmap_distinct",
+    "a0_agg_kmv_distinct": "agg_kmv_distinct",
+    "a0_graph_triangle_count": "graph_triangle_count",
+    "a0_mm_phash_dedup": "mm_phash_dedup",
+    "a0_join_interval_binned": "join_interval_binned",
 }
 
 

@@ -754,3 +754,143 @@ def mm_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         _resize_ppm,
         "doc_id long, out_w long, out_h long, sum_r long, sum_g long, sum_b long",
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_phash_dedup — perceptual average-hash over real PPM payloads
+# ---------------------------------------------------------------------------
+
+PHASH_BITS = 32
+_PHASH_PATTERNS = 50  # pattern key p = doc_id % 50 => ~10 assets per pattern
+
+
+def _synth_ppm_variants(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Ingest kernel for the perceptual-dedup gate: same real P6
+    container as ``_synth_ppm`` but keyed by the PATTERN p = doc_id %
+    50, with a per-doc byte-level perturbation that preserves
+    brightness exactly — pixel 0 gets red += doc_id % 5 and
+    blue -= doc_id % 5 (a zero-sum channel shift; original pixel 0 is
+    (0, p, 7) so neither channel wraps). Docs sharing a pattern thus
+    have byte-DIFFERENT payloads (whenever doc_id % 5 differs) whose
+    per-pixel brightness, and hence perceptual hash, is identical —
+    the property a perceptual dedup must be invariant to and an exact
+    payload hash can never see."""
+    import numpy as np
+
+    for pdf in batches:
+        blobs = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            p = d % _PHASH_PATTERNS
+            w, h, a = p % 7 + 4, p % 5 + 3, p % 13 + 1
+            i = np.arange(w * h, dtype=np.int64)
+            px = np.empty((w * h, 3), dtype=np.uint8)
+            px[:, 0] = (i * a) % 256
+            px[:, 1] = (i + p) % 256
+            px[:, 2] = (i * 3 + 7) % 256
+            delta = d % 5
+            px[0, 0] += delta  # red   0 -> delta   (no wrap: delta <= 4)
+            px[0, 2] -= delta  # blue  7 -> 7-delta (no wrap: delta <= 4)
+            header = f"P6\n# asset pattern {p}\n{w} {h}\n255\n".encode("ascii")
+            blobs.append(header + px.tobytes())
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "ppm_bin": blobs})
+
+
+def _phash_ppm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Feature kernel: re-parse the container and reduce each image to
+    a {PHASH_BITS}-bit average-hash over per-pixel brightness
+    (r+g+b): bit i samples pixel j = (i*n)//{PHASH_BITS} and sets iff
+    brightness[j] * n > total_brightness (the mean comparison kept in
+    integers — no division anywhere). The raw payload md5 rides along
+    so the gate can PROVE clusters contain byte-distinct payloads."""
+    import hashlib
+
+    import numpy as np
+
+    for pdf in batches:
+        rows = {"doc_id": [], "phash": [], "payload_md5": []}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["ppm_bin"]):
+            data = bytes(blob)
+            w, h, raster = _parse_ppm(data)
+            px = np.frombuffer(raster, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+            bright = px.sum(axis=1)
+            n = w * h
+            total = int(bright.sum())
+            phash = 0
+            for i in range(PHASH_BITS):
+                j = (i * n) // PHASH_BITS
+                if int(bright[j]) * n > total:
+                    phash |= 1 << i
+            rows["doc_id"].append(doc_id)
+            rows["phash"].append(phash)
+            rows["payload_md5"].append(hashlib.md5(data).hexdigest())
+        yield pd.DataFrame(rows)
+
+
+@gate_query(
+    "mm_phash_dedup",
+    oracle=f"""
+    WITH pk AS (SELECT DISTINCT doc_id % {_PHASH_PATTERNS} AS p FROM documents),
+    dims AS (
+      SELECT p, p % 7 + 4 AS w, p % 5 + 3 AS h, p % 13 + 1 AS a FROM pk
+    ),
+    lum AS (
+      SELECT p, w * h AS n,
+             list_transform(range(0, w * h),
+               i -> (i * a) % 256 + (i + p) % 256 + (i * 3 + 7) % 256) AS L
+      FROM dims
+    ),
+    ph AS (
+      SELECT p, CAST(list_sum(list_transform(range(0, {PHASH_BITS}),
+               i -> CASE WHEN L[(i * n) // {PHASH_BITS} + 1] * n > list_sum(L)
+                         THEN CAST(pow(2.0, i) AS BIGINT) ELSE 0 END))
+             AS BIGINT) AS phash
+      FROM lum
+    ),
+    d AS (
+      SELECT doc_id, doc_id % {_PHASH_PATTERNS} AS p, doc_id % 5 AS pv
+      FROM documents
+    )
+    SELECT phash,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT (d.p, pv)) AS n_payloads,
+           MIN(doc_id) AS min_doc_id
+    FROM d JOIN ph ON d.p = ph.p
+    GROUP BY phash
+    """,
+    tags=("multimodal", "udf", "dedup"),
+)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup detection over REAL image containers — the
+    eighth dedup modality, and the one exact hashing cannot express:
+    assets whose BYTES differ (a zero-sum per-pixel channel shift —
+    re-encode noise in miniature) but whose perceptual content is
+    identical land in the same cluster. Pipeline: render a genuine
+    netpbm P6 per doc keyed by its pattern (with a per-doc byte
+    perturbation that preserves brightness), re-parse the container,
+    reduce to a 32-bit integer average-hash over pixel brightness,
+    then hash-groupBy — dedup cost is one shuffle of (doc_id, 8-byte
+    hash), never the payload (the binary column is born and consumed
+    inside one task chain). Each cluster carries n_payloads = the
+    count of byte-DISTINCT payloads it absorbed, computed Spark-side
+    from md5 of the actual container bytes and reproduced in the
+    oracle from the synthesis closed form — a match proves both that
+    the codec chain is lossless AND that perceptual clusters really
+    do span byte-distinct assets (n_payloads > 1). The average-hash
+    itself is the standard aHash construction (mean-threshold bit
+    signature), integer-only: bit i samples pixel (i*n)//32 and
+    compares brightness*n > total, so no division or float enters the
+    parity surface. At 100 TB: decode + hash are one mapInPandas pass
+    (Arrow-batched), the groupBy shuffles 12 bytes/asset, and the
+    same signature feeds banded LSH (text_simhash_dedup's banding)
+    when hamming tolerance > 0 is wanted."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    ppm = docs.mapInPandas(_synth_ppm_variants, "doc_id long, ppm_bin binary")
+    hashed = ppm.mapInPandas(
+        _phash_ppm, "doc_id long, phash long, payload_md5 string"
+    )
+    return hashed.groupBy("phash").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("payload_md5").alias("n_payloads"),
+        F.min("doc_id").alias("min_doc_id"),
+    )

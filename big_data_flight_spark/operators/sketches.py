@@ -436,3 +436,190 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "true_n", "est_n",
         (F.col("est_n") - F.col("true_n")).cast("long").alias("overestimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap exact distinct — the roaring-bitmap aggregation pattern
+# ---------------------------------------------------------------------------
+
+BITMAP_WORD_BITS = 32  # 32-bit words: every word value < 2^32 fits a BIGINT
+                       # with no sign-bit hazard in either engine
+
+
+@gate_query(
+    "agg_bitmap_distinct",
+    oracle=f"""
+    WITH words AS (
+      SELECT l_returnflag, l_partkey // {BITMAP_WORD_BITS} AS w,
+             bit_or(CAST(pow(2.0, l_partkey % {BITMAP_WORD_BITS}) AS BIGINT)) AS word
+      FROM lineitem
+      GROUP BY l_returnflag, l_partkey // {BITMAP_WORD_BITS}
+    ),
+    bm AS (
+      SELECT l_returnflag,
+             CAST(SUM(bit_count(word)) AS BIGINT) AS n_distinct_bitmap,
+             COUNT(*) AS n_words
+      FROM words GROUP BY l_returnflag
+    ),
+    ex AS (
+      SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_distinct_exact
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT bm.l_returnflag, n_distinct_bitmap, n_words, n_distinct_exact
+    FROM bm JOIN ex ON bm.l_returnflag = ex.l_returnflag
+    """,
+    tags=("sketch", "aggregate"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) as a two-level bitmap aggregation — the
+    roaring-bitmap pattern (Doris BITMAP_UNION / ClickHouse
+    groupBitmap) expressed in pure DataFrame ops: level 1 groups rows
+    by (group, key div 32) and bit_or's 32-bit words (one bit per key,
+    word value < 2^32 so the BIGINT sign bit is never touched in
+    either engine), level 2 sums bit_count(word). Both levels partial-
+    aggregate map-side, so the shuffle carries at most
+    groups x keyspace/32 words instead of every raw row — unlike
+    countDistinct, whose expand doubles the input and shuffles every
+    distinct (group, key) pair. The exact countDistinct rides along as
+    an in-row audit column: the gate proves bitmap == exact on every
+    group. At 100 TB this is the dense-keyspace exact-distinct
+    strategy (HLL in agg_approx_distinct is the sparse/approximate
+    one; KMV below is the mergeable-sample one)."""
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    words = (
+        li.groupBy(
+            "l_returnflag",
+            F.floor(F.col("l_partkey") / BITMAP_WORD_BITS).cast("long").alias("w"),
+        )
+        .agg(
+            F.bit_or(
+                F.pow(F.lit(2.0), F.col("l_partkey") % BITMAP_WORD_BITS).cast("long")
+            ).alias("word")
+        )
+    )
+    bm = words.groupBy("l_returnflag").agg(
+        F.sum(F.bit_count("word")).cast("long").alias("n_distinct_bitmap"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+    ex = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_distinct_exact")
+    )
+    return bm.join(F.broadcast(ex), "l_returnflag").select(
+        "l_returnflag", "n_distinct_bitmap", "n_words", "n_distinct_exact"
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — mergeable by construction
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+KMV_SHARDS = 4
+_KMV_SPACE = float(2**32)  # md5 8-hex-char hash space
+
+
+@gate_query(
+    "agg_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT o_orderkey % {KMV_SHARDS} AS shard,
+             ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM orders
+    ),
+    sk AS (
+      SELECT shard, h FROM (
+        SELECT shard, h, row_number() OVER (PARTITION BY shard ORDER BY h) AS r
+        FROM h
+      ) WHERE r <= {KMV_K}
+    ),
+    m AS (SELECT DISTINCT h FROM sk),
+    g AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS r FROM m
+      ) WHERE r <= {KMV_K}
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_sketch, MAX(h) AS hk,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM sk) AS n_shard_rows
+      FROM g
+    ),
+    ex AS (SELECT COUNT(DISTINCT o_custkey) AS exact_distinct FROM orders)
+    SELECT CAST({KMV_SHARDS} AS BIGINT) AS n_shards,
+           CAST({KMV_K} AS BIGINT) AS k,
+           n_shard_rows,
+           CASE WHEN n_sketch < {KMV_K} THEN n_sketch
+                ELSE CAST(floor({KMV_K - 1} * {_KMV_SPACE!r} / hk) AS BIGINT)
+           END AS est_distinct,
+           exact_distinct,
+           CASE WHEN n_sketch < {KMV_K} THEN n_sketch ELSE
+             CAST(floor({KMV_K - 1} * {_KMV_SPACE!r} / hk) AS BIGINT)
+           END BETWEEN CAST(0.5 * exact_distinct AS BIGINT)
+                   AND CAST(2.0 * exact_distinct AS BIGINT) AS within_2x
+    FROM agg CROSS JOIN ex
+    """,
+    tags=("sketch", "aggregate"),
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch with the MERGE path exercised:
+    each of {KMV_SHARDS} orderkey shards builds its own sketch (the k
+    smallest distinct md5 hashes of o_custkey), the shard sketches are
+    unioned and re-minimized — the KMV merge operation, k smallest of
+    a union of per-shard k-smallests == the global k smallest — and
+    the estimate is (k-1) * 2^32 / h_k (Bar-Yossef et al.'s unbiased
+    KMV estimator). Everything is deterministic: the md5 hash family
+    is engine-identical, and the one division is the same IEEE double
+    division on identical BIGINT inputs in both engines before the
+    floor (the pagerank parity construction). If the sketch never
+    fills (distinct < k) the estimate degrades to the EXACT distinct
+    count — the sketch IS the value set. Exact distinct + a 2x audit
+    bound ride along in-row. At 100 TB: per-shard sketches are built
+    map-side (k rows each), merge cost is shards x k rows — the
+    pattern HLL/theta sketches industrialize; KMV is the version whose
+    every intermediate an oracle can replay bit-for-bit."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    h = (
+        o.select(
+            (F.col("o_orderkey") % KMV_SHARDS).alias("shard"),
+            _md5_int(F.col("o_custkey").cast("string"), 8).alias("h"),
+        )
+        .distinct()
+    )
+    per_shard = Window.partitionBy("shard").orderBy("h")
+    sk = (
+        h.withColumn("r", F.row_number().over(per_shard))
+        .filter(F.col("r") <= KMV_K)
+        .select("shard", "h")
+    )
+    merged = sk.select("h").distinct()
+    glob = Window.orderBy("h")
+    g = (
+        merged.withColumn("r", F.row_number().over(glob))
+        .filter(F.col("r") <= KMV_K)
+        .select("h")
+    )
+    agg = g.agg(
+        F.count(F.lit(1)).alias("n_sketch"),
+        F.max("h").alias("hk"),
+    ).crossJoin(F.broadcast(sk.agg(F.count(F.lit(1)).alias("n_shard_rows"))))
+    ex = o.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    est = F.when(
+        F.col("n_sketch") < KMV_K, F.col("n_sketch")
+    ).otherwise(
+        F.floor(F.lit(float(KMV_K - 1)) * F.lit(_KMV_SPACE) / F.col("hk")).cast("long")
+    )
+    return (
+        agg.crossJoin(F.broadcast(ex))
+        .select(
+            F.lit(KMV_SHARDS).cast("long").alias("n_shards"),
+            F.lit(KMV_K).cast("long").alias("k"),
+            "n_shard_rows",
+            est.alias("est_distinct"),
+            "exact_distinct",
+            est.between(
+                (F.lit(0.5) * F.col("exact_distinct")).cast("long"),
+                (F.lit(2.0) * F.col("exact_distinct")).cast("long"),
+            ).alias("within_2x"),
+        )
+    )

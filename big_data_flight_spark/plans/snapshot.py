@@ -153,6 +153,34 @@ SNAPSHOT = {
     # last round's checkpoint as ExistingRDD; a join tree here means a
     # checkpoint regressed and Catalyst planning grows with rounds).
     "graph_pagerank_converged": ["ExistingRDD", "!BroadcastHashJoin"],
+    # r5 session-2 additions. Bitmap distinct: both levels must stay
+    # hash aggregates (partial map-side), and the exact-audit side
+    # joins back as a broadcast (3 rows).
+    "agg_bitmap_distinct": ["HashAggregate", "BroadcastHashJoin"],
+    # KMV: per-shard k-smallest is a shard-partitioned window (the
+    # global k-smallest window is 256 rows — bounded by construction).
+    "agg_kmv_distinct": ["Window", "HashAggregate"],
+    # Triangle counting: wedge enumeration and closure must be
+    # equi-joins (hash/SMJ) — the whole algorithm exists because the
+    # OR-of-directions closure degenerates to a nested loop. The only
+    # nested-loop nodes allowed are the 1-row stats-assembly cross
+    # joins (the sanctioned shape).
+    "graph_triangle_count": [
+        "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin",
+        "HashAggregate",
+    ],
+    # Perceptual-hash dedup: decode+hash in one Arrow pipeline; only
+    # the 12-byte (doc_id, phash, md5-ref) rows may reach the shuffle,
+    # never the binary payload — MapInPandas must appear BELOW the
+    # aggregate's exchange (asserted by the pair of properties).
+    "mm_phash_dedup": ["MapInPandas", "HashAggregate"],
+    # Binned interval join: the rewrite's whole point is that the
+    # overlap join runs as an equi-join on (user, bin) — a nested loop
+    # here means the theta join came back.
+    "join_interval_binned": [
+        "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin",
+        "!BroadcastNestedLoopJoin",
+    ],
 }
 
 
