@@ -576,13 +576,24 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side (k rows each), merge cost is shards x k rows — the
     pattern HLL/theta sketches industrialize; KMV is the version whose
     every intermediate an oracle can replay bit-for-bit."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    keyed = o.select(
+        (F.col("o_orderkey") % KMV_SHARDS).alias("shard"),
+        F.col("o_custkey").alias("key"),
+    )
+    return kmv_distinct_estimate(keyed)
+
+
+def kmv_distinct_estimate(keyed: DataFrame) -> DataFrame:
+    """KMV sketch build + merge + estimate over (shard, key) rows —
+    split from the gate so tests can drive the underfull branch
+    (distinct < k) with inline frames."""
     from pyspark.sql import Window
 
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     h = (
-        o.select(
-            (F.col("o_orderkey") % KMV_SHARDS).alias("shard"),
-            _md5_int(F.col("o_custkey").cast("string"), 8).alias("h"),
+        keyed.select(
+            "shard",
+            _md5_int(F.col("key").cast("string"), 8).alias("h"),
         )
         .distinct()
     )
@@ -603,7 +614,7 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sketch"),
         F.max("h").alias("hk"),
     ).crossJoin(F.broadcast(sk.agg(F.count(F.lit(1)).alias("n_shard_rows"))))
-    ex = o.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    ex = keyed.agg(F.countDistinct("key").alias("exact_distinct"))
     est = F.when(
         F.col("n_sketch") < KMV_K, F.col("n_sketch")
     ).otherwise(

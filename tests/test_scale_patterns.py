@@ -51,8 +51,22 @@ def test_bitmap_distinct_equals_exact(spark):
 
 def test_kmv_underfull_sketch_is_exact(spark):
     """distinct < k -> the sketch IS the value set: estimate must
-    equal the exact distinct count (smoke fixture has 150 customers,
-    so force underfull by checking the invariant branch directly)."""
+    equal the exact distinct count, regardless of sharding."""
+    from big_data_flight_spark.operators.sketches import kmv_distinct_estimate
+
+    keyed = spark.createDataFrame(
+        [(i % 4, i % 10) for i in range(200)], ["shard", "key"]
+    )
+    (row,) = kmv_distinct_estimate(keyed).collect()
+    assert row["exact_distinct"] == 10
+    assert row["est_distinct"] == 10
+    assert row["within_2x"]
+
+
+def test_kmv_fixture_sketch_and_merge_bounds(spark):
+    """On the smoke fixture (150 customers > k=64) the sketch fills:
+    the estimate must satisfy the in-row 2x audit, and the union of
+    shard sketches holds between min(k, exact) and shards*k rows."""
     from big_data_flight_spark.operators.sketches import KMV_K
 
     _load_all_operator_modules()
@@ -61,8 +75,6 @@ def test_kmv_underfull_sketch_is_exact(spark):
         assert row["est_distinct"] == row["exact_distinct"]
     else:
         assert row["within_2x"]
-    # merge path really ran: union of shard sketches holds at most
-    # shards * k rows and at least min(k, exact) rows
     assert row["n_shard_rows"] <= row["n_shards"] * row["k"]
     assert row["n_shard_rows"] >= min(row["k"], row["exact_distinct"])
 
