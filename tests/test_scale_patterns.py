@@ -92,6 +92,9 @@ def test_triangle_stats_on_known_graph(spark):
     assert row["n_edges"] == 8
     assert row["n_triangles"] == 1
     assert row["n_wedges"] >= row["n_triangles"]
+    # degrees 2,2,3,2,2,2,2,1 -> sum C(d,2) = 9; coeff = 3e6/9
+    assert row["n_paths2"] == 9
+    assert row["clustering_coeff_micro"] == 333333
 
 
 def test_triangle_stats_complete_k4(spark):
@@ -104,6 +107,8 @@ def test_triangle_stats_complete_k4(spark):
     (row,) = triangle_stats(e0).collect()
     assert row["n_triangles"] == 4
     assert row["n_wedges"] == 4  # oriented: one wedge per triangle in K4
+    assert row["n_paths2"] == 12  # 4 nodes x C(3,2)
+    assert row["clustering_coeff_micro"] == 1_000_000  # every path closes
 
 
 def test_binned_pairs_cross_boundary_counted_once(spark):
