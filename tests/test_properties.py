@@ -266,3 +266,47 @@ def test_pagerank_matches_python_reference(spark, raw_edges):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.node: r.score for r in pagerank_scores(df).collect()}
     assert got == score
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_triangle_stats_matches_python_reference(spark, raw_edges):
+    """The oriented-wedge triangle kernel must agree EXACTLY with a
+    brute-force pure-Python count on arbitrary small graphs — the
+    fixture gate's oracle shares the orientation construction, so this
+    pins the semantics independently (every unordered node triple with
+    all three edges present counts once, regardless of degree ties)."""
+    from itertools import combinations
+
+    from big_data_flight_spark.operators.graph import triangle_stats
+
+    pairs = sorted({(min(u, v), max(u, v)) for u, v in raw_edges if u != v})
+    if not pairs:
+        return
+    eset = set(pairs)
+    nodes = sorted({n for e in pairs for n in e})
+    expect_tri = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in eset and (a, c) in eset and (b, c) in eset
+    )
+    deg: dict[int, int] = {}
+    for u, v in pairs:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    expect_paths2 = sum(d * (d - 1) // 2 for d in deg.values())
+
+    df = spark.createDataFrame(pairs, "u long, v long")
+    (row,) = triangle_stats(df).collect()
+    assert row["n_triangles"] == expect_tri
+    assert row["n_paths2"] == expect_paths2
+    assert row["n_nodes"] == len(nodes)
+    assert row["n_edges"] == len(pairs)
+    # oriented wedges are a subset of unoriented length-2 paths
+    assert row["n_triangles"] <= row["n_wedges"] <= expect_paths2
