@@ -70,7 +70,7 @@ HEADLINE = [
     "limit_topk",           # global top-k
     "stream_source_sink",   # streaming drain
     "tpch_q8",              # 7-join market-share ratio (deepest star)
-    "tpch_q21",             # dual EXISTS/NOT-EXISTS fact self-join
+    "tpch_q21",             # blamable-supplier: promoted single-scan window form
     "text_ngram_freq",      # bigram corpus frequencies
     "mm_dedup_assets",      # binary-asset hash dedup
 ]

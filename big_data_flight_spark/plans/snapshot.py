@@ -27,7 +27,11 @@ SNAPSHOT = {
     "tpch_q5": ["BroadcastHashJoin"],
     "tpch_q6": ["PushedFilters"],
     "tpch_q8": ["BroadcastHashJoin"],
-    "tpch_q21": ["BroadcastHashJoin"],
+    # Q21 canonical = the promoted single-scan strategy (r5-s2):
+    # exactly one lineitem scan; the textbook semi/anti representative
+    # keeps its own pin below.
+    "tpch_q21": ["=1:lineitem.parquet", "HashAggregate", "BroadcastHashJoin"],
+    "tpch_q21_threescan": ["BroadcastHashJoin"],
     # Q18's r2 rework: top-100 pushed BEFORE the lineitem re-join —
     # the pushed TakeOrderedAndProject and the broadcast of the tiny
     # top-100 side are the two properties that must not regress.
@@ -56,12 +60,11 @@ SNAPSHOT = {
     "dq_profile": ["BroadcastHashJoin"],
     # r4 additions (VERDICT r3 "What's wrong" #3): the measured
     # physical strategies of the newest gates must be pinned too.
-    # Q21-onescan's whole point is folding q21's three lineitem passes
-    # (base + exists-semi + not-exists-anti) into ONE scan + groupBy —
-    # exactly one lineitem parquet scan may appear (orders is scanned
-    # once more, hence =2 for the generic scan marker is wrong; the
-    # lineitem file path is the precise assertion).
-    "tpch_q21_onescan": ["=1:lineitem.parquet", "HashAggregate", "BroadcastHashJoin"],
+    # (The one-scan Q21 pin moved up to "tpch_q21" when the strategy
+    # was promoted to the canonical gate in r5-s2: exactly one
+    # lineitem parquet scan may appear — orders is scanned once more,
+    # so the lineitem file path, not the generic scan marker, is the
+    # precise assertion.)
     # Quantization is a pure per-row projection: any Exchange in its
     # plan means somebody re-introduced a shuffle into a scan-speed op.
     "sim_quantize_int8": ["!Exchange", "=1:embeddings.parquet"],
