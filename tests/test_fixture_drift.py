@@ -108,3 +108,25 @@ def test_event_ids_unique_in_fixture(sf):
         f"{sf}: {n - d} duplicate event_ids — stream_dedup's oracle "
         "contract no longer holds; see its docstring before re-gating"
     )
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_bitmap_keys_nonnegative_in_fixture(sf):
+    """agg_bitmap_distinct's word construction (pow(2, key % 32),
+    key // 32) assumes non-negative keys: Spark's % returns negative
+    remainders for negative operands while DuckDB's // floors, so a
+    regenerated fixture planting a negative l_partkey would diverge
+    engine-by-engine instead of failing loudly. Same guard class as
+    the event_id-uniqueness check above."""
+    import duckdb
+
+    path = f"/root/testdata/{sf}/lineitem.parquet"
+    if not os.path.exists(path):
+        pytest.skip(f"{path} absent")
+    (mn,) = duckdb.sql(
+        f"SELECT MIN(l_partkey) FROM read_parquet('{path}')"
+    ).fetchone()
+    assert mn >= 0, (
+        f"{sf}: negative l_partkey {mn} — agg_bitmap_distinct's "
+        "mod/div contract no longer holds; see its docstring"
+    )
