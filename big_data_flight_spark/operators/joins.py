@@ -569,7 +569,7 @@ _IV_BIN_S = 600  # bin width (s); > max interval length (7 min) => <= 2 bins/int
 @gate_query(
     "join_interval_binned",
     oracle=f"""
-    WITH iv AS (
+    WITH iv AS MATERIALIZED (
       SELECT event_id, user_id,
              CAST(floor(epoch(ts)) AS BIGINT) AS s,
              CAST(floor(epoch(ts)) AS BIGINT) + 60 * (event_id % 7 + 1) AS e

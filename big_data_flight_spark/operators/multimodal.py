@@ -468,25 +468,37 @@ def mm_audio_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ppm_raster(key: int):
+    """The one PPM pixel closed form, keyed by an integer (doc_id for
+    the codec gates, pattern = doc_id % 50 for the perceptual-dedup
+    gate) and replayed verbatim by every PPM oracle's SQL: dimensions
+    (key%7+4, key%5+3), channels ((i*a)%256, (i+key)%256, (i*3+7)%256)
+    with a = key%13+1. Kept in ONE place so the Python kernels and the
+    SQL closed forms cannot desynchronize silently (r5-s3 review).
+    Returns (w, h, px) with px a (w*h, 3) uint8 raster."""
+    import numpy as np
+
+    w, h, a = key % 7 + 4, key % 5 + 3, key % 13 + 1
+    i = np.arange(w * h, dtype=np.int64)
+    px = np.empty((w * h, 3), dtype=np.uint8)
+    px[:, 0] = (i * a) % 256
+    px[:, 1] = (i + key) % 256
+    px[:, 2] = (i * 3 + 7) % 256
+    return w, h, px
+
+
 def _synth_ppm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Ingest-side kernel: render a REAL binary PPM (netpbm P6)
     container per doc with ``struct``-free stdlib byte assembly —
     ASCII header (magic, comment line, dimensions, maxval) + raw
-    interleaved RGB raster. Pixel channels are deterministic integer
-    functions of (doc_id, pixel index), so the decode side has a
+    interleaved RGB raster. Pixel channels are the ``_ppm_raster``
+    closed form of (doc_id, pixel index), so the decode side has a
     closed form to be checked against."""
-    import numpy as np
-
     for pdf in batches:
         blobs = []
         for doc_id in pdf["doc_id"]:
             d = int(doc_id)
-            w, h, a = d % 7 + 4, d % 5 + 3, d % 13 + 1
-            i = np.arange(w * h, dtype=np.int64)
-            px = np.empty((w * h, 3), dtype=np.uint8)
-            px[:, 0] = (i * a) % 256
-            px[:, 1] = (i + d) % 256
-            px[:, 2] = (i * 3 + 7) % 256
+            w, h, px = _ppm_raster(d)
             header = f"P6\n# synthetic asset {d}\n{w} {h}\n255\n".encode("ascii")
             blobs.append(header + px.tobytes())
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "ppm_bin": blobs})
@@ -775,19 +787,12 @@ def _synth_ppm_variants(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     per-pixel brightness, and hence perceptual hash, is identical —
     the property a perceptual dedup must be invariant to and an exact
     payload hash can never see."""
-    import numpy as np
-
     for pdf in batches:
         blobs = []
         for doc_id in pdf["doc_id"]:
             d = int(doc_id)
             p = d % _PHASH_PATTERNS
-            w, h, a = p % 7 + 4, p % 5 + 3, p % 13 + 1
-            i = np.arange(w * h, dtype=np.int64)
-            px = np.empty((w * h, 3), dtype=np.uint8)
-            px[:, 0] = (i * a) % 256
-            px[:, 1] = (i + p) % 256
-            px[:, 2] = (i * 3 + 7) % 256
+            w, h, px = _ppm_raster(p)
             delta = d % 5
             px[0, 0] += delta  # red   0 -> delta   (no wrap: delta <= 4)
             px[0, 2] -= delta  # blue  7 -> 7-delta (no wrap: delta <= 4)

@@ -526,7 +526,7 @@ _KMV_SPACE = float(2**32)  # md5 8-hex-char hash space
              ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS h
       FROM orders
     ),
-    sk AS (
+    sk AS MATERIALIZED (
       SELECT shard, h FROM (
         SELECT shard, h, row_number() OVER (PARTITION BY shard ORDER BY h) AS r
         FROM h
@@ -553,8 +553,8 @@ _KMV_SPACE = float(2**32)  # md5 8-hex-char hash space
            exact_distinct,
            CASE WHEN n_sketch < {KMV_K} THEN n_sketch ELSE
              CAST(floor({KMV_K - 1} * {_KMV_SPACE!r} / hk) AS BIGINT)
-           END BETWEEN CAST(0.5 * exact_distinct AS BIGINT)
-                   AND CAST(2.0 * exact_distinct AS BIGINT) AS within_2x
+           END BETWEEN CAST(floor(0.5 * exact_distinct) AS BIGINT)
+                   AND CAST(floor(2.0 * exact_distinct) AS BIGINT) AS within_2x
     FROM agg CROSS JOIN ex
     """,
     tags=("sketch", "aggregate"),
@@ -628,9 +628,12 @@ def kmv_distinct_estimate(keyed: DataFrame) -> DataFrame:
             "n_shard_rows",
             est.alias("est_distinct"),
             "exact_distinct",
+            # floor() explicitly on BOTH engines: DuckDB CAST(double AS
+            # BIGINT) rounds while Spark's cast truncates, so a bare
+            # cast of 0.5 * <odd exact count> diverges by 1.
             est.between(
-                (F.lit(0.5) * F.col("exact_distinct")).cast("long"),
-                (F.lit(2.0) * F.col("exact_distinct")).cast("long"),
+                F.floor(F.lit(0.5) * F.col("exact_distinct")).cast("long"),
+                F.floor(F.lit(2.0) * F.col("exact_distinct")).cast("long"),
             ).alias("within_2x"),
         )
     )

@@ -166,17 +166,23 @@ SNAPSHOT = {
     # Triangle counting: wedge enumeration and closure must be
     # equi-joins (hash/SMJ) — the whole algorithm exists because the
     # OR-of-directions closure degenerates to a nested loop. The only
-    # nested-loop nodes allowed are the 1-row stats-assembly cross
-    # joins (the sanctioned shape).
+    # nested-loop nodes allowed are the THREE 1-row stats-assembly
+    # cross joins; the count pin (3 nodes x tree-line + detail-header
+    # = 6 textual hits in the formatted plan) bites if a fourth BNLJ
+    # appears — i.e. the wedge/closure join regressed to a nested loop
+    # while the presence checks still passed on the deg equi-joins.
     "graph_triangle_count": [
         "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin",
+        "=6:BroadcastNestedLoopJoin",
         "HashAggregate",
     ],
     # Perceptual-hash dedup: decode+hash in one Arrow pipeline; only
     # the 12-byte (doc_id, phash, md5-ref) rows may reach the shuffle,
-    # never the binary payload — MapInPandas must appear BELOW the
-    # aggregate's exchange (asserted by the pair of properties).
-    "mm_phash_dedup": ["MapInPandas", "HashAggregate"],
+    # never the binary payload. The micro-syntax cannot assert node
+    # ORDER, so the shuffle-hygiene claim is carried by the operator's
+    # own structure (hash projected before groupBy) + the count pin on
+    # the two Arrow stages (2 nodes x 2 textual hits).
+    "mm_phash_dedup": ["=4:MapInPandas", "HashAggregate"],
     # Binned interval join: the rewrite's whole point is that the
     # overlap join runs as an equi-join on (user, bin) — a nested loop
     # here means the theta join came back.

@@ -130,3 +130,25 @@ def test_bitmap_keys_nonnegative_in_fixture(sf):
         f"{sf}: negative l_partkey {mn} — agg_bitmap_distinct's "
         "mod/div contract no longer holds; see its docstring"
     )
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_phash_doc_ids_nonnegative_in_fixture(sf):
+    """mm_phash_dedup's synthetic-variant kernel takes doc_id % 50 /
+    doc_id % 5 in Python (always non-negative) while its oracle takes
+    the same mod in DuckDB (sign follows the dividend), so a
+    regenerated fixture planting a negative doc_id would silently
+    assign documents to different pattern groups per engine. Same
+    guard class as the bitmap-key check above."""
+    import duckdb
+
+    path = f"/root/testdata/{sf}/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip(f"{path} absent")
+    (mn,) = duckdb.sql(
+        f"SELECT MIN(doc_id) FROM read_parquet('{path}')"
+    ).fetchone()
+    assert mn >= 0, (
+        f"{sf}: negative doc_id {mn} — mm_phash_dedup's mod contract "
+        "no longer holds; see _synth_ppm_variants's docstring"
+    )
