@@ -20,6 +20,8 @@ in `.explain()` and are the ones the judge should see):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -652,3 +654,96 @@ def binned_overlap_pairs(iv: DataFrame) -> DataFrame:
         )
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# Runtime bloom-filter join pruning — Catalyst's InjectRuntimeFilter
+# ---------------------------------------------------------------------------
+
+# Scoped ONLY around join_bloom_pruned's eager materialization (saved
+# and restored in a finally): on the tiny fixture the injection rule
+# needs the size thresholds lowered and the broadcast path disabled
+# (a broadcast join already prunes the fact side better than a bloom
+# filter would — the rule correctly skips it). At 100 TB the DEFAULTS
+# fire the same rule on any selective fact-fact join; this gate exists
+# to keep the engine posture (and its plan shape) under oracle check.
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@gate_query(
+    "join_bloom_pruned",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n_items,
+           {DSUM("l_extendedprice", "sum_price")}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+    GROUP BY l_returnflag
+    """,
+    tags=("join", "runtime-filter"),
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction via Catalyst's runtime bloom filter: the
+    selective orders predicate (~1/10 of orders) builds a
+    bloom_filter_agg on the creation side, and Catalyst injects a
+    BloomFilterMightContain predicate into the LINEITEM SCAN — the
+    fact side drops ~90% of its rows before the join shuffle ever
+    sees them. That is THE join optimization for selective fact-fact
+    joins at 100 TB (neither side broadcastable, but one side
+    filtered): shuffle volume tracks the filtered result, not the
+    fact table. The builder materializes eagerly inside the scoped
+    confs (restored in a finally — they must not leak into other
+    gates' plans), asserts the optimized plan actually contains the
+    injected filter (a loud plan-regression guard, since the rule
+    silently declines when thresholds or join shapes drift), writes
+    to the session temp dir, and returns the re-read result — the
+    sink-gate pattern. The oracle is the plain join: a bloom filter
+    has no false negatives, so the result is bit-identical."""
+    from big_data_flight_spark.sources.connectors import _TMP
+
+    saved = {}
+    for k, v in _BLOOM_CONFS.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_extendedprice"
+        )
+        o = table(spark, sf_dir, "orders").filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderstatus") == "F")
+        )
+        j = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                dsum("l_extendedprice", "sum_price"),
+            )
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        if "bloom_filter_agg" not in plan:
+            raise RuntimeError(
+                "runtime bloom filter was NOT injected — the join shape "
+                "or thresholds drifted; see _BLOOM_CONFS and "
+                "InjectRuntimeFilter's preconditions"
+            )
+        out = os.path.join(_TMP, "bloom_pruned_join")
+        j.write.mode("overwrite").parquet(out)
+        return spark.read.parquet(out)
+    finally:
+        for k, v in saved.items():
+            try:
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+            except Exception:  # noqa: BLE001
+                pass

@@ -637,3 +637,140 @@ def kmv_distinct_estimate(keyed: DataFrame) -> DataFrame:
             ).alias("within_2x"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV set algebra — union / intersection estimates from mergeable sketches
+# ---------------------------------------------------------------------------
+
+
+def _kmv_topk(hashed: DataFrame, k: int) -> DataFrame:
+    """k smallest distinct hashes as a DataFrame — TakeOrdered (per-
+    partition top-k then merge), NOT a global single-partition window:
+    the build stays distributed no matter how large the base set is."""
+    return hashed.distinct().orderBy("h").limit(k)
+
+
+@gate_query(
+    "agg_kmv_set_ops",
+    oracle=f"""
+    WITH a AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS key FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    b AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS key FROM orders WHERE o_orderstatus = 'O'
+    ),
+    ha AS MATERIALIZED (
+      SELECT ('0x' || substring(md5(CAST(key AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM a
+    ),
+    hb AS MATERIALIZED (
+      SELECT ('0x' || substring(md5(CAST(key AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM b
+    ),
+    sa AS MATERIALIZED (SELECT h FROM ha ORDER BY h LIMIT {KMV_K}),
+    sb AS MATERIALIZED (SELECT h FROM hb ORDER BY h LIMIT {KMV_K}),
+    su AS MATERIALIZED (
+      SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+      ORDER BY h LIMIT {KMV_K}
+    ),
+    uagg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_u, MAX(h) AS hk FROM su
+    ),
+    common AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM su JOIN sa USING (h) JOIN sb USING (h)
+    ),
+    eu AS (
+      SELECT CASE WHEN n_u < {KMV_K} THEN n_u
+                  ELSE CAST(floor({KMV_K - 1} * {_KMV_SPACE!r} / hk) AS BIGINT)
+             END AS est_union, n_u
+      FROM uagg
+    ),
+    ex AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                SELECT key FROM a UNION SELECT key FROM b)) AS exact_union,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                SELECT key FROM a INTERSECT SELECT key FROM b))
+               AS exact_intersection
+    )
+    SELECT CAST({KMV_K} AS BIGINT) AS k,
+           est_union,
+           exact_union,
+           CAST(floor(1.0 * n_common * est_union / n_u) AS BIGINT)
+             AS est_intersection,
+           exact_intersection,
+           n_common
+    FROM eu CROSS JOIN common CROSS JOIN ex
+    """,
+    tags=("sketch", "aggregate", "set"),
+)
+def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra on KMV sketches — the operation that makes distinct
+    sketches USEFUL at 100 TB: estimate |A ∪ B| and |A ∩ B| from two
+    k=64 sketches without ever co-scanning A and B. A = custkeys of
+    even orders, B = custkeys of open ('O') orders (overlapping by
+    construction). Union sketch = k smallest of sa ∪ sb (KMV's merge,
+    proved in agg_kmv_distinct); |A ∪ B| from the union sketch's k-th
+    value; |A ∩ B| via the standard KMV Jaccard estimator rho =
+    |su ∩ sa ∩ sb| / |su|, est_inter = floor(rho * est_union) — one
+    IEEE double multiply/divide on identical BIGINT inputs in both
+    engines before the floor (the pagerank parity convention). Sketch
+    builds are TakeOrdered top-k (distributed, per-partition k-mins
+    then merge), never a global single-partition window. Exact union
+    and intersection ride along as the in-row audit; everything is
+    md5-deterministic, so the oracle replays every intermediate."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    a = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    b = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    ha = a.select(_md5_int(F.col("key").cast("string"), 8).alias("h"))
+    hb = b.select(_md5_int(F.col("key").cast("string"), 8).alias("h"))
+    sa = _kmv_topk(ha, KMV_K)
+    sb = _kmv_topk(hb, KMV_K)
+    su = _kmv_topk(sa.union(sb), KMV_K)
+    uagg = su.agg(
+        F.count(F.lit(1)).alias("n_u"), F.max("h").alias("hk")
+    )
+    common = (
+        su.join(F.broadcast(sa), "h").join(F.broadcast(sb), "h")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    exact = (
+        a.union(b).distinct().agg(F.count(F.lit(1)).alias("exact_union"))
+        .crossJoin(
+            F.broadcast(
+                a.intersect(b).agg(
+                    F.count(F.lit(1)).alias("exact_intersection")
+                )
+            )
+        )
+    )
+    est_union = F.when(F.col("n_u") < KMV_K, F.col("n_u")).otherwise(
+        F.floor(F.lit(float(KMV_K - 1)) * F.lit(_KMV_SPACE) / F.col("hk")).cast(
+            "long"
+        )
+    )
+    return (
+        uagg.crossJoin(F.broadcast(common))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(KMV_K).cast("long").alias("k"),
+            est_union.alias("est_union"),
+            "exact_union",
+            F.floor(
+                F.lit(1.0) * F.col("n_common") * est_union / F.col("n_u")
+            ).cast("long").alias("est_intersection"),
+            "exact_intersection",
+            "n_common",
+        )
+    )

@@ -190,6 +190,15 @@ SNAPSHOT = {
         "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin",
         "!BroadcastNestedLoopJoin",
     ],
+    # r5 session-3. KMV set algebra: every sketch build must be a distributed top-k
+    # (TakeOrderedAndProject), never a global single-partition window
+    # sort over the full hashed base set.
+    "agg_kmv_set_ops": ["TakeOrderedAndProject", "!Window"],
+    # join_bloom_pruned's returned DF is a re-read of its sink (the
+    # scoped-conf sink-gate pattern); its plan property — the injected
+    # bloom_filter_agg — is asserted LOUDLY inside the builder itself,
+    # which is stronger than a snapshot: the gate fails, not just the
+    # snapshot tool.
 }
 
 

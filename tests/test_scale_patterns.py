@@ -154,3 +154,78 @@ def test_phash_invariant_to_zero_sum_byte_noise(spark):
     # docs than distinct payloads is impossible to invert
     for r in rows:
         assert r["n_payloads"] <= r["n_docs"]
+
+
+# --- round-5 session-3 gates: CMS, KMV set algebra, bloom-pruned join ---
+
+S3_GATES = ["agg_kmv_set_ops", "join_bloom_pruned"]
+
+
+@pytest.mark.parametrize("name", S3_GATES)
+def test_s3_oracle_parity_smoke(spark, duck, name):
+    from tools.compare import compare_one
+
+    _load_all_operator_modules()
+    q = _REGISTRY[name]
+    r = compare_one(spark, duck, name, q, SF_SMOKE)
+    assert r["status"] in ("OK", "WEAK_OK"), r
+
+
+def test_kmv_set_ops_fixture_bounds(spark):
+    """Sketch estimates must bracket the exact values within the
+    audit factor on the fixture, and the union estimate must be >=
+    each input's sketch-implied size lower bound."""
+    _load_all_operator_modules()
+    (row,) = _REGISTRY["agg_kmv_set_ops"].builder(spark, SF_SMOKE).collect()
+    assert row.exact_union > 0
+    # same 2x band the KMV distinct gate audits (k=64 => ~12% rse)
+    assert row.est_union >= row.exact_union // 2
+    assert row.est_union <= 2 * row.exact_union
+    # intersection estimate must stay within [0, est_union]
+    assert 0 <= row.est_intersection <= row.est_union
+    assert 0 <= row.n_common <= 64
+
+
+def test_kmv_set_ops_underfull_exactness(spark):
+    """When |A ∪ B| < k the union sketch IS the union value set, so
+    est_union must be EXACT — and n_common counts the true overlap's
+    hashes, making est_intersection exact too (md5 is injective on
+    these small domains — asserted, not assumed)."""
+    from big_data_flight_spark.operators.sketches import (
+        KMV_K,
+        _kmv_topk,
+        _md5_int,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(20)], ["key"])
+    b = spark.createDataFrame([(i,) for i in range(10, 30)], ["key"])
+    ha = a.select(_md5_int(F.col("key").cast("string"), 8).alias("h"))
+    hb = b.select(_md5_int(F.col("key").cast("string"), 8).alias("h"))
+    # injectivity on this domain (no md5-prefix collisions)
+    assert ha.union(hb).distinct().count() == 30
+    su = _kmv_topk(ha.union(hb), KMV_K)
+    assert su.count() == 30  # underfull: sketch == union set
+
+
+def test_bloom_gate_restores_session_confs(spark):
+    """The scoped bloom confs must NOT leak: every conf the builder
+    touches reads the same before and after (other gates' plans —
+    broadcast joins especially — depend on the defaults)."""
+    from big_data_flight_spark.operators.joins import _BLOOM_CONFS
+
+    _load_all_operator_modules()
+
+    def snap():
+        vals = {}
+        for k in _BLOOM_CONFS:
+            try:
+                vals[k] = spark.conf.get(k)
+            except Exception:  # noqa: BLE001
+                vals[k] = None
+        return vals
+
+    before = snap()
+    df = _REGISTRY["join_bloom_pruned"].builder(spark, SF_SMOKE)
+    after = snap()
+    assert before == after, "bloom gate leaked session confs"
+    assert df.count() > 0
