@@ -21,7 +21,7 @@ join in text.py):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_flight_spark.io import table
@@ -772,5 +772,144 @@ def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("est_intersection"),
             "exact_intersection",
             "n_common",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram quantile sketch — the mergeable quantile summary
+# ---------------------------------------------------------------------------
+
+HIST_BIN_W = 1024          # dollars per bin (integer width)
+HIST_QS_BP = (2500, 5000, 9000, 9900)  # probed quantiles, basis points
+
+
+@gate_query(
+    "agg_histogram_quantile",
+    oracle=f"""
+    WITH d AS MATERIALIZED (
+      SELECT CAST(floor(l_extendedprice) AS BIGINT) AS d FROM lineitem
+    ),
+    hist AS MATERIALIZED (
+      SELECT d // {HIST_BIN_W} AS b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM d GROUP BY d // {HIST_BIN_W}
+    ),
+    cum AS MATERIALIZED (
+      SELECT b, c, SUM(c) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM hist
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
+    qs AS (
+      SELECT unnest([{", ".join(str(q) for q in HIST_QS_BP)}]) AS q_bp
+    ),
+    ks AS (
+      SELECT q_bp, n, (n * q_bp + 9999) // 10000 AS k
+      FROM qs CROSS JOIN tot
+    ),
+    est AS (
+      SELECT ks.q_bp, ks.n, ks.k, MIN(cum.b) AS b
+      FROM ks JOIN cum ON cum.cum >= ks.k
+      GROUP BY ks.q_bp, ks.n, ks.k
+    ),
+    bounds AS (
+      SELECT q_bp, n, k, b,
+             b * {HIST_BIN_W} AS lo,
+             b * {HIST_BIN_W} + {HIST_BIN_W - 1} AS hi
+      FROM est
+    )
+    SELECT bo.q_bp, bo.n, bo.k, bo.b, bo.lo, bo.hi,
+           CAST(SUM(CASE WHEN d.d < bo.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below,
+           CAST(SUM(CASE WHEN d.d <= bo.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_thru,
+           (SUM(CASE WHEN d.d < bo.lo THEN 1 ELSE 0 END) < bo.k
+            AND SUM(CASE WHEN d.d <= bo.hi THEN 1 ELSE 0 END) >= bo.k)
+             AS contains_quantile
+    FROM d CROSS JOIN bounds bo
+    GROUP BY bo.q_bp, bo.n, bo.k, bo.b, bo.lo, bo.hi
+    """,
+    tags=("sketch", "aggregate"),
+)
+def agg_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin histogram quantile sketch — the summary that
+    answers percentile queries over 100 TB without a global sort:
+    FIXED integer bin bounds ({HIST_BIN_W}-dollar equi-width over
+    floor(price)) mean partial histograms merge by cell-wise SUM
+    across partitions, days, or streams with NO data-dependent
+    codebook to re-negotiate (the practical t-digest/KLL alternative
+    when the domain is known; log-scaled bins are the same pattern
+    for heavy-tailed domains). The quantile-q estimate is the first
+    bin whose cumulative count reaches k = ceil(q*N) (integer
+    (n*q_bp + 9999) DIV 10000, exact in both engines); the ±1-bin
+    error guarantee is then AUDITED from the base data: a second
+    conditional-aggregation scan recomputes n_below(lo) and
+    n_thru(hi) and proves n_below < k <= n_thru — the true rank-k
+    value provably lies inside the reported [lo, hi] window. The
+    cumulative window runs over <=600 bin rows (bounded by the
+    domain/width constants, same class as KMV's 256-row merge
+    window); the only full-data operations are the two scans, both
+    partial-aggregate map-side. All-integer end to end — floor(price)
+    is the one float touch, identical in both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    d = li.select(F.floor("l_extendedprice").cast("long").alias("d"))
+    hist = (
+        d.select(F.expr(f"d DIV {HIST_BIN_W}").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cum = hist.select(
+        "b",
+        "c",
+        F.sum("c")
+        .over(
+            Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cum"),
+    )
+    tot = hist.agg(F.sum("c").cast("long").alias("n"))
+    ks = tot.select(
+        F.explode(F.array(*[F.lit(q) for q in HIST_QS_BP])).alias("q_bp"),
+        "n",
+    ).select(
+        "q_bp", "n", F.expr("(n * q_bp + 9999) DIV 10000").alias("k")
+    )
+    est = (
+        ks.join(F.broadcast(cum), F.col("cum") >= F.col("k"))
+        .groupBy("q_bp", "n", "k")
+        .agg(F.min("b").alias("b"))
+    )
+    bounds = est.select(
+        "q_bp",
+        "n",
+        "k",
+        "b",
+        (F.col("b") * HIST_BIN_W).alias("lo"),
+        (F.col("b") * HIST_BIN_W + (HIST_BIN_W - 1)).alias("hi"),
+    )
+    return (
+        d.crossJoin(F.broadcast(bounds))
+        .groupBy("q_bp", "n", "k", "b", "lo", "hi")
+        .agg(
+            F.sum(F.when(F.col("d") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_below"),
+            F.sum(F.when(F.col("d") <= F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_thru"),
+        )
+        .select(
+            "q_bp",
+            "n",
+            "k",
+            "b",
+            "lo",
+            "hi",
+            "n_below",
+            "n_thru",
+            (
+                (F.col("n_below") < F.col("k"))
+                & (F.col("n_thru") >= F.col("k"))
+            ).alias("contains_quantile"),
         )
     )

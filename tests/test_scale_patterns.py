@@ -229,3 +229,70 @@ def test_bloom_gate_restores_session_confs(spark):
     after = snap()
     assert before == after, "bloom gate leaked session confs"
     assert df.count() > 0
+
+
+def test_histogram_quantile_audit_holds_on_fixture(spark):
+    """Every probed quantile's containment audit must come back true,
+    and the bin window must be exactly one bin wide."""
+    from big_data_flight_spark.operators.sketches import HIST_BIN_W, HIST_QS_BP
+
+    _load_all_operator_modules()
+    rows = _REGISTRY["agg_histogram_quantile"].builder(spark, SF_SMOKE).collect()
+    assert {r.q_bp for r in rows} == set(HIST_QS_BP)
+    for r in rows:
+        assert r.contains_quantile, r
+        assert r.hi - r.lo == HIST_BIN_W - 1
+        assert r.n_below < r.k <= r.n_thru
+
+
+def test_histogram_sketch_is_mergeable(spark):
+    """The scale claim in one assertion: histograms of two disjoint
+    halves, merged by cell-wise sum, equal the whole's histogram."""
+    from big_data_flight_spark.operators.sketches import HIST_BIN_W
+
+    df = spark.range(10_000).select(
+        (F.col("id") * 37 % 90_000).cast("double").alias("v")
+    )
+
+    def hist(frame):
+        return (
+            frame.select(
+                F.expr(f"CAST(floor(v) AS BIGINT) DIV {HIST_BIN_W}").alias("b")
+            )
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    whole = {r.b: r.c for r in hist(df).collect()}
+    h1 = {r.b: r.c for r in hist(df.filter(F.col("id") % 2 == 0)).collect()}
+    h2 = {r.b: r.c for r in hist(df.filter(F.col("id") % 2 == 1)).collect()}
+    merged = {b: h1.get(b, 0) + h2.get(b, 0) for b in set(h1) | set(h2)}
+    assert merged == whole
+
+
+def test_bfs_layers_on_path_graph(spark):
+    """Path graph 1-2-3-4-5-6 from source {1}: hops must be exact
+    layer indices, nodes beyond max_hops unreached."""
+    from big_data_flight_spark.operators.graph import bfs_layers
+
+    undirected = [(i, i + 1) for i in range(1, 6)]
+    edges = spark.createDataFrame(
+        undirected + [(b, a) for a, b in undirected], ["src", "dst"]
+    )
+    src = spark.createDataFrame([(1,)], ["node"])
+    got = {r.node: r.hop for r in bfs_layers(edges, src, 3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5, 6 beyond 3 hops: absent
+
+
+def test_bfs_layers_rejoin_does_not_relabel(spark):
+    """A node reachable at hops 1 AND 3 (cycle) must keep hop 1 —
+    first-reached wins via the anti-join."""
+    from big_data_flight_spark.operators.graph import bfs_layers
+
+    tri = [(1, 2), (2, 3), (3, 1)]
+    edges = spark.createDataFrame(
+        tri + [(b, a) for a, b in tri], ["src", "dst"]
+    )
+    src = spark.createDataFrame([(1,)], ["node"])
+    got = {r.node: r.hop for r in bfs_layers(edges, src, 3).collect()}
+    assert got == {1: 0, 2: 1, 3: 1}
