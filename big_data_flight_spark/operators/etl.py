@@ -196,3 +196,122 @@ def etl_cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("last_value"),
         )
     )
+
+
+@gate_query(
+    "etl_incremental_agg",
+    oracle=f"""
+    WITH base AS MATERIALIZED (
+      SELECT o_orderkey, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    ins AS MATERIALIZED (
+      SELECT o_orderkey, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    del AS MATERIALIZED (
+      SELECT o_orderkey, o_orderpriority, o_totalprice
+      FROM base WHERE o_orderkey % 7 = 0
+    ),
+    snap2 AS (
+      SELECT o_orderpriority, o_totalprice
+      FROM base WHERE o_orderkey % 7 <> 0
+      UNION ALL
+      SELECT o_orderpriority, o_totalprice FROM ins
+    ),
+    full_recompute AS (
+      SELECT o_orderpriority AS priority,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             {DSUM("o_totalprice", "sum_price")}
+      FROM snap2 GROUP BY o_orderpriority
+    ),
+    audit AS (
+      SELECT priority,
+             CAST(COALESCE(i.n, 0) AS BIGINT) AS n_inserted,
+             CAST(COALESCE(d.n, 0) AS BIGINT) AS n_deleted
+      FROM (SELECT DISTINCT o_orderpriority AS priority FROM orders)
+      LEFT JOIN (SELECT o_orderpriority AS priority, COUNT(*) AS n
+                 FROM ins GROUP BY o_orderpriority) i USING (priority)
+      LEFT JOIN (SELECT o_orderpriority AS priority, COUNT(*) AS n
+                 FROM del GROUP BY o_orderpriority) d USING (priority)
+    )
+    SELECT f.priority, f.n_rows, f.sum_price, a.n_inserted, a.n_deleted
+    FROM full_recompute f JOIN audit a USING (priority)
+    """,
+    tags=("etl",),
+)
+def etl_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance (IVM): a stored
+    per-priority (COUNT, SUM) aggregate is advanced to the next
+    snapshot by applying ONLY the CDC delta as signed partial
+    aggregates — inserts contribute (+1, +price), deletes (−1,
+    −price), updates are delete+insert — union-all'd with the stored
+    aggregate rows and re-summed per group. COUNT and SUM are
+    self-maintainable, so the maintenance cost is O(delta + groups)
+    and the 100 TB base table is NEVER rescanned (here the stored
+    aggregate is simulated by aggregating the base snapshot once; in
+    production it IS the stored table). MIN/MAX are deliberately
+    absent: they are not self-maintainable under deletes (a deleted
+    group minimum forces a rescan of that group — the standard IVM
+    boundary). All arithmetic is exact (BIGINT counts,
+    DECIMAL(38,6) sums), so the incremental path must match the
+    oracle's full recompute of the post-delta snapshot bit-for-bit —
+    that equality is the IVM correctness proof. The delta is derived
+    from deterministic key predicates (no RNG): inserts = keys % 10
+    = 0, deletes = surviving keys % 7 = 0."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = o.filter(F.col("o_orderkey") % 10 != 0)
+    ins = o.filter(F.col("o_orderkey") % 10 == 0)
+    dels = base.filter(F.col("o_orderkey") % 7 == 0)
+
+    # exact decimal partial (NOT dsum: the double cast must happen
+    # exactly once, after the maintained total is assembled — summing
+    # per-part doubles would reintroduce order dependence)
+    def _dpart(frame: DataFrame) -> Column:
+        return F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias(
+            "sum_price"
+        )
+
+    # the stored MV (one aggregation of the pre-delta snapshot)
+    stored = base.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        _dpart(base),
+    ).select(
+        "priority", "n_rows", "sum_price",
+        F.lit(0).cast("long").alias("n_inserted"),
+        F.lit(0).cast("long").alias("n_deleted"),
+    )
+    # signed delta partials — the only data scanned at maintenance time
+    ins_part = ins.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        _dpart(ins),
+    ).select(
+        "priority", "n_rows", "sum_price",
+        F.col("n_rows").alias("n_inserted"),
+        F.lit(0).cast("long").alias("n_deleted"),
+    )
+    del_part = dels.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pos"),
+        _dpart(dels),
+    ).select(
+        "priority",
+        (-F.col("n_pos")).cast("long").alias("n_rows"),
+        (-F.col("sum_price")).alias("sum_price"),
+        F.lit(0).cast("long").alias("n_inserted"),
+        F.col("n_pos").alias("n_deleted"),
+    )
+    maintained = (
+        stored.unionAll(ins_part).unionAll(del_part)
+        .groupBy("priority")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("sum_price").cast("decimal(38,6)").cast("double").alias(
+                "sum_price"
+            ),
+            F.sum("n_inserted").cast("long").alias("n_inserted"),
+            F.sum("n_deleted").cast("long").alias("n_deleted"),
+        )
+    )
+    return maintained

@@ -199,6 +199,13 @@ SNAPSHOT = {
     # bloom_filter_agg — is asserted LOUDLY inside the builder itself,
     # which is stronger than a snapshot: the gate fails, not just the
     # snapshot tool.
+    # r5 session-5. Z-order layout: the 2-D box must reach the
+    # readback scan as data-source pushed filters on BOTH normalized
+    # coordinates — that is what parquet row-group stats prune on.
+    "sink_zorder_layout": [
+        "GreaterThanOrEqual(un,64)",
+        "GreaterThanOrEqual(dn,80)",
+    ],
 }
 
 

@@ -206,3 +206,46 @@ def test_rollup_cascade_equals_direct_daily(spark):
         ).collect()
     }
     assert got == direct
+
+
+def test_incremental_agg_matches_full_recompute_exactly(spark):
+    """IVM invariant, engine-internal: the incrementally maintained
+    (count, sum) per group must equal a from-scratch Spark recompute
+    of the post-delta snapshot BIT-FOR-BIT (decimal partials make the
+    maintained sum exact, so even the final double cast agrees)."""
+    from pyspark.sql import functions as F
+
+    from big_data_flight_spark.registry import _REGISTRY, _load_all_operator_modules
+    from big_data_flight_spark.io import table
+    from tests.conftest import SF_SMOKE
+
+    _load_all_operator_modules()
+    got = {
+        r.priority: (r.n_rows, r.sum_price, r.n_inserted, r.n_deleted)
+        for r in _REGISTRY["etl_incremental_agg"].builder(spark, SF_SMOKE).collect()
+    }
+    o = table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    snap2 = o.filter(
+        ((F.col("o_orderkey") % 10 != 0) & (F.col("o_orderkey") % 7 != 0))
+        | (F.col("o_orderkey") % 10 == 0)
+    )
+    want = {
+        r.priority: (r.n_rows, r.sum_price)
+        for r in snap2.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for p, (n, s) in want.items():
+        gn, gs, gi, gd = got[p]
+        assert gn == n
+        assert gs == s  # exact equality — decimal path, single cast
+        assert gi > 0 and gd > 0  # the delta actually touched the group

@@ -296,3 +296,50 @@ def test_bfs_layers_rejoin_does_not_relabel(spark):
     src = spark.createDataFrame([(1,)], ["node"])
     got = {r.node: r.hop for r in bfs_layers(edges, src, 3).collect()}
     assert got == {1: 0, 2: 1, 3: 1}
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
+    """The Z-order scale claim, read straight from parquet footer
+    statistics: (a) most files are tight in BOTH normalized
+    dimensions (a 1-D sort is tight in at most one), and (b) the
+    gate's 2-D box can skip at least a quarter of the files on
+    stats alone."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from big_data_flight_spark.sources.connectors import (
+        _Z_SCALE,
+        write_zorder_layout,
+    )
+
+    out = str(tmp_path / "zorder")
+    write_zorder_layout(spark, SF_SMOKE, out)
+    files = sorted(glob.glob(out + "/*.parquet"))
+    assert len(files) == 16
+    boxes = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        lo, hi = {}, {}
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for ci in range(row.num_columns):
+                col = row.column(ci)
+                name = col.path_in_schema
+                if name not in ("un", "dn") or col.statistics is None:
+                    continue
+                st = col.statistics
+                lo[name] = min(lo.get(name, st.min), st.min)
+                hi[name] = max(hi.get(name, st.max), st.max)
+        boxes.append((lo["un"], hi["un"], lo["dn"], hi["dn"]))
+    tight_u = sum(1 for u0, u1, _, _ in boxes if u1 - u0 < _Z_SCALE)
+    tight_d = sum(1 for _, _, d0, d1 in boxes if d1 - d0 < _Z_SCALE)
+    assert tight_u >= 12, boxes
+    assert tight_d >= 12, boxes
+    # the gate's box: un in [64,160], dn in [80,170]
+    skippable = sum(
+        1
+        for u0, u1, d0, d1 in boxes
+        if u1 < 64 or u0 > 160 or d1 < 80 or d0 > 170
+    )
+    assert skippable >= 4, boxes
