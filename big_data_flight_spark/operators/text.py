@@ -1847,3 +1847,177 @@ def text_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(kept_pos, lambda p: F.element_at("w", p + 1)), " "
         ).alias("cleaned_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training — distributed tokenizer-vocabulary learning
+# ---------------------------------------------------------------------------
+
+TEXT_BPE_ROUNDS = 4
+
+
+def _bpe_oracle(rounds: int = TEXT_BPE_ROUNDS) -> str:
+    """Unrolled BPE-merge oracle generated from the SAME Python round
+    constant as the Spark loop (the pagerank convention). Each round
+    recomputes the argmax pair IN SQL (the merge rule is data-
+    dependent, so the oracle must re-derive it, not receive it), then
+    applies the identical literal replace. Every multi-referenced CTE
+    is MATERIALIZED (DuckDB inlines CTEs per reference — the
+    pagerank_converged lesson)."""
+    parts = [
+        r"""w0 AS MATERIALIZED (
+      SELECT word, ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS word_s,
+             CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+      WHERE word <> ''
+      GROUP BY word
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    pc{r} AS (
+      SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        SELECT word, freq, s AS a,
+               lead(s) OVER (PARTITION BY word ORDER BY i) AS b
+        FROM (
+          SELECT word, freq,
+                 unnest(string_split(trim(word_s), ' ')) AS s,
+                 unnest(range(1, len(string_split(trim(word_s), ' ')) + 1)) AS i
+          FROM w{r - 1}
+        )
+      ) WHERE b IS NOT NULL
+      GROUP BY a, b
+    ),
+    best{r} AS MATERIALIZED (
+      SELECT a, b, cnt FROM pc{r} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+    ),
+    w{r} AS MATERIALIZED (
+      SELECT word,
+             replace(word_s, ' ' || a || ' ' || b || ' ',
+                     ' ' || a || b || ' ') AS word_s,
+             freq
+      FROM w{r - 1} CROSS JOIN best{r}
+    ),
+    st{r} AS (
+      SELECT CAST({r} AS BIGINT) AS round,
+             a AS sym_a, b AS sym_b, cnt AS pair_count,
+             (SELECT CAST(SUM(freq * len(string_split(trim(word_s), ' ')))
+                     AS BIGINT) FROM w{r}) AS corpus_symbols_after,
+             (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) FROM (
+                SELECT unnest(string_split(trim(word_s), ' ')) AS s
+                FROM w{r})) AS distinct_symbols_after
+      FROM best{r}
+    )""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM st{r}" for r in range(1, rounds + 1)
+    )
+    return f"WITH {','.join(parts)}\n    {union}"
+
+
+@gate_query(
+    "text_bpe_merge_train",
+    oracle=_bpe_oracle(),
+    tags=("text",),
+)
+def text_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer-vocabulary training: TEXT_BPE_ROUNDS
+    merge rounds over the corpus word-frequency table. Each round (a)
+    counts adjacent symbol pairs weighted by word frequency (one
+    shuffle over the VOCABULARY, not the corpus — the corpus is
+    scanned exactly once, before the loop), (b) selects the most
+    frequent pair with a (count DESC, pair ASC) total-order tie-break
+    as a 1-row DataFrame — never a driver scalar — and (c) applies the
+    merge to every word's spaced symbol string via a literal
+    `replace`, with the 1-row rule riding the sanctioned broadcast
+    cross join. Merge semantics are one non-overlapping left-to-right
+    replace pass per round — deterministic and engine-identical
+    (verified: Spark and DuckDB both scan the original string and
+    resume after each match, so ' a a a a ' merging (a,a) yields
+    ' aa a a ' in both); canonical BPE's repeated-rescan of
+    boundary-sharing runs is deliberately simplified away and
+    documented here. Per-round outputs (chosen pair, its count, total
+    and distinct symbol counts after the merge) audit the FULL loop
+    state each round — round r's counts are only right if every
+    earlier merge was. Loop discipline: the word table is
+    localCheckpoint-ed before the loop (loop-invariant corpus scan
+    runs once) and after each merge (flat lineage); the 1-row argmax
+    is checkpointed too, since it is consumed twice (merge + stats).
+    At 100 TB this is the standard distributed-BPE-trainer shape:
+    pair counting reduces over the vocab, the learned rule broadcasts
+    back — the corpus itself is never re-tokenized during training."""
+    docs = table(spark, sf_dir, "documents")
+    w = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .withColumn(
+            "word_s",
+            F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")),
+        )
+        .localCheckpoint()
+    )
+    stats: list[DataFrame] = []
+    for r in range(1, TEXT_BPE_ROUNDS + 1):
+        pairs = F.expr(
+            "CASE WHEN size(syms) >= 2 THEN "
+            "transform(sequence(1, size(syms) - 1), "
+            "i -> struct(syms[i-1] AS a, syms[i] AS b)) "
+            "ELSE array() END"
+        )
+        pc = (
+            w.select(
+                "freq", F.split(F.trim("word_s"), " ").alias("syms")
+            )
+            .select("freq", F.explode(pairs).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        best = (
+            pc.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .localCheckpoint()
+        )
+        w = (
+            w.crossJoin(F.broadcast(best))
+            .select(
+                "word",
+                F.replace(
+                    F.col("word_s"),
+                    F.concat(F.lit(" "), "a", F.lit(" "), "b", F.lit(" ")),
+                    F.concat(F.lit(" "), "a", "b", F.lit(" ")),
+                ).alias("word_s"),
+                "freq",
+            )
+            .localCheckpoint()
+        )
+        corpus_after = w.agg(
+            F.sum(
+                F.col("freq") * F.size(F.split(F.trim("word_s"), " "))
+            )
+            .cast("long")
+            .alias("corpus_symbols_after")
+        )
+        distinct_after = (
+            w.select(F.explode(F.split(F.trim("word_s"), " ")).alias("s"))
+            .agg(
+                F.countDistinct("s").cast("long").alias(
+                    "distinct_symbols_after"
+                )
+            )
+        )
+        stats.append(
+            best.select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("a").alias("sym_a"),
+                F.col("b").alias("sym_b"),
+                F.col("cnt").alias("pair_count"),
+            )
+            .crossJoin(F.broadcast(corpus_after))
+            .crossJoin(F.broadcast(distinct_after))
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionAll(s)
+    return out

@@ -206,6 +206,12 @@ SNAPSHOT = {
         "GreaterThanOrEqual(un,64)",
         "GreaterThanOrEqual(dn,80)",
     ],
+    # BPE merge training: the iterative-loop discipline pin — the
+    # final stats plan must read checkpointed round states
+    # (ExistingRDD), never re-derive the merge cascade as a live join
+    # tree (Catalyst planning grows super-linearly with rounds
+    # otherwise — the LSS/pagerank lesson).
+    "text_bpe_merge_train": ["ExistingRDD"],
 }
 
 

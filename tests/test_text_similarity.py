@@ -409,3 +409,51 @@ def test_substring_clean_survives_empty_doc(spark):
     assert out[1] == (0, "")
     assert out[2] == (0, "")
     assert out[3] == (5, "just a few words here")
+
+
+def test_bpe_merge_train_hand_computed(spark):
+    """Corpus {aaab ×3, ab ×2}: merges, counts, and per-round state
+    hand-computed; round 4 exhausts the pair space so its row must
+    vanish IDENTICALLY to the oracle's empty best4 CTE."""
+    import big_data_flight_spark.operators.text as text_mod
+
+    d = spark.createDataFrame(
+        [(0, "aaab aaab aaab ab ab")], "doc_id long, text string"
+    )
+    orig = text_mod.table
+    text_mod.table = lambda s, dd, n: d
+    try:
+        rows = sorted(
+            text_mod.text_bpe_merge_train(spark, "ignored").collect(),
+            key=lambda r: r.round,
+        )
+    finally:
+        text_mod.table = orig
+    got = [
+        (r.round, r.sym_a, r.sym_b, r.pair_count,
+         r.corpus_symbols_after, r.distinct_symbols_after)
+        for r in rows
+    ]
+    assert got == [
+        (1, "a", "a", 6, 13, 3),   # aaab -> aa a b (single-pass run)
+        (2, "a", "b", 5, 8, 2),    # aaab -> aa ab, ab -> ab
+        (3, "aa", "ab", 3, 5, 2),  # aaab -> aaab
+    ]
+
+
+def test_bpe_tiebreak_is_lexicographic(spark):
+    """(x,y) and (z,w) tie on count: the lexicographically smaller
+    pair must win round 1 in both engines."""
+    import big_data_flight_spark.operators.text as text_mod
+
+    d = spark.createDataFrame([(0, "xy xy zw zw")], "doc_id long, text string")
+    orig = text_mod.table
+    text_mod.table = lambda s, dd, n: d
+    try:
+        r1 = min(
+            text_mod.text_bpe_merge_train(spark, "ignored").collect(),
+            key=lambda r: r.round,
+        )
+    finally:
+        text_mod.table = orig
+    assert (r1.sym_a, r1.sym_b, r1.pair_count) == ("x", "y", 2)
