@@ -687,3 +687,88 @@ def evt_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.start").alias("day_start"), "event_type", "n", "sum_value",
         "min_value", "max_value",
     )
+
+
+@gate_query(
+    "evt_gapfill_locf",
+    oracle="""
+    WITH e AS MATERIALIZED (
+      SELECT user_id,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             value
+      FROM events
+    ),
+    daily AS MATERIALIZED (
+      SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+               AS sum_value_raw
+      FROM e GROUP BY user_id, day
+    ),
+    b AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM e),
+    days AS (SELECT unnest(range(dmin, dmax + 1)) AS day FROM b),
+    grid AS (
+      SELECT u.user_id, d.day
+      FROM (SELECT DISTINCT user_id FROM e) u CROSS JOIN days d
+    ),
+    j AS (
+      SELECT g.user_id, g.day, daily.n_events, daily.sum_value_raw
+      FROM grid g LEFT JOIN daily USING (user_id, day)
+    )
+    SELECT user_id, CAST(day AS BIGINT) AS day,
+           CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+           COALESCE(sum_value_raw, 0.0) AS sum_value,
+           last_value(sum_value_raw IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_sum,
+           n_events IS NOT NULL AS has_data
+    FROM j
+    """,
+    tags=("events",),
+)
+def evt_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + resample to a dense daily grid with
+    last-observation-carried-forward (the time_bucket_gapfill / locf
+    pattern every monitoring and feature-engineering pipeline needs):
+    each user gets one row for EVERY day in the observed span — days
+    with no events carry n_events = 0 / sum_value = 0.0, and locf_sum
+    carries the last observed daily sum forward (NULL before a user's
+    first observation, matching SQL last_value IGNORE NULLS). Scale
+    shape: the daily pre-aggregation is partial map-side; the dense
+    grid is distinct-users × a BROADCAST calendar (the calendar is
+    bounded — 100 TB of events still spans only thousands of days);
+    the grid join shuffles on (user_id, day); the LOCF window
+    partitions by user with at most |days| rows per partition. No
+    arithmetic happens after the per-day decimal sum, so the carried
+    value is bit-identical in both engines (LOCF is a pick, not a
+    fold). Day is an integer index from the epoch date (no bare DATE
+    output — parity rule)."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("datediff(to_date(ts), DATE '2024-01-01')")
+        .cast("long")
+        .alias("day"),
+        "value",
+    )
+    daily = e.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        dsum("value", "sum_value_raw"),
+    )
+    bounds = e.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    days = bounds.select(
+        F.explode(F.sequence("dmin", "dmax")).alias("day")
+    )
+    grid = e.select("user_id").distinct().crossJoin(F.broadcast(days))
+    j = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("sum_value_raw", F.lit(0.0)).alias("sum_value"),
+        F.last("sum_value_raw", ignorenulls=True).over(w).alias("locf_sum"),
+        F.col("n_events").isNotNull().alias("has_data"),
+    )

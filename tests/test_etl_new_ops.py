@@ -249,3 +249,35 @@ def test_incremental_agg_matches_full_recompute_exactly(spark):
         assert gn == n
         assert gs == s  # exact equality — decimal path, single cast
         assert gi > 0 and gd > 0  # the delta actually touched the group
+
+
+def test_gapfill_locf_semantics(spark):
+    """User 1 has events on days 0 and 3 inside a 0..4 span (user 2
+    sets the span): days 1-2 must be zero-filled with the day-0 sum
+    carried forward; day 4 carries day 3; user 2's day-0 row (before
+    any observation... it observes day 4 only) must have NULL locf
+    until day 4."""
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 5), 1, "a", 10.0),
+        (2, dt.datetime(2024, 1, 1, 6), 1, "a", 2.5),
+        (3, dt.datetime(2024, 1, 4, 7), 1, "a", 7.0),
+        (4, dt.datetime(2024, 1, 5, 8), 2, "a", 1.0),
+    ]
+    e = spark.createDataFrame(rows, _EVT_SCHEMA)
+    orig = _patched(evt_mod, {"events": e})
+    try:
+        got = {
+            (r.user_id, r.day): (r.n_events, r.sum_value, r.locf_sum, r.has_data)
+            for r in evt_mod.evt_gapfill_locf(spark, "ignored").collect()
+        }
+    finally:
+        evt_mod.table = orig
+    assert len(got) == 10  # 2 users x days 0..4
+    assert got[(1, 0)] == (2, 12.5, 12.5, True)
+    assert got[(1, 1)] == (0, 0.0, 12.5, False)
+    assert got[(1, 2)] == (0, 0.0, 12.5, False)
+    assert got[(1, 3)] == (1, 7.0, 7.0, True)
+    assert got[(1, 4)] == (0, 0.0, 7.0, False)
+    assert got[(2, 0)] == (0, 0.0, None, False)
+    assert got[(2, 3)] == (0, 0.0, None, False)
+    assert got[(2, 4)] == (1, 1.0, 1.0, True)
