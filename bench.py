@@ -95,24 +95,24 @@ EAGER_BUILDERS = {"stream_source_sink"}
 # doc-frequency rewrites), stream 0.585->0.501, q8 0.241->0.237,
 # mm_dedup 0.070->0.068 (achieved in the r5 protocol run).
 BEST_KNOWN = {
-    "agg_groupby": 0.571,
-    "tpch_q5": 0.221,
-    "tpch_q18": 0.337,
+    "agg_groupby": 0.544,
+    "tpch_q5": 0.219,
+    "tpch_q18": 0.264,
     "agg_distinct": 0.099,
     "agg_percentile": 0.333,
-    "join_inner_equi": 0.342,
+    "join_inner_equi": 0.304,
     "join_broadcast": 0.230,
-    "join_asof": 0.106,
-    "win_topk_per_group": 0.079,
+    "join_asof": 0.104,
+    "win_topk_per_group": 0.077,
     "evt_tumbling_window": 0.145,
     "evt_sessionize_stats": 0.150,
-    "text_tokenize_counts": 0.155,
-    "text_near_dedup_jaccard": 0.897,
+    "text_tokenize_counts": 0.150,
+    "text_near_dedup_jaccard": 0.869,
     "sim_cosine_pairs": 0.477,
-    "limit_topk": 0.050,
-    "stream_source_sink": 0.501,
-    "tpch_q8": 0.237,
-    "tpch_q21": 0.490,
+    "limit_topk": 0.049,
+    "stream_source_sink": 0.490,
+    "tpch_q8": 0.224,
+    "tpch_q21": 0.434,
     "text_ngram_freq": 0.159,
     "mm_dedup_assets": 0.068,
 }
