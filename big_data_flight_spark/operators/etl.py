@@ -315,3 +315,143 @@ def etl_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return maintained
+
+
+@gate_query(
+    "etl_snapshot_diff",
+    oracle=f"""
+    WITH v1 AS MATERIALIZED (
+      SELECT o_orderkey, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 11 <> 0
+    ),
+    v2 AS MATERIALIZED (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 100.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 13 <> 0
+    ),
+    classified AS (
+      SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS key,
+             CASE
+               WHEN v1.o_orderkey IS NULL THEN 'insert'
+               WHEN v2.o_orderkey IS NULL THEN 'delete'
+               WHEN v1.o_totalprice <> v2.o_totalprice THEN 'update'
+               ELSE 'unchanged'
+             END AS change_type,
+             COALESCE(v2.o_totalprice, v1.o_totalprice) AS effective_price
+      FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
+    )
+    SELECT change_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(key) AS BIGINT) AS key_checksum,
+           {DSUM("effective_price", "sum_price")}
+    FROM classified
+    GROUP BY change_type
+    """,
+    tags=("etl",),
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed generation — the INVERSE of merge: diff two
+    table snapshots into insert/delete/update/unchanged CDC rows via
+    one full outer join on the key (v1 = orders minus the %11 keys,
+    v2 = orders minus the %13 keys with %5 prices bumped — all
+    deterministic predicates). This is how a pipeline bootstraps CDC
+    from systems that only publish full snapshots; at 100 TB both
+    sides shuffle once on the key (or neither, if both snapshots are
+    bucketed by key — the sink_bucketed_join layout), and the emitted
+    delta is exactly what etl_merge_upsert / etl_incremental_agg
+    consume downstream. Update detection compares the price column;
+    effective_price carries the post-change value (v1's for deletes),
+    so the per-class aggregate audits the classification AND the
+    column carry-through."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    v1 = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("k1"), F.col("o_totalprice").alias("p1")
+    )
+    v2 = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        F.col("o_orderkey").alias("k2"),
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 100.0
+        ).otherwise(F.col("o_totalprice")).alias("p2"),
+    )
+    d = v1.join(v2, F.col("k1") == F.col("k2"), "full_outer")
+    classified = d.select(
+        F.coalesce("k1", "k2").alias("key"),
+        F.when(F.col("k1").isNull(), "insert")
+        .when(F.col("k2").isNull(), "delete")
+        .when(F.col("p1") != F.col("p2"), "update")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        F.coalesce("p2", "p1").alias("effective_price"),
+    )
+    return classified.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("key").cast("long").alias("key_checksum"),
+        dsum("effective_price", "sum_price"),
+    )
+
+
+ETL_FP_BUCKETS = 64
+
+
+@gate_query(
+    "etl_table_fingerprint",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT l_orderkey % {ETL_FP_BUCKETS} AS bucket,
+             ('0x' || substr(md5(
+               l_orderkey || '|' || l_partkey || '|' || l_suppkey || '|' ||
+               l_linenumber || '|' ||
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             ), 1, 15))::BIGINT AS row_hash
+      FROM lineitem
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(row_hash) AS xor_fingerprint,
+           CAST(SUM(row_hash % 1000000007) AS BIGINT) AS mod_checksum
+    FROM hashed
+    GROUP BY bucket
+    """,
+    tags=("etl",),
+)
+def etl_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed table fingerprint — anti-entropy comparison of two
+    100 TB replicas WITHOUT moving data: each row hashes its canonical
+    integer rendering (md5 prefix parsed to a 60-bit BIGINT — the
+    cross-engine hex-parse bridge), buckets fold the hashes with
+    order-independent aggregates (XOR + a modular sum: XOR alone
+    misses even-multiplicity corruption, the mod-sum alone misses
+    compensating pairs; together they are a strong per-bucket
+    signature), and two replicas compare {ETL_FP_BUCKETS} signature
+    rows instead of row-level data. Diverging buckets then get a
+    targeted row-level diff (etl_snapshot_diff) — the standard
+    Merkle-style repair funnel. The canonical rendering uses ONLY
+    integer-rendered values (prices as exact cents) because
+    double→string formatting is engine-specific; integer rendering is
+    not (the sim_matryoshka lesson). One scan, partial map-side
+    aggregation, output bounded by the bucket count."""
+    li = table(spark, sf_dir, "lineitem")
+    canon = F.concat_ws(
+        "|",
+        F.col("l_orderkey"),
+        F.col("l_partkey"),
+        F.col("l_suppkey"),
+        F.col("l_linenumber"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"),
+    )
+    hashed = li.select(
+        (F.col("l_orderkey") % ETL_FP_BUCKETS).alias("bucket"),
+        F.conv(F.substring(F.md5(canon), 1, 15), 16, 10)
+        .cast("long")
+        .alias("row_hash"),
+    )
+    return hashed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(row_hash)").alias("xor_fingerprint"),
+        F.sum(F.col("row_hash") % 1000000007).cast("long").alias(
+            "mod_checksum"
+        ),
+    )
