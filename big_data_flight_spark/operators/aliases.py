@@ -131,13 +131,13 @@ _NEW_GATE_ALIASES = {
     # Session-3/4/5 gates (agg_kmv_set_ops, join_bloom_pruned,
     # graph_bfs_layers, agg_histogram_quantile, sink_zorder_layout,
     # etl_incremental_agg, text_bpe_merge_train, evt_gapfill_locf,
-    # etl_snapshot_diff, etl_table_fingerprint) are NOT aliased: the
-    # 50-slot window is exactly full, and displacing any current
-    # alias would cost its target the first-ever driver row this
-    # rotation exists to deliver. They are covered this round by
-    # driver_sim + compare.py (the driver-replica harness) and MUST
-    # take ten of the r6 rotation slots — r6's rotation note should
-    # list them first.
+    # etl_snapshot_diff, etl_table_fingerprint,
+    # sample_reservoir_per_group) are NOT aliased: the 50-slot window
+    # is exactly full, and displacing any current alias would cost
+    # its target the first-ever driver row this rotation exists to
+    # deliver. They are covered this round by driver_sim + compare.py
+    # (the driver-replica harness) and MUST take eleven of the r6
+    # rotation slots — r6's rotation note should list them first.
 }
 
 

@@ -293,3 +293,49 @@ def sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     coded = keyed.withColumn("zorder", F.expr(_Z_SPARK).cast("long"))
     w = Window.orderBy("zorder", "p_partkey")
     return coded.withColumn("zrank", F.row_number().over(w).cast("long"))
+
+
+SAMPLE_PER_GROUP_K = 5
+
+
+@gate_query(
+    "sample_reservoir_per_group",
+    oracle=f"""
+    SELECT lang, rk, doc_id, n_chars
+    FROM (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    WHERE rk <= {SAMPLE_PER_GROUP_K}
+    """,
+    tags=("sort", "sample"),
+)
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group reservoir sample: exactly K docs per
+    language, chosen by md5-hash rank (the curation primitive for
+    per-domain / per-language subsampling of a training corpus — a
+    global sample over-represents the head stratum). Hash-rank
+    replaces RNG (the repo-wide no-RNG rule): the 'reservoir' is the
+    K smallest md5(doc_id) values per group, stable across engines,
+    runs, and partitionings — and REFRESHABLE: new documents displace
+    old picks exactly when their hash is smaller, so an incremental
+    re-run moves the minimum set, never reshuffles it wholesale.
+    Spark plans the rank-K filter as WindowGroupLimit (running top-K
+    per key on both sides of the exchange, like etl_cdc_latest), so
+    at 100 TB only ~K rows per group survive each map task — never a
+    full per-group sort. doc_id breaks the (theoretical) hash tie for
+    a total order; integer→string rendering inside md5 is
+    engine-identical (the fingerprint gate's bridge)."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("lang", "doc_id", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SAMPLE_PER_GROUP_K)
+        .select("lang", "rk", "doc_id", "n_chars")
+    )

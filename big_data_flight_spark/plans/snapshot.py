@@ -212,6 +212,11 @@ SNAPSHOT = {
     # tree (Catalyst planning grows super-linearly with rounds
     # otherwise — the LSS/pagerank lesson).
     "text_bpe_merge_train": ["ExistingRDD"],
+    # Per-group reservoir: the rank-K filter must plan as
+    # WindowGroupLimit (running top-K per key on both sides of the
+    # exchange) — a plain Window here means every group gets fully
+    # sorted before the filter, the thing the gate exists to avoid.
+    "sample_reservoir_per_group": ["WindowGroupLimit"],
 }
 
 
