@@ -772,3 +772,81 @@ def evt_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("sum_value_raw", ignorenulls=True).over(w).alias("locf_sum"),
         F.col("n_events").isNotNull().alias("has_data"),
     )
+
+
+@gate_query(
+    "evt_ewma",
+    oracle="""
+    WITH RECURSIVE seq AS MATERIALIZED (
+      SELECT user_id,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS x,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+      FROM events
+    ),
+    fold AS (
+      SELECT user_id, i, x, x AS s
+      FROM seq WHERE i = 1
+      UNION ALL
+      SELECT seq.user_id, seq.i, seq.x,
+             CAST(floor((fold.s + seq.x) / 2.0) AS BIGINT) AS s
+      FROM fold JOIN seq
+        ON seq.user_id = fold.user_id AND seq.i = fold.i + 1
+    )
+    SELECT user_id,
+           CAST(MAX(i) AS BIGINT) AS n_events,
+           arg_max(x, i) AS last_value_micro,
+           arg_max(s, i) AS ewma_micro
+    FROM fold
+    GROUP BY user_id
+    """,
+    tags=("event",),
+)
+def evt_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average (half-life
+    smoothing, alpha = 1/2) over the event stream — the classic
+    time-series state fold no built-in window function expresses
+    (EWMA is recursive: s_i = (x_i + s_{i-1}) / 2, not a frame
+    aggregate). Values fold in INTEGER micro-units with explicit
+    floor((s + x) / 2.0): (s + x) < 2^32 so the double division is
+    exact (power of two) and the floor is bit-exact cross-engine —
+    the same integer-arithmetic parity construction as pagerank.
+    Event order is the module contract (ts, event_id).
+
+    Spark side: one shuffle on user_id, then sort_array(collect_list)
+    + F.aggregate — a per-group ordered fold whose NULL-initialized
+    accumulator makes s_1 = x_1 without a sentinel. Oracle: the
+    identical fold as a recursive CTE stepping i -> i+1 (seq is
+    MATERIALIZED — it is referenced by both recursion arms, the
+    CLAUDE.md multi-reference rule).
+
+    Scale: group state is one user's history (fixture max 99 events;
+    bounded by retention in production). For unbounded histories the
+    halving fold forgets: a contribution is integer-zero after ~40
+    halvings, so a bounded suffix reproduces the steady state — the
+    streaming twin shape would carry s as applyInPandasWithState
+    state with O(1) memory. No window-over-raw-events, no driver
+    collect; output is |users| rows regardless of input size."""
+    ev = table(spark, sf_dir, "events")
+    x = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+    folded = (
+        ev.select("user_id", "ts", "event_id", x.alias("x"))
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "x"))
+            ).alias("h")
+        )
+        .select(
+            "user_id",
+            F.size("h").cast("long").alias("n_events"),
+            F.element_at("h", -1)["x"].alias("last_value_micro"),
+            F.aggregate(
+                "h",
+                F.lit(None).cast("long"),
+                lambda acc, e: F.when(acc.isNull(), e["x"]).otherwise(
+                    F.floor((acc + e["x"]) / F.lit(2.0)).cast("long")
+                ),
+            ).alias("ewma_micro"),
+        )
+    )
+    return folded

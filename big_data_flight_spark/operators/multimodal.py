@@ -899,3 +899,84 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("payload_md5").alias("n_payloads"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+def _ppm_luma_hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Feature kernel: re-parse the P6 container and reduce each image
+    to an integer luminance exposure profile — per-pixel luma =
+    (r + g + b) // 3, a 4-bin histogram (64-wide bins) plus the luma
+    sum. All-integer: zero float parity surface."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = {
+            "doc_id": [], "n_px": [], "sum_luma": [],
+            "h0": [], "h1": [], "h2": [], "h3": [],
+        }
+        for doc_id, blob in zip(pdf["doc_id"], pdf["ppm_bin"]):
+            w, h, raster = _parse_ppm(bytes(blob))
+            px = np.frombuffer(raster, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+            luma = px.sum(axis=1) // 3
+            counts = np.bincount(luma // 64, minlength=4)
+            rows["doc_id"].append(doc_id)
+            rows["n_px"].append(w * h)
+            rows["sum_luma"].append(int(luma.sum()))
+            for b in range(4):
+                rows[f"h{b}"].append(int(counts[b]))
+        yield pd.DataFrame(rows)
+
+
+_LUMA = (
+    "(((i * a) % 256) + ((i + doc_id) % 256) + ((i * 3 + 7) % 256)) // 3"
+)
+
+@gate_query(
+    "mm_image_hist_ppm",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             doc_id % 7 + 4 AS w,
+             doc_id % 5 + 3 AS h,
+             doc_id % 13 + 1 AS a
+      FROM documents
+    ),
+    lum AS (
+      SELECT doc_id, w, h,
+             list_transform(range(0, w * h), i -> {_LUMA}) AS l
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(w * h AS BIGINT) AS n_px,
+           CAST(list_sum(l) AS BIGINT) AS sum_luma,
+           CAST(len(list_filter(l, x -> x // 64 = 0)) AS BIGINT) AS h0,
+           CAST(len(list_filter(l, x -> x // 64 = 1)) AS BIGINT) AS h1,
+           CAST(len(list_filter(l, x -> x // 64 = 2)) AS BIGINT) AS h2,
+           CAST(len(list_filter(l, x -> x // 64 = 3)) AS BIGINT) AS h3
+    FROM lum
+    """,
+    tags=("multimodal", "udf"),
+)
+def mm_image_hist_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image statistics over the REAL P6 codec path: the exposure/
+    luminance histogram every vision-data curation pipeline computes
+    before filtering (over/under-exposed asset detection). Reuses the
+    mm_decode_image_ppm container chain — ingest kernel renders a
+    genuine netpbm P6 blob, this gate's feature kernel re-parses it
+    (header tokenizer + raster-length check) and reduces to per-pixel
+    luma = (r + g + b) // 3 folded into a 4-bin integer histogram.
+    The oracle is the pixel pattern's CLOSED FORM (never sees the
+    container), so a hash-match proves decode + the cross-channel
+    arithmetic lossless; integer // floors identically in numpy and
+    DuckDB on these non-negative values.
+
+    Scale: binary payload is born and consumed inside one task —
+    never shuffled; output is 7 small integers per asset however
+    large the raster; histogram bins are mergeable if assets ever
+    split across batches."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    ppm = docs.mapInPandas(_synth_ppm, "doc_id long, ppm_bin binary")
+    return ppm.mapInPandas(
+        _ppm_luma_hist,
+        "doc_id long, n_px long, sum_luma long, "
+        "h0 long, h1 long, h2 long, h3 long",
+    )
