@@ -774,9 +774,9 @@ def evt_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@gate_query(
-    "evt_ewma",
-    oracle="""
+# Shared by evt_ewma and its stateful streaming twin (stream_ewma in
+# streaming/twins.py) — one definition, zero oracle drift.
+EWMA_ORACLE = """
     WITH RECURSIVE seq AS MATERIALIZED (
       SELECT user_id,
              CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS x,
@@ -798,7 +798,12 @@ def evt_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
            arg_max(s, i) AS ewma_micro
     FROM fold
     GROUP BY user_id
-    """,
+    """
+
+
+@gate_query(
+    "evt_ewma",
+    oracle=EWMA_ORACLE,
     tags=("event",),
 )
 def evt_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1856,14 +1856,17 @@ def text_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_BPE_ROUNDS = 4
 
 
-def _bpe_oracle(rounds: int = TEXT_BPE_ROUNDS) -> str:
-    """Unrolled BPE-merge oracle generated from the SAME Python round
-    constant as the Spark loop (the pagerank convention). Each round
-    recomputes the argmax pair IN SQL (the merge rule is data-
-    dependent, so the oracle must re-derive it, not receive it), then
-    applies the identical literal replace. Every multi-referenced CTE
-    is MATERIALIZED (DuckDB inlines CTEs per reference — the
-    pagerank_converged lesson)."""
+def _bpe_ctes(rounds: int = TEXT_BPE_ROUNDS) -> list[str]:
+    """The shared unrolled BPE-merge CTE chain (w0 → pc/best/w per
+    round), generated from the SAME Python round constant as the
+    Spark loop (the pagerank convention). Each round recomputes the
+    argmax pair IN SQL (the merge rule is data-dependent, so the
+    oracle must re-derive it, not receive it), then applies the
+    identical literal replace. Every multi-referenced CTE is
+    MATERIALIZED (DuckDB inlines CTEs per reference — the
+    pagerank_converged lesson). Used by both the train oracle (which
+    appends per-round stat CTEs) and the encode oracle (which joins
+    the final w{rounds} vocabulary against the corpus)."""
     parts = [
         r"""w0 AS MATERIALIZED (
       SELECT word, ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS word_s,
@@ -1898,7 +1901,17 @@ def _bpe_oracle(rounds: int = TEXT_BPE_ROUNDS) -> str:
                      ' ' || a || b || ' ') AS word_s,
              freq
       FROM w{r - 1} CROSS JOIN best{r}
-    ),
+    )""")
+    return parts
+
+
+def _bpe_oracle(rounds: int = TEXT_BPE_ROUNDS) -> str:
+    """Train-gate oracle: the shared CTE chain + per-round audit CTEs
+    (chosen pair, its count, corpus/distinct symbol counts after the
+    merge), unioned in round order."""
+    parts = _bpe_ctes(rounds)
+    for r in range(1, rounds + 1):
+        parts.append(f"""
     st{r} AS (
       SELECT CAST({r} AS BIGINT) AS round,
              a AS sym_a, b AS sym_b, cnt AS pair_count,
@@ -1913,6 +1926,65 @@ def _bpe_oracle(rounds: int = TEXT_BPE_ROUNDS) -> str:
         f"SELECT * FROM st{r}" for r in range(1, rounds + 1)
     )
     return f"WITH {','.join(parts)}\n    {union}"
+
+
+def _bpe_train_words(
+    docs: DataFrame, rounds: int = TEXT_BPE_ROUNDS
+) -> tuple[DataFrame, list[tuple[int, DataFrame, DataFrame]]]:
+    """The shared Spark-side merge loop: build the word-frequency
+    table (one corpus scan), run ``rounds`` argmax-pair merge rounds.
+    Returns the final vocabulary (word, word_s, freq) plus per-round
+    (round, best, w) for audit consumers. Loop discipline per
+    CLAUDE.md: localCheckpoint the loop-invariant word table once
+    before the loop and the mutable state after every merge; the
+    1-row argmax is checkpointed because it is consumed twice."""
+    w = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .withColumn(
+            "word_s",
+            F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")),
+        )
+        .localCheckpoint()
+    )
+    rounds_info: list[tuple[int, DataFrame, DataFrame]] = []
+    for r in range(1, rounds + 1):
+        pairs = F.expr(
+            "CASE WHEN size(syms) >= 2 THEN "
+            "transform(sequence(1, size(syms) - 1), "
+            "i -> struct(syms[i-1] AS a, syms[i] AS b)) "
+            "ELSE array() END"
+        )
+        pc = (
+            w.select(
+                "freq", F.split(F.trim("word_s"), " ").alias("syms")
+            )
+            .select("freq", F.explode(pairs).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        best = (
+            pc.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .localCheckpoint()
+        )
+        w = (
+            w.crossJoin(F.broadcast(best))
+            .select(
+                "word",
+                F.replace(
+                    F.col("word_s"),
+                    F.concat(F.lit(" "), "a", F.lit(" "), "b", F.lit(" ")),
+                    F.concat(F.lit(" "), "a", "b", F.lit(" ")),
+                ).alias("word_s"),
+                "freq",
+            )
+            .localCheckpoint()
+        )
+        rounds_info.append((r, best, w))
+    return w, rounds_info
 
 
 @gate_query(
@@ -1947,51 +2019,9 @@ def text_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair counting reduces over the vocab, the learned rule broadcasts
     back — the corpus itself is never re-tokenized during training."""
     docs = table(spark, sf_dir, "documents")
-    w = (
-        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
-        .withColumn(
-            "word_s",
-            F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")),
-        )
-        .localCheckpoint()
-    )
+    _, rounds_info = _bpe_train_words(docs)
     stats: list[DataFrame] = []
-    for r in range(1, TEXT_BPE_ROUNDS + 1):
-        pairs = F.expr(
-            "CASE WHEN size(syms) >= 2 THEN "
-            "transform(sequence(1, size(syms) - 1), "
-            "i -> struct(syms[i-1] AS a, syms[i] AS b)) "
-            "ELSE array() END"
-        )
-        pc = (
-            w.select(
-                "freq", F.split(F.trim("word_s"), " ").alias("syms")
-            )
-            .select("freq", F.explode(pairs).alias("p"))
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("freq").cast("long").alias("cnt"))
-        )
-        best = (
-            pc.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .localCheckpoint()
-        )
-        w = (
-            w.crossJoin(F.broadcast(best))
-            .select(
-                "word",
-                F.replace(
-                    F.col("word_s"),
-                    F.concat(F.lit(" "), "a", F.lit(" "), "b", F.lit(" ")),
-                    F.concat(F.lit(" "), "a", "b", F.lit(" ")),
-                ).alias("word_s"),
-                "freq",
-            )
-            .localCheckpoint()
-        )
+    for r, best, w in rounds_info:
         corpus_after = w.agg(
             F.sum(
                 F.col("freq") * F.size(F.split(F.trim("word_s"), " "))
@@ -2021,3 +2051,72 @@ def text_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in stats[1:]:
         out = out.unionAll(s)
     return out
+
+
+def _bpe_encode_oracle(rounds: int = TEXT_BPE_ROUNDS) -> str:
+    """Encode-gate oracle: the shared merge-chain CTEs re-derive the
+    trained vocabulary, then the corpus joins the final w{rounds}
+    table and reduces per doc."""
+    parts = _bpe_ctes(rounds)
+    parts.append("""
+    corpus AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents)
+      WHERE word <> ''
+    )""")
+    return f"""WITH {','.join(parts)}
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(string_split(trim(word_s), ' '))) AS BIGINT)
+             AS n_tokens,
+           CAST(SUM(len(word)) AS BIGINT) AS n_chars,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_unique_words
+    FROM corpus JOIN w{rounds} USING (word)
+    GROUP BY doc_id"""
+
+
+@gate_query(
+    "text_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    tags=("text",),
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — the inference half of the tokenizer family
+    (text_bpe_merge_train learns the merge table; this gate applies
+    it to the corpus). Because a word's segmentation depends only on
+    the word, encoding is a VOCABULARY JOIN, not a per-token loop:
+    the trained (word → merged symbol string) table broadcasts and
+    each document's words look their token count up — the shape real
+    tokenizer fleets use (the vocab is bounded — ~100k entries for
+    production BPE — while the corpus is not). Output per doc:
+    word/token/char counts + unique words, the numbers a training-
+    data budget (tokens per shard, compression ratio) is planned
+    with. All-integer, so zero float parity surface; the oracle
+    re-derives the same vocabulary through the shared unrolled CTE
+    chain (_bpe_ctes — same Python constants as the Spark loop) and
+    joins it identically, so a single wrong merge in either engine
+    flips the hash.
+
+    Scale: training runs over the word-frequency table (corpus
+    scanned once); encoding is one corpus scan + one broadcast join +
+    one groupBy(doc_id) — no shuffle carries text, only counts."""
+    docs = table(spark, sf_dir, "documents")
+    vocab, _ = _bpe_train_words(docs)
+    words = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+    )
+    n_tok = F.size(F.split(F.trim("word_s"), " "))
+    return (
+        words.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(n_tok).cast("long").alias("n_tokens"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            F.countDistinct("word").cast("long").alias("n_unique_words"),
+        )
+    )

@@ -23,7 +23,10 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from big_data_flight_spark.operators.events import SESSION_WINDOW_NATIVE_ORACLE
+from big_data_flight_spark.operators.events import (
+    EWMA_ORACLE,
+    SESSION_WINDOW_NATIVE_ORACLE,
+)
 from big_data_flight_spark.registry import DSUM, dsum, gate_query
 
 # Footer-schema memo: events_stream is called per-builder (and the
@@ -576,4 +579,92 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value", "sum_value"),
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
+    )
+
+
+@gate_query(
+    "stream_ewma",
+    oracle=EWMA_ORACLE,
+    tags=("streaming",),
+)
+def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming EWMA (applyInPandasWithState) — the
+    streaming twin of evt_ewma, gated with the IDENTICAL recursive-
+    CTE oracle (imported, zero drift): per-user half-life smoothing
+    s_i = floor((s_{i-1} + x_i) / 2) in integer micro-units, fold
+    order (ts, event_id).
+
+    Exactness across arbitrary micro-batch splits: a batch may
+    deliver events in any order, so per-key state carries the seen
+    (ts_us, event_id, x) history and each batch re-folds the sorted
+    history — the result is independent of how the source files were
+    batched. Each batch emits the fold-so-far (update mode); the
+    final answer per key is the row with the largest n_events
+    (monotone per batch), reduced by a max-of-ordering-struct after
+    the drain. In production, with a watermark enforcing event-time-
+    ordered delivery past the horizon, the state collapses to the
+    O(1) scalar s — documented here, exact replay is what the gate
+    proves. Python's (s + x) // 2 floors identically to both
+    engines' floor((s + x) / 2.0) on these |x| < 2^32 integers."""
+    import math
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            ts_l, id_l, x_l = (list(c) for c in state.get)
+        else:
+            ts_l, id_l, x_l = [], [], []
+        for pdf in pdfs:
+            for ts, eid, v in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
+                ts_l.append(int(ts.value // 1000))  # pandas ns -> µs
+                id_l.append(int(eid))
+                x_l.append(int(math.floor(v * 1_000_000 + 0.5)))
+        state.update((ts_l, id_l, x_l))
+        order = sorted(range(len(ts_l)), key=lambda i: (ts_l[i], id_l[i]))
+        s = None
+        for i in order:
+            s = x_l[i] if s is None else (s + x_l[i]) // 2
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [len(order)],
+                "last_value_micro": [x_l[order[-1]]],
+                "ewma_micro": [s],
+            }
+        )
+
+    out = (
+        events_stream(spark, sf_dir)
+        .select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id long, n_events long, "
+                "last_value_micro long, ewma_micro long"
+            ),
+            stateStructType=(
+                "ts_us array<long>, event_id array<long>, x array<long>"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    drained = run_to_memory(out, mode="update")
+    return (
+        drained.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("n_events", "last_value_micro", "ewma_micro")
+            ).alias("b")
+        )
+        .select(
+            "user_id",
+            F.col("b.n_events").alias("n_events"),
+            F.col("b.last_value_micro").alias("last_value_micro"),
+            F.col("b.ewma_micro").alias("ewma_micro"),
+        )
     )
