@@ -217,6 +217,29 @@ SNAPSHOT = {
     # exchange) — a plain Window here means every group gets fully
     # sorted before the filter, the thing the gate exists to avoid.
     "sample_reservoir_per_group": ["WindowGroupLimit"],
+    # r5 session-6. PQ-ADC: the codebook joins the corpus as a
+    # BROADCAST hash join and encoding reduces via partial-aggregatable
+    # min-of-struct hash aggregates (a Window over the corpus here
+    # means the argmin regressed to a rank); queries ride the
+    # sanctioned broadcast nested loop; the per-query top-5 pushes
+    # into the window.
+    "sim_pq_adc": [
+        "BroadcastHashJoin",
+        "HashAggregate",
+        "BroadcastNestedLoopJoin",
+        "WindowGroupLimit",
+    ],
+    # EWMA: ONE shuffle on user_id into the collect-fold aggregate —
+    # no raw-event Window, exactly one events scan.
+    "evt_ewma": ["HashAggregate", "!Window", "=1:events.parquet"],
+    # Luma histogram shares the PPM codec contract: binary payloads
+    # never leave their narrow Arrow pipeline.
+    "mm_image_hist_ppm": ["MapInPandas", "!Exchange"],
+    # BPE encode: the trained vocabulary must arrive as a checkpointed
+    # ExistingRDD (loop lineage cut) and join the corpus words as a
+    # BROADCAST — a sort-merge join here would shuffle the corpus by
+    # word just to look up token counts.
+    "text_bpe_encode": ["ExistingRDD", "BroadcastHashJoin", "HashAggregate"],
 }
 
 
