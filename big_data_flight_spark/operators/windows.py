@@ -304,3 +304,65 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("s_acctbal").over(w).alias("worst_bal"),
         F.nth_value("s_acctbal", 2).over(w).alias("second_bal"),
     )
+
+
+@gate_query(
+    "win_rolling_median",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CASE WHEN n % 2 = 1 THEN l[(n + 1) // 2]
+                ELSE (l[n // 2] + l[n // 2 + 1]) / 2.0 END
+             AS rolling_median_7,
+           n AS frame_n
+    FROM (
+      SELECT user_id, event_id, ts,
+             list_sort(list(value) OVER w) AS l,
+             COUNT(*) OVER w AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    """,
+    tags=("window", "event"),
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median over the trailing 7-row frame per user —
+    the order-statistic window no built-in frame aggregate computes
+    (win_moving is the mean twin). Neither engine's median() is used:
+    both sides collect the frame, sort it, and PICK the middle —
+    odd n takes element (n+1)/2, even n averages the two middles with
+    the literal (a + b) / 2.0 (ONE add + ONE divide on identical
+    doubles — bit-exact, unlike engine median() interpolation, whose
+    lower + (upper-lower)*fraction form rounds differently). Picks
+    and single-op combines are parity-safe on raw doubles (the LOCF
+    rule); no decimal quantization, no display rounding needed.
+
+    Scale: one shuffle on user_id; per-row cost is O(k log k) with
+    k = 7 bounded by the frame, state never exceeds the frame. The
+    10-element cap pattern (collect over a bounded frame) is the same
+    contract as win_moving."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    sorted_frame = F.sort_array(F.collect_list("value").over(w))
+    n = F.count(F.lit(1)).over(w)
+    t = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        sorted_frame.alias("l"),
+        n.alias("frame_n"),
+    )
+    odd = F.element_at("l", ((F.col("frame_n") + 1) / 2).cast("int"))
+    even = (
+        F.element_at("l", (F.col("frame_n") / 2).cast("int"))
+        + F.element_at("l", (F.col("frame_n") / 2 + 1).cast("int"))
+    ) / F.lit(2.0)
+    return t.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("frame_n") % 2 == 1, odd).otherwise(even).alias(
+            "rolling_median_7"
+        ),
+        "frame_n",
+    )

@@ -731,3 +731,67 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("event_id").alias("max_id"),
         F.sum("z").cast("long").alias("z_checksum"),
     )
+
+
+@gate_query(
+    "sink_dynamic_partition_overwrite",
+    oracle=f"""
+    WITH eff AS (
+      SELECT ts, event_type, value FROM events
+      WHERE strftime(ts, '%Y-%m-%d') <> '2024-01-05'
+      UNION ALL
+      SELECT ts, event_type, value * 2 AS value FROM events
+      WHERE strftime(ts, '%Y-%m-%d') = '2024-01-05'
+        AND event_type = 'click'
+    )
+    SELECT strftime(ts, '%Y-%m-%d') AS dt,
+           COUNT(*) AS n,
+           {DSUM("value", "sum_value")},
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM eff GROUP BY dt
+    """,
+    tags=("sink", "source", "etl"),
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the incremental-reload primitive
+    of every partitioned 100 TB table: a backfill job rewrites ONLY
+    the partitions present in its output, leaving the other N-1
+    untouched (static overwrite mode would truncate the whole table
+    first — the classic production incident). The gate loads events
+    partitioned by day, then overwrites day 2024-01-05 with a
+    CORRECTED slice (clicks only, values doubled) under
+    spark.sql.sources.partitionOverwriteMode=dynamic, scoped and
+    restored in a finally per the scoped-conf sink-gate pattern. The
+    readback proves BOTH halves of the contract: the target day
+    contains only the delta (old rows gone — replacement, not
+    append: n_types drops to 1) and every other day is bit-identical
+    (untouched directories). The partition column round-trips through
+    directory names and is re-CAST to string on output (partition
+    type inference reads it back as DATE; bare DATE outputs are
+    banned by the parity rules)."""
+    out = os.path.join(_TMP, "dyn_overwrite_events")
+    src = (
+        table(spark, sf_dir, "events")
+        .select("ts", "event_type", "value")
+        .withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+    )
+    src.write.mode("overwrite").partitionBy("dt").parquet(out)
+    delta = src.filter(
+        (F.col("dt") == "2024-01-05") & (F.col("event_type") == "click")
+    ).withColumn("value", F.col("value") * 2)
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "dynamic")
+        delta.write.mode("overwrite").partitionBy("dt").parquet(out)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    back = spark.read.parquet(out)
+    return back.groupBy(F.col("dt").cast("string").alias("dt")).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", "sum_value"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+    )
