@@ -747,3 +747,140 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
                     spark.conf.set(k, v)
             except Exception:  # noqa: BLE001
                 pass
+
+
+@gate_query(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, event_id AS click_id, ts
+      FROM events WHERE event_type = 'click'
+    ),
+    back AS (
+      SELECT purchase_id, click_id, delta FROM (
+        SELECT p.purchase_id, c.click_id,
+               epoch_us(c.ts) - epoch_us(p.ts) AS delta,
+               row_number() OVER (PARTITION BY p.purchase_id
+                 ORDER BY c.ts DESC, c.click_id DESC) AS rn
+        FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+          AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+      ) WHERE rn = 1
+    ),
+    fwd AS (
+      SELECT purchase_id, click_id, delta FROM (
+        SELECT p.purchase_id, c.click_id,
+               epoch_us(c.ts) - epoch_us(p.ts) AS delta,
+               row_number() OVER (PARTITION BY p.purchase_id
+                 ORDER BY c.ts ASC, c.click_id ASC) AS rn
+        FROM p JOIN c ON p.user_id = c.user_id AND c.ts > p.ts
+          AND epoch_us(c.ts) - epoch_us(p.ts) <= 3600000000
+      ) WHERE rn = 1
+    )
+    SELECT p.user_id, p.purchase_id,
+           CASE WHEN back.click_id IS NOT NULL
+                     AND (fwd.click_id IS NULL OR -back.delta <= fwd.delta)
+                THEN back.click_id ELSE fwd.click_id END AS click_id,
+           CASE WHEN back.click_id IS NOT NULL
+                     AND (fwd.click_id IS NULL OR -back.delta <= fwd.delta)
+                THEN back.delta ELSE fwd.delta END AS delta_us,
+           CASE WHEN back.click_id IS NOT NULL
+                     AND (fwd.click_id IS NULL OR -back.delta <= fwd.delta)
+                THEN 'back'
+                WHEN fwd.click_id IS NOT NULL THEN 'fwd' END AS direction
+    FROM p
+    LEFT JOIN back USING (purchase_id)
+    LEFT JOIN fwd USING (purchase_id)
+    """,
+    tags=("join", "event"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (closest click within ±1 h of each purchase,
+    per user) — completing the as-of family: join_asof = backward
+    last-touch, join_asof_forward = forward next-touch, this =
+    nearest-touch (pd.merge_asof direction='nearest'). Strategy: the
+    SAME merge-pass trick run in both directions over ONE shuffle —
+    two window expressions share the user_id partition (one Exchange,
+    two in-partition sorts), the forward pass time-reversed; each
+    purchase row then holds its backward candidate (inclusive <=,
+    max (ts, event_id)) and forward candidate (strict >, min
+    (ts, event_id)), the 1 h horizon invalidates far candidates
+    (safe AFTER selection: the positionally-nearest candidate is
+    time-nearest, so if it is out of horizon every other one is too),
+    and ties at equal |delta| resolve backward. No self-join
+    fan-out ever materializes — the candidate space at 100 TB is one
+    running struct per direction, not clicks x purchases.
+
+    delta_us is signed (negative = click before purchase); direction
+    audits which side won; purchases with no click within the horizon
+    keep NULL match columns (left-outer semantics)."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    is_click = F.col("event_type") == "click"
+    horizon = 3_600_000_000
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), is_click.cast("int").desc(), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").desc(),
+            is_click.cast("int").desc(),
+            F.col("event_id").desc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_struct = F.when(is_click, F.struct("ts", "event_id"))
+    t = (
+        e.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            F.last(click_struct, ignorenulls=True).over(w_back).alias("bk"),
+            F.last(click_struct, ignorenulls=True).over(w_fwd).alias("fw"),
+        )
+        .filter(F.col("event_type") == "purchase")
+    )
+    bd = F.unix_micros(F.col("bk.ts")) - F.unix_micros(F.col("ts"))
+    fd = F.unix_micros(F.col("fw.ts")) - F.unix_micros(F.col("ts"))
+    t = t.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.when(-bd <= horizon, F.col("bk.event_id")).alias("back_id"),
+        F.when(-bd <= horizon, bd).alias("back_delta"),
+        # The fwd window sees same-ts clicks too (is_click sorts first
+        # in BOTH directions); the > guard nulls that candidate rather
+        # than skipping to the strictly-later click. Sound because a
+        # same-ts click also IS the back candidate at delta 0, and the
+        # back-wins-at-equal-|delta| rule then decides the output
+        # before the fwd column is ever consulted.
+        F.when(
+            (fd <= horizon) & (F.col("fw.ts") > F.col("ts")), F.col("fw.event_id")
+        ).alias("fwd_id"),
+        F.when((fd <= horizon) & (F.col("fw.ts") > F.col("ts")), fd).alias(
+            "fwd_delta"
+        ),
+    )
+    back_wins = F.col("back_id").isNotNull() & (
+        F.col("fwd_id").isNull() | (-F.col("back_delta") <= F.col("fwd_delta"))
+    )
+    return t.select(
+        "user_id",
+        "purchase_id",
+        F.when(back_wins, F.col("back_id")).otherwise(F.col("fwd_id")).alias(
+            "click_id"
+        ),
+        F.when(back_wins, F.col("back_delta"))
+        .otherwise(F.col("fwd_delta"))
+        .alias("delta_us"),
+        F.when(back_wins, F.lit("back"))
+        .when(F.col("fwd_id").isNotNull(), F.lit("fwd"))
+        .alias("direction"),
+    )
