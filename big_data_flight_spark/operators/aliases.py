@@ -132,12 +132,16 @@ _NEW_GATE_ALIASES = {
     # graph_bfs_layers, agg_histogram_quantile, sink_zorder_layout,
     # etl_incremental_agg, text_bpe_merge_train, evt_gapfill_locf,
     # etl_snapshot_diff, etl_table_fingerprint,
-    # sample_reservoir_per_group) are NOT aliased: the 50-slot window
-    # is exactly full, and displacing any current alias would cost
-    # its target the first-ever driver row this rotation exists to
-    # deliver. They are covered this round by driver_sim + compare.py
-    # (the driver-replica harness) and MUST take eleven of the r6
-    # rotation slots — r6's rotation note should list them first.
+    # sample_reservoir_per_group) and session-6 gates (sim_pq_adc,
+    # evt_ewma, stream_ewma, mm_image_hist_ppm, text_bpe_encode,
+    # win_rolling_median, sink_dynamic_partition_overwrite,
+    # join_asof_nearest, graph_common_neighbors, evt_anomaly_mad) are
+    # NOT aliased: the 50-slot window is exactly full, and displacing
+    # any current alias would cost its target the first-ever driver
+    # row this rotation exists to deliver. They are covered this round
+    # by driver_sim + compare.py (the driver-replica harness) and MUST
+    # take the first ~21 of the r6 rotation slots — r6's rotation note
+    # should list them first.
 }
 
 

@@ -855,3 +855,99 @@ def evt_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return folded
+
+
+@gate_query(
+    "evt_anomaly_mad",
+    oracle="""
+    WITH d AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS day_start,
+             list_sort(list(value)) AS l, COUNT(*) AS n
+      FROM events GROUP BY day_start
+    ),
+    m AS (
+      SELECT *, CASE WHEN n % 2 = 1 THEN l[(n + 1) // 2]
+                     ELSE (l[n // 2] + l[n // 2 + 1]) / 2.0 END AS med
+      FROM d
+    ),
+    m2 AS (
+      SELECT *, list_sort(list_transform(l, x -> abs(x - med))) AS la
+      FROM m
+    ),
+    m3 AS (
+      SELECT *, CASE WHEN n % 2 = 1 THEN la[(n + 1) // 2]
+                     ELSE (la[n // 2] + la[n // 2 + 1]) / 2.0 END AS mad
+      FROM m2
+    )
+    SELECT day_start, CAST(n AS BIGINT) AS n, med, mad,
+           CAST(len(list_filter(l, x -> abs(x - med) > 3 * mad))
+                AS BIGINT) AS n_outliers
+    FROM m3
+    """,
+    tags=("event",),
+)
+def evt_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-day outlier profile: median + MAD (median absolute
+    deviation) and the |x - med| > 3*MAD outlier count — the
+    mean/stddev-free twin of evt_zscore_anomaly (one wild value
+    cannot drag a median the way it drags a mean, which is why
+    monitoring stacks prefer MAD). Both medians are explicit
+    sorted-list middle PICKS (the win_rolling_median construction —
+    never engine median(), whose even-count interpolation rounds
+    differently); |x - med|, 3 * mad and the > compare are identical
+    single IEEE ops on identical doubles, so the gate needs no
+    rounding at all.
+
+    Scale: one shuffle on the day bucket; per-group state is one
+    day's values (bounded by daily volume; at 100 TB swap the exact
+    median for the two-pass percentile or the mergeable histogram
+    sketch — agg_histogram_quantile — and keep the same 3*MAD rule).
+    """
+    e = table(spark, sf_dir, "events")
+    d = (
+        e.groupBy(F.window("ts", "1 day")["start"].alias("day_start"))
+        .agg(
+            F.array_sort(F.collect_list("value")).alias("l"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+    def _mid(arr, n):
+        odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+        even = (
+            F.element_at(arr, (n / 2).cast("int"))
+            + F.element_at(arr, (n / 2 + 1).cast("int"))
+        ) / F.lit(2.0)
+        return F.when(n % 2 == 1, odd).otherwise(even)
+
+    m = d.select("day_start", "l", "n", _mid(F.col("l"), F.col("n")).alias("med"))
+    m2 = m.select(
+        "day_start",
+        "l",
+        "n",
+        "med",
+        F.array_sort(
+            F.transform("l", lambda x: F.abs(x - F.col("med")))
+        ).alias("la"),
+    )
+    m3 = m2.select(
+        "day_start",
+        "l",
+        "n",
+        "med",
+        _mid(F.col("la"), F.col("n")).alias("mad"),
+    )
+    return m3.select(
+        "day_start",
+        F.col("n").cast("long").alias("n"),
+        "med",
+        "mad",
+        F.size(
+            F.filter(
+                "l",
+                lambda x: F.abs(x - F.col("med")) > F.lit(3.0) * F.col("mad"),
+            )
+        )
+        .cast("long")
+        .alias("n_outliers"),
+    )
