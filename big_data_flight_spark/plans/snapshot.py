@@ -240,6 +240,24 @@ SNAPSHOT = {
     # BROADCAST — a sort-merge join here would shuffle the corpus by
     # word just to look up token counts.
     "text_bpe_encode": ["ExistingRDD", "BroadcastHashJoin", "HashAggregate"],
+    # Nearest as-of: the whole point is that NO join ever appears —
+    # one events scan, both direction candidates carried by windows
+    # over the same user_id partitioning.
+    "join_asof_nearest": ["Window", "=1:events.parquet", "!Join"],
+    # Rolling median: one window pass over one scan.
+    "win_rolling_median": ["Window", "=1:events.parquet"],
+    # MAD anomaly: one day-bucket shuffle into the collect aggregate,
+    # medians picked expression-side — no second shuffle, no window.
+    "evt_anomaly_mad": ["HashAggregate", "=1:events.parquet", "!Window"],
+    # Link prediction: candidate pairs MUST come from the supplier
+    # inverted-index equi-join (hot keys capped) — never a
+    # customer x customer nested loop; bounded output via top-k sort.
+    "graph_common_neighbors": [
+        "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin",
+        "!BroadcastNestedLoopJoin",
+        "HashAggregate",
+        "TakeOrderedAndProject",
+    ],
 }
 
 
