@@ -668,3 +668,71 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.ewma_micro").alias("ewma_micro"),
         )
     )
+
+
+@gate_query(
+    "stream_checkpoint_recovery",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, {DSUM("value", "sum_value")},
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "sink"),
+)
+def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed RESTART idempotence — the operational property
+    that makes streaming pipelines production-safe: a drained query
+    restarted against the SAME checkpoint must re-emit nothing. The
+    gate drains the event stream through a foreachBatch epoch sink
+    (idempotent per-epoch commit), awaits termination, then starts a
+    SECOND identical query on the same checkpoint — Spark's offset
+    log says every input file is already committed, so run 2 writes
+    zero new epochs — and only then reads the sink back. The oracle
+    aggregates the source once: a value match proves the two runs
+    together delivered each row exactly once (a restart bug would
+    double every count; a truncated recovery would halve them). The
+    restarted query is also asserted batch-empty via its progress
+    metrics, so the no-op isn't inferred from the counts alone.
+    Scratch layout per the connectors convention (per-PID dir, wiped
+    per call — each builder invocation replays the full two-run
+    lifecycle deterministically)."""
+    import shutil as _shutil
+
+    from big_data_flight_spark.sources.connectors import _TMP
+
+    out = os.path.join(_TMP, "ckpt_recovery")
+    _shutil.rmtree(out, ignore_errors=True)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out}/data/epoch={epoch_id}")
+
+    def run_once() -> int:
+        q = (
+            events_stream(spark, sf_dir)
+            .select("event_id", "event_type", "value")
+            .writeStream.foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{out}/_checkpoint")
+            .start()
+        )
+        q.awaitTermination()
+        return sum(p.numInputRows for p in q.recentProgress)
+
+    run_once()
+    replayed = run_once()  # same checkpoint: must be a no-op
+    if replayed != 0:
+        raise AssertionError(
+            f"checkpoint recovery replayed {replayed} rows — restart is "
+            "not idempotent"
+        )
+    back = spark.read.option("basePath", f"{out}/data").parquet(
+        f"{out}/data/epoch=*"
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", "sum_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
