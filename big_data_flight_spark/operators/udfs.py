@@ -291,3 +291,121 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     normed = e.mapInArrow(_norm_batches, out_schema)
     return normed.select("vec_id", F.round("norm2", 6).alias("norm2"))
+
+
+def _cogroup_asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    """Per-user two-sided kernel: backward pd.merge_asof of this
+    user's purchases (left) against their clicks (right). Either side
+    may arrive empty — cogroup calls the kernel for keys present in
+    EITHER input."""
+    import numpy as np
+
+    if left.empty:
+        return pd.DataFrame(
+            {
+                "user_id": pd.array([], dtype="Int64"),
+                "purchase_id": pd.array([], dtype="Int64"),
+                "click_id": pd.array([], dtype="Int64"),
+                "delta_us": pd.array([], dtype="Int64"),
+            }
+        )
+    left = left.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    if right.empty:
+        m = left.copy()
+        m["click_id"] = pd.array([pd.NA] * len(m), dtype="Int64")
+        m["delta_us"] = pd.array([pd.NA] * len(m), dtype="Int64")
+        return pd.DataFrame(
+            {
+                "user_id": m["user_id"],
+                "purchase_id": m["event_id"],
+                "click_id": m["click_id"],
+                "delta_us": m["delta_us"],
+            }
+        )
+    right = right.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    right = right.rename(columns={"event_id": "click_id"})
+    right["c_ts"] = right["ts"]
+    m = pd.merge_asof(
+        left,
+        right[["ts", "click_id", "c_ts"]],
+        on="ts",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    p_us = m["ts"].astype("datetime64[ns]").to_numpy(dtype="int64") // 1000
+    c_us = m["c_ts"].astype("datetime64[ns]").to_numpy(dtype="int64") // 1000
+    delta = pd.array((c_us - p_us), dtype="Int64")
+    miss = m["c_ts"].isna().to_numpy()
+    delta[miss] = pd.NA
+    click = m["click_id"].astype("Int64")
+    click[miss] = pd.NA
+    return pd.DataFrame(
+        {
+            "user_id": m["user_id"],
+            "purchase_id": m["event_id"],
+            "click_id": click,
+            "delta_us": delta,
+        }
+    )
+
+
+@gate_query(
+    "udf_cogrouped_map",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, event_id AS click_id, ts
+      FROM events WHERE event_type = 'click'
+    ),
+    back AS (
+      SELECT purchase_id, click_id, delta FROM (
+        SELECT p.purchase_id, c.click_id,
+               epoch_us(c.ts) - epoch_us(p.ts) AS delta,
+               row_number() OVER (PARTITION BY p.purchase_id
+                 ORDER BY c.ts DESC, c.click_id DESC) AS rn
+        FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+      ) WHERE rn = 1
+    )
+    SELECT p.user_id, p.purchase_id, back.click_id,
+           back.delta AS delta_us
+    FROM p LEFT JOIN back USING (purchase_id)
+    """,
+    tags=("udf", "join", "event"),
+)
+def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUPED map — the last Python-integration surface
+    (groupBy().cogroup().applyInPandas): both inputs co-partition on
+    the key in ONE exchange each, and the kernel receives the user's
+    purchases AND clicks as two aligned pandas frames — the API for
+    custom two-sided merges the built-in join family can't express
+    (here pd.merge_asof backward, the library-native as-of that
+    join_asof reimplements declaratively; the oracle is the same
+    last-click-at-or-before-purchase SQL, so the two surfaces are
+    pinned to each other). pandas nullable Int64 carries the
+    no-match rows (plain int64 would poison NULLs with NaN casts);
+    deltas are computed on integer microseconds, never float
+    seconds. merge_asof picks the positionally-last tie among
+    equal-ts clicks of the (ts, event_id)-sorted right frame = max
+    event_id, matching the oracle's DESC/DESC rank.
+
+    Scale: the cogroup is exactly two hash exchanges (one per side)
+    + per-key Arrow batches; per-user state is that user's history,
+    the same boundedness argument as every events-family window."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            _cogroup_asof,
+            "user_id long, purchase_id long, click_id long, delta_us long",
+        )
+    )
