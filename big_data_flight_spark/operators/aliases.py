@@ -136,7 +136,8 @@ _NEW_GATE_ALIASES = {
     # evt_ewma, stream_ewma, mm_image_hist_ppm, text_bpe_encode,
     # win_rolling_median, sink_dynamic_partition_overwrite,
     # join_asof_nearest, graph_common_neighbors, evt_anomaly_mad,
-    # stream_checkpoint_recovery, udf_cogrouped_map) are
+    # stream_checkpoint_recovery, udf_cogrouped_map,
+    # scan_csv_malformed) are
     # NOT aliased: the 50-slot window is exactly full, and displacing
     # any current alias would cost its target the first-ever driver
     # row this rotation exists to deliver. They are covered this round

@@ -795,3 +795,69 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         dsum("value", "sum_value"),
         F.countDistinct("event_type").cast("long").alias("n_types"),
     )
+
+
+@gate_query(
+    "scan_csv_malformed",
+    oracle="""
+    SELECT CASE WHEN doc_id % 7 = 0 THEN 'corrupt' ELSE 'ok' END AS status,
+           COUNT(*) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_a,
+           CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN doc_id * 3 END)
+                AS BIGINT) AS sum_b,
+           CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_raw
+    FROM documents
+    GROUP BY status
+    """,
+    tags=("source",),
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row CSV ingest under PERMISSIVE mode — the
+    quarantine-don't-crash contract every production loader needs:
+    rows whose column fails the declared schema keep their VALID
+    fields (verified on this build: the long a column still parses on
+    a row whose b is garbage), the failing field nulls, and the raw
+    line lands in columnNameOfCorruptRecord for quarantine. The gate
+    deterministically renders one CSV line per doc (every 7th doc
+    gets an unparseable b plus a trailing extra field), round-trips
+    it through a text sink + schema'd CSV read, and aggregates per
+    status: row counts, the still-parsed a sums on BOTH sides of the
+    quarantine, the null'd b sum (NULL for the corrupt group in both
+    engines — SUM over all-NULL), and the corrupt-payload count from
+    the raw-record column. The oracle regenerates the same closed
+    form from doc_id arithmetic — a mismatch means rows were dropped
+    (FAILFAST-style), mis-quarantined, or partially-parsed fields
+    were thrown away.
+
+    Scale: malformed handling is per-row inside the scan task — no
+    extra pass, no shuffle; the corrupt column prunes away unless
+    selected."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    line = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat_ws(",", "doc_id", F.lit("notanumber"), F.lit("bad"), F.lit("x")),
+    ).otherwise(
+        F.concat_ws(",", "doc_id", (F.col("doc_id") * 3).cast("string"), F.lit("ok"))
+    )
+    out = os.path.join(_TMP, "csv_malformed")
+    docs.select(line.alias("value")).write.mode("overwrite").text(out)
+    back = (
+        spark.read.schema("a long, b long, note string, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    )
+    return (
+        back.groupBy(
+            F.when(F.col("_corrupt_record").isNotNull(), "corrupt")
+            .otherwise("ok")
+            .alias("status")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("a").cast("long").alias("sum_a"),
+            F.sum("b").cast("long").alias("sum_b"),
+            F.count("_corrupt_record").cast("long").alias("n_raw"),
+        )
+    )
