@@ -300,5 +300,32 @@ class TestBpeEncode:
         assert total_tokens == train[TEXT_BPE_ROUNDS]["corpus_symbols_after"]
 
 
+class TestCogroupKernel:
+    def test_nat_and_empty_paths(self):
+        """The kernel paths the sf fixture may never exercise: a
+        purchase BEFORE any click (NaT inside merge_asof), an empty
+        click side, and an empty purchase side."""
+        from big_data_flight_spark.operators.udfs import _cogroup_asof
+
+        left = pd.DataFrame(
+            {"user_id": [1, 1],
+             "ts": [T0, T0 + pd.Timedelta(hours=2)],
+             "event_id": [10, 11]}
+        )
+        right = pd.DataFrame(
+            {"user_id": [1],
+             "ts": [T0 + pd.Timedelta(hours=1)],
+             "event_id": [5]}
+        )
+        m = _cogroup_asof(left, right).set_index("purchase_id")
+        assert pd.isna(m.loc[10, "click_id"]) and pd.isna(m.loc[10, "delta_us"])
+        assert m.loc[11, "click_id"] == 5
+        assert m.loc[11, "delta_us"] == -3_600_000_000
+        no_clicks = _cogroup_asof(left, right.iloc[0:0])
+        assert list(no_clicks["purchase_id"]) == [10, 11]
+        assert no_clicks["click_id"].isna().all()
+        assert _cogroup_asof(left.iloc[0:0], right).empty
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))
