@@ -322,9 +322,15 @@ def _cogroup_asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
                 "delta_us": m["delta_us"],
             }
         )
-    right = right.sort_values(["ts", "event_id"]).reset_index(drop=True)
-    right = right.rename(columns={"event_id": "click_id"})
-    right["c_ts"] = right["ts"]
+    # Right columns arrive PRE-RENAMED (c_ts/c_eid): both cogroup
+    # sides derive from the same events scan, and duplicate attribute
+    # names across the sides trip Spark's cogroup column pruning under
+    # count()-only consumers — the right frame reaches the kernel
+    # stripped to the key (measured on this build; collect() is
+    # unaffected). Distinct names keep the attributes apart.
+    right = right.sort_values(["c_ts", "c_eid"]).reset_index(drop=True)
+    right = right.rename(columns={"c_eid": "click_id"})
+    right["ts"] = right["c_ts"]
     m = pd.merge_asof(
         left,
         right[["ts", "click_id", "c_ts"]],
@@ -399,7 +405,9 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id"
     )
     clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id"
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_eid"),
     )
     return (
         purchases.groupBy("user_id")

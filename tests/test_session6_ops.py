@@ -314,8 +314,8 @@ class TestCogroupKernel:
         )
         right = pd.DataFrame(
             {"user_id": [1],
-             "ts": [T0 + pd.Timedelta(hours=1)],
-             "event_id": [5]}
+             "c_ts": [T0 + pd.Timedelta(hours=1)],
+             "c_eid": [5]}
         )
         m = _cogroup_asof(left, right).set_index("purchase_id")
         assert pd.isna(m.loc[10, "click_id"]) and pd.isna(m.loc[10, "delta_us"])
