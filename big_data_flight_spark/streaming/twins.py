@@ -165,12 +165,29 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_stream(spark, sf_dir)
 
 
+@gate_query(
+    "stream_static_join",
+    oracle="""
+    SELECT e.event_type, COUNT(*) AS n,
+           CAST(SUM(COALESCE(d.lifetime_purchases, 0)) AS BIGINT)
+             AS sum_enrich
+    FROM events e LEFT JOIN (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS lifetime_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ) d USING (user_id)
+    GROUP BY e.event_type
+    """,
+    tags=("streaming", "join"),
+)
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-static join: the event stream enriched against a static
-    dimension (per-user lifetime purchase counts computed batch-side).
-    Static side is re-resolved per micro-batch — the standard pattern
-    for slowly-changing enrichment tables; at scale the static side
-    should be broadcastable or pre-bucketed."""
+    """Stream-static join — GATED (was twin-only through r5 s6): the
+    event stream enriched against a static dimension (per-user
+    lifetime purchase counts computed batch-side), then aggregated so
+    the result is arrival-order-insensitive and the batch oracle is
+    strong. Static side is re-resolved per micro-batch — the standard
+    pattern for slowly-changing enrichment tables; at scale the
+    static side should be broadcastable (as hinted here) or
+    pre-bucketed."""
     from big_data_flight_spark.io import table
 
     static_dim = (
@@ -185,7 +202,9 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.coalesce("lifetime_purchases", F.lit(0))).alias("sum_enrich"),
+            F.sum(F.coalesce("lifetime_purchases", F.lit(0)))
+            .cast("long")
+            .alias("sum_enrich"),
         )
     )
     return run_to_memory(enriched, mode="complete")
