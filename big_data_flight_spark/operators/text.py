@@ -2120,3 +2120,88 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("word").cast("long").alias("n_unique_words"),
         )
     )
+
+
+@gate_query(
+    "text_bigram_lm",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, token, ord
+      FROM (
+        SELECT doc_id,
+               unnest(string_split(lower(text), ' ')) AS token,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord
+        FROM documents
+      )
+    ),
+    pairs AS (
+      SELECT token AS w1,
+             lead(token) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+      FROM tok
+    ),
+    counts AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pairs WHERE w2 IS NOT NULL
+      GROUP BY w1, w2
+    ),
+    lm AS (
+      SELECT w1, w2, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY w1) AS BIGINT) AS w1_total
+      FROM counts
+    )
+    SELECT w1, w2, cnt, w1_total,
+           cnt * 1000000 // w1_total AS prob_micro
+    FROM lm
+    ORDER BY cnt DESC, w1, w2 LIMIT 50
+    """,
+    tags=("text",),
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram language model — the KenLM-shaped table the
+    classic corpus-quality filters (CCNet-style perplexity proxies)
+    score against: P(w2 | w1) as the bigram count over the TOTAL
+    CONTINUATIONS of w1 (self-consistent conditioning — the
+    denominator is the same pair table summed per w1, so probabilities
+    per w1 always sum to ~1 with only floor losses). Probabilities in
+    integer micro-units (BIGINT // BIGINT — identical floors, zero
+    float surface). Bigrams form inside the same higher-order
+    transform as text_ngram_freq (no pre-pair explode); the per-w1
+    denominator is a window SUM over the aggregated PAIR table (|vocab
+    pairs| rows, not corpus rows). Top-50 with the (cnt DESC, w1, w2)
+    total order.
+
+    Scale: one shuffle to count pairs, one window over the counted
+    table keyed by w1 (bounded by vocabulary, not corpus); add-one or
+    backoff smoothing are plain column arithmetic on this table."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    pairs = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN "
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> struct(toks[i-1] AS w1, toks[i] AS w2)) "
+        "ELSE array() END"
+    )
+    counts = (
+        d.select(toks.alias("toks"))
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w_tot = Window.partitionBy("w1")
+    lm = counts.select(
+        "w1",
+        "w2",
+        "cnt",
+        F.sum("cnt").over(w_tot).cast("long").alias("w1_total"),
+    )
+    return (
+        lm.select(
+            "w1",
+            "w2",
+            "cnt",
+            "w1_total",
+            F.expr("cnt * 1000000L DIV w1_total").alias("prob_micro"),
+        )
+        .orderBy(F.col("cnt").desc(), "w1", "w2")
+        .limit(50)
+    )
