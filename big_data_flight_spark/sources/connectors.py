@@ -861,3 +861,72 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("_corrupt_record").cast("long").alias("n_raw"),
         )
     )
+
+
+@gate_query(
+    "sink_nested_roundtrip",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_orderkey) AS n_orders,
+           COUNT(*) AS n_items,
+           {DSUM("l_extendedprice", "sum_price")},
+           CAST(SUM(l_linenumber) AS BIGINT) AS sum_lineno,
+           CAST(floor(MAX(l_quantity)) AS BIGINT) AS max_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+    tags=("sink", "source"),
+)
+def sink_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-data modeling round-trip — the document-shaped table
+    layout (order + its line items as one row) that co-locates a
+    parent with its children so point lookups read ONE row instead of
+    running a join: orders⋈lineitem shredded into
+    array<struct<...>> per order (sort_array for a deterministic
+    child order), written as NESTED parquet, read back, exploded, and
+    re-aggregated. The oracle aggregates the FLAT join directly — a
+    value match proves the nest → parquet (Dremel
+    repetition/definition encoding) → unnest chain lost and
+    duplicated nothing, field-for-field. Complex types stay strictly
+    INTERNAL (the nested table on disk); the gate output is flat per
+    the driver canonicalization rules.
+
+    Scale: the nest is one groupBy(o_orderkey) shuffle — the same
+    cost as the join it replaces forever after; per-order child
+    arrays are bounded (≤7 line items in TPC-H); the read-back scan
+    prunes nested FIELDS like columns (ReadSchema shows the struct
+    projection)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_quantity",
+        "l_extendedprice",
+    )
+    nested = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey", "o_orderstatus")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "l_linenumber", "l_suppkey", "l_quantity",
+                        "l_extendedprice",
+                    )
+                )
+            ).alias("items")
+        )
+    )
+    out = os.path.join(_TMP, "nested_orders")
+    nested.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    flat = back.select(
+        "o_orderkey", "o_orderstatus", F.explode("items").alias("it")
+    )
+    return flat.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("it.l_extendedprice", "sum_price"),
+        F.sum("it.l_linenumber").cast("long").alias("sum_lineno"),
+        F.floor(F.max("it.l_quantity")).cast("long").alias("max_qty"),
+    )
