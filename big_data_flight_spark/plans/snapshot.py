@@ -258,6 +258,14 @@ SNAPSHOT = {
         "HashAggregate",
         "TakeOrderedAndProject",
     ],
+    # Bigram LM: pair counting is the hash aggregate; the per-w1
+    # denominator window runs over the COUNTED pair table (vocabulary-
+    # sized), and the top-50 is a distributed TakeOrdered.
+    "text_bigram_lm": ["HashAggregate", "Window", "TakeOrderedAndProject"],
+    # Nested round-trip read-back: the unnest is a Generate over the
+    # nested scan feeding one hash aggregate — no join node may appear
+    # (the whole point of the co-located layout).
+    "sink_nested_roundtrip": ["Generate", "HashAggregate", "!Join"],
 }
 
 
