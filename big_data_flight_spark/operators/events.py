@@ -951,3 +951,102 @@ def evt_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_outliers"),
     )
+
+
+@gate_query(
+    "evt_ab_test",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1
+                            ELSE 0 END) >= 10 THEN 1 ELSE 0 END
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_conv
+      FROM per_user GROUP BY arm
+    ),
+    wide AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN n_users END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN arm = 0 THEN n_conv END) AS BIGINT) AS conv_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN n_users END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN arm = 1 THEN n_conv END) AS BIGINT) AS conv_b
+      FROM arms
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           conv_a * 1000000 // n_a AS conv_a_micro,
+           conv_b * 1000000 // n_b AS conv_b_micro,
+           CASE WHEN se > 0 THEN
+             floor(((CAST(conv_a AS DOUBLE) / n_a
+                     - CAST(conv_b AS DOUBLE) / n_b) / se)
+                   * 1000000 + 0.5) / 1000000
+           END AS z_d6
+    FROM (
+      SELECT *,
+             sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                  * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                  * (1.0 / n_a + 1.0 / n_b)) AS se
+      FROM wide
+    )
+    """,
+    tags=("event", "agg"),
+)
+def evt_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout — the two-proportion z-test every
+    product-analytics stack runs: users deterministically assigned to
+    arms (user_id % 2 — the hash-bucket assignment real experiment
+    platforms use, RNG-free so the gate is replayable), conversion =
+    any purchase, pooled-variance z statistic. Parity: counts are
+    exact integers; conversion rates display as integer micro-units
+    (BIGINT // BIGINT); the z statistic is ONE identical IEEE
+    expression tree over doubles derived exactly from those integers
+    (int/int division is correctly-rounded, so both engines start
+    from bit-identical doubles), displayed via the standard
+    floor(x*1e6+0.5)/1e6. Single-row output.
+
+    Scale: two cascaded hash aggregates (user, then arm) — the
+    per-user level is the same shuffle any sessionization pays; the
+    readout is O(arms)."""
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            >= 10
+        )
+        .cast("int")
+        .alias("converted")
+    ).select((F.col("user_id") % 2).alias("arm"), "converted")
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_conv"),
+    )
+    wide = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n_users"))).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("n_conv"))).cast("long").alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n_users"))).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n_conv"))).cast("long").alias("conv_b"),
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    p_pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        p_pool * (F.lit(1.0) - p_pool)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    # Degenerate experiment (0% or 100% pooled conversion) -> the
+    # pooled variance is 0 and z is undefined: NULL on both engines
+    # (ANSI Spark would otherwise raise DIVIDE_BY_ZERO).
+    z = F.when(se > 0, (p_a - p_b) / se)
+    return wide.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.expr("conv_a * 1000000L DIV n_a").alias("conv_a_micro"),
+        F.expr("conv_b * 1000000L DIV n_b").alias("conv_b_micro"),
+        (F.floor(z * 1e6 + F.lit(0.5)) / F.lit(1e6)).alias("z_d6"),
+    )
