@@ -645,3 +645,117 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("hi"),
         dsum("value", "sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_median_bisect — exact order statistic WITHOUT sorting or collecting
+# ---------------------------------------------------------------------------
+
+# Prices in integer cents fit a 24-bit domain (max l_extendedprice ≈
+# 104,998 → 10,499,800 cents < 2^24 = 16,777,216); the gate AUDITS the
+# bound in-row (n_over_domain must be 0) so a fixture regeneration that
+# widens the domain fails loudly instead of selecting a wrong bit.
+_MEDB_BITS = 24
+
+
+@gate_query(
+    "agg_median_bisect",
+    oracle=f"""
+    WITH c AS MATERIALIZED (
+      SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+      FROM lineitem
+    ),
+    nk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST((COUNT(*) + 1) // 2 AS BIGINT) AS k
+      FROM c
+    ),
+    ranked AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM c),
+    med AS (SELECT v AS m FROM ranked, nk WHERE rn = nk.k)
+    SELECT nk.n, nk.k,
+           med.m AS median_cents,
+           med.m / 100.0 AS median_price,
+           CAST((SELECT COUNT(*) FROM c WHERE v < med.m) AS BIGINT) AS n_below,
+           CAST((SELECT COUNT(*) FROM c WHERE v = med.m) AS BIGINT) AS n_at,
+           CAST((SELECT COUNT(*) FROM c WHERE v >= {1 << _MEDB_BITS}) AS BIGINT)
+             AS n_over_domain
+    FROM nk, med
+    """,
+    tags=("agg", "iterative"),
+)
+def agg_median_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median (k-th smallest, k = (n+1) DIV 2) by MSB radix
+    bisection over the integer-cents value domain — the order-statistic
+    pattern that survives 100 TB where both sorted-collect
+    (agg_percentile's per-group buffer) and a global sort do not: ONE
+    shuffle builds the value→count table, then _MEDB_BITS fixed,
+    data-independent rounds each aggregate that compact table once,
+    choosing one bit of the answer (classic selection-by-radix;
+    cf. the external quickselect in the DBMS literature).
+
+    No driver scalar anywhere: the (hi, r) bisection state rides a
+    1-ROW DataFrame broadcast into each round's conditional sum — the
+    same loop-state-as-DataFrame construction as text_bpe_merge_train's
+    argmax — and the loop-invariant counts table is localCheckpoint-ed
+    ONCE before the loop (the iterative-lineage rule). All-integer:
+    shiftright on BIGINT cents is exact in both engines, so the oracle
+    (a direct row_number() selection of the same k-th element) must
+    agree bit-for-bit; the single median_price division is one
+    identical IEEE BIGINT/double op. Invariant carried: after the
+    bit-0 round hi IS the k-th smallest value and r IS count(v < hi),
+    exposed as n_below and re-derived independently by the oracle."""
+    li = table(spark, sf_dir, "lineitem")
+    v = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    counts = (
+        li.select(v.alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()  # loop-invariant input, materialized once
+    )
+    state = counts.agg(
+        F.sum("cnt").cast("long").alias("n"),
+    ).select(
+        "n",
+        F.expr("(n + 1L) DIV 2").alias("k"),
+        F.lit(0).cast("long").alias("hi"),
+        F.lit(0).cast("long").alias("r"),
+    )
+    for b in range(_MEDB_BITS - 1, -1, -1):
+        j = counts.crossJoin(F.broadcast(state))
+        agg = j.groupBy().agg(
+            F.first("n").alias("n"),
+            F.first("k").alias("k"),
+            F.first("hi").alias("hi"),
+            F.first("r").alias("r"),
+            F.sum(
+                F.when(F.shiftright(F.col("v"), b) == F.col("hi") * 2, F.col("cnt")).otherwise(0)
+            )
+            .cast("long")
+            .alias("c0"),
+        )
+        take0 = F.col("r") + F.col("c0") >= F.col("k")
+        state = agg.select(
+            "n",
+            "k",
+            F.when(take0, F.col("hi") * 2).otherwise(F.col("hi") * 2 + 1).alias("hi"),
+            F.when(take0, F.col("r")).otherwise(F.col("r") + F.col("c0")).alias("r"),
+        ).localCheckpoint()  # 1 row; truncates the per-round lineage
+    return (
+        counts.crossJoin(F.broadcast(state))
+        .groupBy()
+        .agg(
+            F.first("n").alias("n"),
+            F.first("k").alias("k"),
+            F.first("hi").alias("median_cents"),
+            (F.first("hi") / F.lit(100.0)).alias("median_price"),
+            F.first("r").alias("n_below"),
+            F.sum(F.when(F.col("v") == F.col("hi"), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_at"),
+            F.sum(
+                F.when(F.col("v") >= F.lit(1 << _MEDB_BITS).cast("long"), F.col("cnt")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_over_domain"),
+        )
+    )

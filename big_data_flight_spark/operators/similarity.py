@@ -1167,3 +1167,179 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_kmeans_lloyd — bit-exact distributed k-means over the embeddings
+# ---------------------------------------------------------------------------
+
+_KM_K = 8        # clusters (seeded from vec_id 0..K-1 — deterministic init)
+_KM_ROUNDS = 3   # Lloyd iterations; oracle unrolls from the same constant
+_KM_DIMS = 64    # fixture embedding width
+
+
+def _kmeans_oracle(k: int = _KM_K, rounds: int = _KM_ROUNDS, dims: int = _KM_DIMS) -> str:
+    """Unrolled-CTE Lloyd oracle generated from the SAME Python
+    constants as the Spark loop (the pagerank construction): round t
+    assigns every vector to its nearest c{t-1} centroid under the
+    exact BIGINT squared distance with a (dist, cluster) total order,
+    then recomputes centroids as floor(sum/count) — one identical
+    IEEE double division per (cluster, dim) on identical BIGINT
+    inputs. Empty clusters keep their previous centroid via the
+    LEFT JOIN + COALESCE, mirroring the Spark side exactly."""
+    rng = f"(SELECT unnest(range(1, {dims + 1})) AS i)"
+    sq = f"[(v.q[i] - c.c[i]) * (v.q[i] - c.c[i]) for i in range(1, {dims + 1})]"
+    ctes = [
+        f"""q AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS q
+      FROM embeddings)""",
+        f"c0 AS MATERIALIZED (SELECT vec_id AS cluster, q AS c FROM q WHERE vec_id < {k})",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(f"""
+    a{t} AS MATERIALIZED (
+      SELECT vec_id, q, cluster FROM (
+        SELECT v.vec_id, v.q, c.cluster,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY CAST(list_sum({sq}) AS BIGINT), c.cluster) AS rn
+        FROM q v CROSS JOIN c{t - 1} c
+      ) WHERE rn = 1
+    )""")
+        ctes.append(f"""
+    u{t} AS (
+      SELECT cluster, i AS dim,
+             CAST(floor(CAST(CAST(SUM(q[i]) AS BIGINT) AS DOUBLE) / COUNT(*))
+               AS BIGINT) AS cv
+      FROM a{t} CROSS JOIN {rng}
+      GROUP BY cluster, i
+    )""")
+        ctes.append(f"""
+    c{t} AS MATERIALIZED (
+      SELECT p.cluster, list(COALESCE(u.cv, p.pv) ORDER BY p.dim) AS c
+      FROM (SELECT cluster, i AS dim, c[i] AS pv
+            FROM c{t - 1} CROSS JOIN {rng}) p
+      LEFT JOIN u{t} u ON u.cluster = p.cluster AND u.dim = p.dim
+      GROUP BY p.cluster
+    )""")
+    return f"""
+    WITH {','.join(ctes)},
+    stats AS (
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(SUM(vec_id) AS BIGINT) AS id_sum
+      FROM a{rounds} GROUP BY cluster)
+    SELECT c.cluster,
+           COALESCE(s.n_members, 0) AS n_members,
+           COALESCE(s.id_sum, 0) AS id_sum,
+           array_to_string(c.c, ',') AS centroid_str,
+           CAST(list_sum(list_transform(c.c, v -> abs(v))) AS BIGINT)
+             AS centroid_l1
+    FROM c{rounds} c LEFT JOIN stats s USING (cluster)
+    """
+
+
+# Nearest centroid over the broadcast 1-row centroid array as a PURE
+# PROJECTION: squared distance is an exact BIGINT fold, argmin is
+# array_min over (dist, cluster) structs — lexicographic, so the tie
+# falls to the smaller cluster id exactly like the oracle's
+# ORDER BY dist, cluster.
+_KM_ASSIGN = """
+array_min(transform(cents, ct -> struct(
+  aggregate(zip_with(q, ct.c, (a, b) -> (a - b) * (a - b)),
+            CAST(0 AS BIGINT), (s, v) -> s + v) AS dist,
+  ct.cluster AS cluster))).cluster AS cluster
+"""
+
+
+@gate_query(
+    "sim_kmeans_lloyd",
+    oracle=_kmeans_oracle(),
+    tags=("similarity", "iterative"),
+)
+def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding corpus — the
+    canonical corpus-clustering op (topic bucketing, dedup blocking,
+    IVF codebook training) made BIT-EXACT cross-engine: embeddings
+    quantize to integer micro-units first (float32 → double → floor
+    micro, the CLAUDE.md array rule), so squared distances are exact
+    BIGINTs (≤ 64·(1.2e6)² ≈ 9e13 < 2^53), the argmin total-orders on
+    (dist, cluster), and each centroid update is floor(sum/count) —
+    one identical IEEE double division per (cluster, dim) on identical
+    integer inputs (the pagerank parity construction). Deterministic
+    seeding from vec_id < K; empty clusters carry their previous
+    centroid through a LEFT JOIN on both engines.
+
+    Scale posture: assignment is a ZERO-SHUFFLE projection — the K
+    centroids ride a broadcast 1-row array and each vector argmins
+    locally (the MLlib shape: no K-fold crossJoin fan-out, no
+    groupBy(vec_id) carrying vectors). The only shuffle per round is
+    the centroid update, whose partial aggregate reduces map-side to
+    K×dims rows per partition. Loop lineage: the quantized input is
+    localCheckpoint-ed ONCE before the loop, each round's K-row
+    centroid table after (the iterative-lineage rule). Output stays
+    flat: centroids string-rendered in micro-units + L1 checksum
+    (driver canon: never emit an array column)."""
+    e = table(spark, sf_dir, "embeddings")
+    q = (
+        e.select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long"),
+            ).alias("q"),
+        )
+        .repartition(8)
+        .localCheckpoint()  # loop-invariant input, materialized once
+    )
+    cent = q.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cluster"), F.col("q").alias("c")
+    ).localCheckpoint()
+    assign = None
+    for _ in range(_KM_ROUNDS):
+        cents_row = cent.agg(F.collect_list(F.struct("cluster", "c")).alias("cents"))
+        assign = q.crossJoin(F.broadcast(cents_row)).selectExpr(
+            "vec_id", "q", _KM_ASSIGN
+        )
+        longf = assign.select("cluster", F.posexplode("q").alias("dim", "v"))
+        sums = longf.groupBy("cluster", "dim").agg(
+            F.sum("v").cast("long").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        newc = sums.select(
+            "cluster",
+            "dim",
+            F.floor(F.col("s").cast("double") / F.col("n")).cast("long").alias("cv"),
+        )
+        prev_long = cent.select("cluster", F.posexplode("c").alias("dim", "pv"))
+        upd = prev_long.join(newc, ["cluster", "dim"], "left").select(
+            "cluster", "dim", F.coalesce("cv", "pv").alias("cv")
+        )
+        cent = (
+            upd.groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("c")
+            )
+            .localCheckpoint()  # K rows; truncates the per-round lineage
+        )
+    stats = assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("vec_id").cast("long").alias("id_sum"),
+    )
+    return (
+        cent.join(stats, "cluster", "left")
+        .select(
+            "cluster",
+            F.coalesce("n_members", F.lit(0).cast("long")).alias("n_members"),
+            F.coalesce("id_sum", F.lit(0).cast("long")).alias("id_sum"),
+            F.array_join(F.col("c").cast("array<string>"), ",").alias("centroid_str"),
+            F.aggregate(
+                F.transform("c", lambda v: F.abs(v)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("centroid_l1"),
+        )
+    )

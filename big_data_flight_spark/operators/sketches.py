@@ -439,6 +439,122 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Heavy hitters — sketch-pruned EXACT frequent keys
+# ---------------------------------------------------------------------------
+
+# Own constants and an own 'h'-prefixed md5 family — agg_count_min's
+# CMS_DEPTH/CMS_WIDTH stay untouched (the session-3 lesson: a second
+# sketch gate must never re-bind the first one's module constants).
+# Width 4096 keeps the expected bucket load well under the threshold at
+# both fixture scales, so the candidate set is genuinely discriminative
+# (~54 of 150 keys at sf0.01, ~530 of 1500 at sf0.1), while 3×4096
+# counters is still a constant-size summary at 100 TB.
+_HH_DEPTH = 3
+_HH_WIDTH = 4096
+_HH_THRESHOLD = 70
+
+
+def _hh_bucket_sql(key: str, seed: str = "seed") -> str:
+    return (
+        f"('0x' || substring(md5('h:' || {seed} || ':' || {key}), 1, 8))::BIGINT"
+        f" % {_HH_WIDTH}"
+    )
+
+
+def _hh_keyed(df: DataFrame) -> DataFrame:
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(_HH_DEPTH - 1))).alias("seed")
+    return df.select("user_id", seeds).select(
+        "user_id",
+        "seed",
+        (
+            _md5_int(F.concat_ws(":", F.lit("h"), F.col("seed"), F.col("user_id")), 8)
+            % _HH_WIDTH
+        ).alias("bucket"),
+    )
+
+
+@gate_query(
+    "agg_heavy_hitters",
+    oracle=f"""
+    WITH seeds AS (SELECT unnest(range(0, {_HH_DEPTH})) AS seed),
+    cms AS MATERIALIZED (
+      SELECT seed, {_hh_bucket_sql('user_id')} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events CROSS JOIN seeds
+      GROUP BY seed, bucket
+    ),
+    est AS MATERIALIZED (
+      SELECT k.user_id, MIN(c) AS est_n
+      FROM (SELECT DISTINCT user_id FROM events) k
+      CROSS JOIN (SELECT unnest(range(0, {_HH_DEPTH})) AS pseed)
+      JOIN cms ON cms.seed = pseed
+             AND cms.bucket = {_hh_bucket_sql('k.user_id', 'pseed')}
+      GROUP BY k.user_id
+    ),
+    cand AS MATERIALIZED (
+      SELECT user_id, est_n FROM est WHERE est_n >= {_HH_THRESHOLD}
+    ),
+    exact AS (
+      SELECT e.user_id, cand.est_n, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM events e JOIN cand ON e.user_id = cand.user_id
+      GROUP BY e.user_id, cand.est_n
+    )
+    SELECT user_id, exact_n, est_n,
+           CAST(est_n - exact_n AS BIGINT) AS overestimate,
+           CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates
+    FROM exact WHERE exact_n >= {_HH_THRESHOLD}
+    """,
+    tags=("sketch", "aggregate"),
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-pruned EXACT heavy hitters — the two-pass pipeline that
+    replaces a full-keyspace groupBy at 100 TB: pass 1 builds a
+    constant-size count-min table ({_HH_DEPTH}×{_HH_WIDTH} counters,
+    mergeable map-side) and probes it with the distinct keys; because
+    CMS never underestimates, the keys whose estimate clears the
+    threshold are a SUPERSET of the true frequent keys, so pass 2
+    exact-counts ONLY candidate rows (a broadcast semi-prune — the
+    second shuffle carries candidate-key rows, not the keyspace).
+    The final filter on the exact count removes the sketch's false
+    positives, making the output deterministic and independent of
+    collision noise — the oracle rebuilds the identical md5 sketch and
+    the audit columns expose it (overestimate ≥ 0 per key;
+    n_candidates = the pruned-set size both engines derive from their
+    own sketch, so a single divergent counter flips the hash)."""
+    e = table(spark, sf_dir, "events")
+    counters = (
+        _hh_keyed(e)
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    keys = e.select("user_id").distinct()
+    est = (
+        _hh_keyed(keys)
+        .join(F.broadcast(counters), ["seed", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est_n"))
+    )
+    cand = est.filter(F.col("est_n") >= _HH_THRESHOLD)
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    exact = (
+        e.join(F.broadcast(cand), "user_id")
+        .groupBy("user_id", "est_n")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    )
+    return (
+        exact.filter(F.col("exact_n") >= _HH_THRESHOLD)
+        .crossJoin(F.broadcast(n_cand))
+        .select(
+            "user_id",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).cast("long").alias("overestimate"),
+            "n_candidates",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bitmap exact distinct — the roaring-bitmap aggregation pattern
 # ---------------------------------------------------------------------------
 

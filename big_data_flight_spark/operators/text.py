@@ -2205,3 +2205,118 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "w1", "w2")
         .limit(50)
     )
+
+
+@gate_query(
+    "text_lm_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, token, ord
+      FROM (
+        SELECT doc_id,
+               unnest(string_split(lower(text), ' ')) AS token,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord
+        FROM documents
+      )
+    ),
+    pairs AS (
+      SELECT doc_id, token AS w1,
+             lead(token) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+      FROM tok
+    ),
+    dp AS MATERIALIZED (
+      SELECT doc_id, w1, w2 FROM pairs WHERE w2 IS NOT NULL
+    ),
+    counts AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM dp WHERE doc_id % 2 = 0
+      GROUP BY w1, w2
+    ),
+    lm AS (
+      SELECT w1, w2,
+             cnt * 1000000 //
+               CAST(SUM(cnt) OVER (PARTITION BY w1) AS BIGINT) AS prob_micro
+      FROM counts
+    ),
+    j AS (
+      SELECT d.doc_id, l.prob_micro
+      FROM dp d LEFT JOIN lm l ON d.w1 = l.w1 AND d.w2 = l.w2
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(prob_micro) AS BIGINT) AS n_seen,
+           CAST(SUM(COALESCE(prob_micro, 0)) AS BIGINT) AS sum_prob_micro,
+           CASE WHEN COUNT(prob_micro) > 0
+                THEN CAST(SUM(COALESCE(prob_micro, 0)) AS BIGINT)
+                       // COUNT(prob_micro)
+           END AS mean_seen_prob_micro,
+           CAST(COUNT(prob_micro) AS BIGINT) * 1000000 // COUNT(*)
+             AS coverage_micro
+    FROM j GROUP BY doc_id
+    """,
+    tags=("text",),
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based document quality scoring — the consumer of the
+    text_bigram_lm table and the CCNet-style filter shape: train the
+    bigram model on a REFERENCE SPLIT (deterministic doc_id % 2 == 0 —
+    RNG-free like every split here), then score EVERY document against
+    it, so held-out documents genuinely exercise the out-of-vocabulary
+    path (a same-corpus LM would make every bigram 'seen' and the OOV
+    branch dead code). Per doc: bigram count, bigrams seen in the LM,
+    the exact integer sum of their micro-probabilities, the mean over
+    seen bigrams (NULL when nothing matched — no fake zero), and
+    LM coverage in micro-units. All-integer end to end (BIGINT sums
+    and floor divisions on non-negative values), zero float surface.
+
+    Scale: the LM table is vocabulary-pair-bounded (not corpus-bound);
+    the score join is an equi-join on (w1, w2) that AQE broadcasts when
+    the model is small and hash-partitions when it is not; per-doc
+    aggregation shuffles counts, never text. The bigram construction
+    is the same higher-order transform as text_bigram_lm (one corpus
+    scan, no pre-pair explode)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    pairs = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN "
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> struct(toks[i-1] AS w1, toks[i] AS w2)) "
+        "ELSE array() END"
+    )
+    doc_pairs = (
+        d.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    train_counts = (
+        doc_pairs.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w_tot = Window.partitionBy("w1")
+    lm = train_counts.select(
+        "w1",
+        "w2",
+        F.expr(
+            "cnt * 1000000L DIV CAST(sum(cnt) OVER (PARTITION BY w1) AS BIGINT)"
+        ).alias("prob_micro"),
+    )
+    scored = doc_pairs.join(lm, ["w1", "w2"], "left")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.count("prob_micro").cast("long").alias("n_seen"),
+            F.sum(F.coalesce(F.col("prob_micro"), F.lit(0))).cast("long").alias("sum_prob_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_seen",
+            "sum_prob_micro",
+            F.when(
+                F.col("n_seen") > 0, F.expr("sum_prob_micro DIV n_seen")
+            ).alias("mean_seen_prob_micro"),
+            F.expr("n_seen * 1000000L DIV n_bigrams").alias("coverage_micro"),
+        )
+    )
