@@ -28,7 +28,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_flight_spark.io import table
@@ -979,4 +979,141 @@ def mm_image_hist_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ppm_luma_hist,
         "doc_id long, n_px long, sum_luma long, "
         "h0 long, h1 long, h2 long, h3 long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# mm_scene_cut_ppm — video-shaped frame-sequence analysis over real PPM
+# ---------------------------------------------------------------------------
+
+_SC_FRAMES = 12     # frames per synthetic clip
+_SC_SCENE_LEN = 4   # frames per scene -> cuts at f = 4 and f = 8
+
+
+def _sc_key(doc_id: int, frame: int) -> int:
+    """The one scene-key closed form, shared by the synth kernel and
+    (re-derived textually) by the SQL oracle: a multiple of 35 keeps
+    _ppm_raster's dimensions constant (w=4, h=3) across every frame
+    while the per-scene term shifts the pixel pattern, so frames
+    within a scene are identical and frames across a cut differ."""
+    scene = frame // _SC_SCENE_LEN
+    return 35 * (doc_id * 16 + scene * 5 + 1)
+
+
+def _synth_video_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Ingest-side kernel: one REAL P6 container per (doc, frame)."""
+    for pdf in batches:
+        blobs = []
+        for doc_id, f in zip(pdf["doc_id"], pdf["f"]):
+            w, h, px = _ppm_raster(_sc_key(int(doc_id), int(f)))
+            header = f"P6\n# clip {int(doc_id)} frame {int(f)}\n{w} {h}\n255\n".encode(
+                "ascii"
+            )
+            blobs.append(header + px.tobytes())
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "f": pdf["f"], "ppm_bin": blobs})
+
+
+def _decode_frame_pixels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Feature-side kernel: re-parse each container and emit the raw
+    interleaved pixel vector (36 small ints) — the decoded feature the
+    cut detector compares frame-to-frame. Only these integer features
+    ever reach a shuffle; the binary container dies in-task."""
+    for pdf in batches:
+        rows = {"doc_id": [], "f": [], "px": []}
+        for doc_id, f, blob in zip(pdf["doc_id"], pdf["f"], pdf["ppm_bin"]):
+            _, _, raster = _parse_ppm(bytes(blob))
+            rows["doc_id"].append(doc_id)
+            rows["f"].append(f)
+            rows["px"].append(list(raster))
+        yield pd.DataFrame(rows)
+
+
+@gate_query(
+    "mm_scene_cut_ppm",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, unnest(range(0, {_SC_FRAMES})) AS f FROM documents
+    ),
+    k AS (
+      SELECT doc_id, f,
+             35 * (doc_id * 16 + (f // {_SC_SCENE_LEN}) * 5 + 1) AS key,
+             CASE WHEN f = 0 THEN NULL ELSE
+               35 * (doc_id * 16 + ((f - 1) // {_SC_SCENE_LEN}) * 5 + 1)
+             END AS pkey
+      FROM g
+    ),
+    d AS (
+      SELECT doc_id, f,
+             CASE WHEN pkey IS NULL THEN NULL ELSE
+               CAST(list_sum(list_transform(range(0, 12), i ->
+                   abs((i * (key % 13 + 1)) % 256 - (i * (pkey % 13 + 1)) % 256)
+                 + abs((i + key) % 256 - (i + pkey) % 256)
+                 + abs((i * 3 + 7) % 256 - (i * 3 + 7) % 256))) AS BIGINT)
+             END AS l1
+      FROM k
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(COUNT(CASE WHEN l1 > 0 THEN 1 END) AS BIGINT) AS n_cuts,
+           CAST(COUNT(CASE WHEN l1 > 0 THEN 1 END) + 1 AS BIGINT) AS n_scenes,
+           COALESCE(string_agg(CASE WHEN l1 > 0 THEN CAST(f AS VARCHAR) END,
+                               ',' ORDER BY f), '') AS cut_frames,
+           CAST(COALESCE(SUM(CASE WHEN l1 > 0 THEN l1 END), 0) AS BIGINT)
+             AS total_cut_l1
+    FROM d GROUP BY doc_id
+    """,
+    tags=("multimodal", "udf"),
+)
+def mm_scene_cut_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over a frame SEQUENCE of real PPM containers
+    — the video-shaped member of the codec family (WAV = audio, PPM
+    decode/resize/hist = image, this = per-frame temporal analysis):
+    every doc becomes a 12-frame clip of genuine P6 containers (scenes
+    of 4 identical frames; the scene key shifts the _ppm_raster
+    pattern at f = 4 and 8), the decode kernel re-parses each
+    container to its integer pixel vector, and the detector compares
+    CONSECUTIVE frames' decoded pixels (lag window per clip, exact L1)
+    — flagging a cut wherever the distance is positive. The oracle
+    re-derives every frame's pixels from the shared closed form and
+    runs the same detector, so a hash-match proves container layout,
+    frame alignment, and the lag comparison all at once.
+
+    Scale posture: containers are born and decoded inside one narrow
+    Arrow pipeline (never shuffled); only the 36-int decoded feature
+    vectors cross the ONE shuffle (the per-clip lag window — at real
+    scale, per-frame feature extraction before any exchange is exactly
+    how video dedup/shot-detection pipelines stay scan-bound). Output
+    flat: cut frames string-rendered, L1 mass as the numeric checksum."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    frames = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(_SC_FRAMES - 1))).alias("f")
+    )
+    ppm = frames.mapInPandas(_synth_video_frames, "doc_id long, f long, ppm_bin binary")
+    px = ppm.mapInPandas(_decode_frame_pixels, "doc_id long, f long, px array<int>")
+    w = Window.partitionBy("doc_id").orderBy("f")
+    with_prev = px.withColumn("prev_px", F.lag("px").over(w))
+    l1 = F.when(
+        F.col("prev_px").isNull(), F.lit(None).cast("long")
+    ).otherwise(
+        F.aggregate(
+            F.zip_with("px", "prev_px", lambda x, y: F.abs(x - y).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+    )
+    scored = with_prev.select("doc_id", "f", l1.alias("l1"))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.count(F.when(F.col("l1") > 0, 1)).cast("long").alias("n_cuts"),
+        (F.count(F.when(F.col("l1") > 0, 1)) + 1).cast("long").alias("n_scenes"),
+        F.coalesce(
+            F.array_join(
+                F.sort_array(F.collect_list(F.when(F.col("l1") > 0, F.col("f")))),
+                ",",
+            ),
+            F.lit(""),
+        ).alias("cut_frames"),
+        F.coalesce(F.sum(F.when(F.col("l1") > 0, F.col("l1"))), F.lit(0))
+        .cast("long")
+        .alias("total_cut_l1"),
     )

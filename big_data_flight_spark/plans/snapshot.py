@@ -266,6 +266,67 @@ SNAPSHOT = {
     # nested scan feeding one hash aggregate — no join node may appear
     # (the whole point of the co-located layout).
     "sink_nested_roundtrip": ["Generate", "HashAggregate", "!Join"],
+    # r5 session-7. Median by domain bisection: the final plan reads
+    # the checkpointed counts table and the 1-row bisection state
+    # (ExistingRDD ×2) through the sanctioned 1-row broadcast cross
+    # join into one hash aggregate — and NO Sort node may ever appear
+    # (a sort is exactly what the algorithm exists to avoid).
+    "agg_median_bisect": [
+        "ExistingRDD",
+        "HashAggregate",
+        "BroadcastNestedLoopJoin",
+        "!Sort",
+    ],
+    # LM scoring: the model join must stay an equi-join on (w1, w2) —
+    # never a nested loop — with pair counting and per-doc scoring as
+    # hash aggregates and the per-w1 denominator window over the
+    # counted (vocabulary-sized) table.
+    "text_lm_score": [
+        "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin",
+        "!BroadcastNestedLoopJoin",
+        "HashAggregate",
+        "Window",
+    ],
+    # Sketch-pruned heavy hitters: the counter table and candidate set
+    # ride BROADCAST hash joins (they are constant-size / tiny by
+    # construction — a shuffled join would re-key the events just to
+    # probe a 12k-counter sketch); the only nested loop is the 1-row
+    # n_candidates audit cross join.
+    "agg_heavy_hitters": [
+        "BroadcastHashJoin",
+        "HashAggregate",
+        "=2:BroadcastNestedLoopJoin",
+    ],
+    # Lloyd k-means: the final plan reads checkpointed round state
+    # (ExistingRDD); assignment is a projection over the broadcast
+    # 1-row centroid array (BroadcastNestedLoopJoin — the sanctioned
+    # 1-row shape), and the only shuffle is the centroid-update /
+    # stats hash aggregate.
+    "sim_kmeans_lloyd": [
+        "ExistingRDD",
+        "BroadcastNestedLoopJoin",
+        "HashAggregate",
+    ],
+    # Runtime (dynamic) partition pruning: the fact scan must carry a
+    # dynamicpruning PartitionFilters entry fed by the broadcast dim —
+    # the builder also asserts this loudly at build time (the
+    # join_bloom_pruned convention); the snapshot pin catches silent
+    # plan drift in review.
+    "join_partition_pruned_runtime": [
+        "dynamicpruning",
+        "BroadcastHashJoin",
+        "HashAggregate",
+    ],
+    # Scene-cut detection: containers are born and decoded inside the
+    # narrow Arrow pipeline (two MapInPandas stages = 4 textual hits);
+    # only decoded integer features reach the one per-clip lag-window
+    # shuffle.
+    "mm_scene_cut_ppm": [
+        "=4:MapInPandas",
+        "Window",
+        "HashAggregate",
+        "=1:documents.parquet",
+    ],
 }
 
 

@@ -24,7 +24,7 @@ import os
 import shutil
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -543,6 +543,79 @@ def sink_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate_query(
+    "join_partition_pruned_runtime",
+    oracle=f"""
+    WITH tc AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS type_n
+      FROM events GROUP BY event_type
+    ),
+    top2 AS (
+      SELECT event_type, type_n FROM (
+        SELECT event_type, type_n,
+               row_number() OVER (ORDER BY type_n DESC, event_type) AS rk
+        FROM tc
+      ) WHERE rk <= 2
+    )
+    SELECT e.event_type, t.type_n,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {DSUM("e.value", "sum_value")},
+           MIN(e.event_id) AS min_id,
+           MAX(e.event_id) AS max_id
+    FROM events e JOIN top2 t ON e.event_type = t.event_type
+    GROUP BY e.event_type, t.type_n
+    """,
+    tags=("join", "sink", "source"),
+)
+def join_partition_pruned_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the runtime companion of
+    sink_partitioned_layout's static directory pruning and THE star-
+    schema optimization at 100 TB: the fact table is partitioned on
+    the join key, the dimension's predicate (top-2 event types by
+    popularity — an aggregate-derived attribute Catalyst cannot
+    statically push through the join) is evaluated at runtime, and the
+    fact SCAN lists only the directories whose keys survive —
+    ``dynamicpruningexpression`` inside PartitionFilters, reusing the
+    broadcast exchange as the filter (no extra fact pass). The builder
+    ASSERTS the pruning subquery actually planned (the loud
+    join_bloom_pruned convention — a gate failure, not just a snapshot
+    diff); the oracle computes the same top-2 join over the source
+    table, so the partitioned round-trip must also be lossless."""
+    out = os.path.join(_TMP, "dpp_events")
+    src = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    src.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    fact = spark.read.parquet(out)
+    counts = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("type_n"))
+    )
+    w = Window.orderBy(F.col("type_n").desc(), "event_type")
+    top2 = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .drop("rk")
+    )
+    joined = fact.join(F.broadcast(top2), "event_type").groupBy(
+        "event_type", "type_n"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", "sum_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    if "dynamicpruning" not in plan:
+        raise RuntimeError(
+            "dynamic partition pruning did NOT plan — the fact scan "
+            "would read every partition; check the dim filter shape "
+            "and spark.sql.optimizer.dynamicPartitionPruning.enabled"
+        )
+    return joined
+
+
+@gate_query(
     "sink_bucketed_join",
     oracle=f"""
     SELECT o_orderstatus, COUNT(*) AS n_items,
@@ -929,4 +1002,95 @@ def sink_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("it.l_extendedprice", "sum_price"),
         F.sum("it.l_linenumber").cast("long").alias("sum_lineno"),
         F.floor(F.max("it.l_quantity")).cast("long").alias("max_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# scan_python_datasource — the Spark 4 Python DataSource (connector SDK)
+# ---------------------------------------------------------------------------
+
+_PYDS_PARTS = 4
+_PYDS_ROWS = 500
+_PYDS_MOD = 1000003
+
+
+def _register_flightgen(spark: SparkSession) -> None:
+    """Define + register the custom Python data source. Defined inside
+    the call (executor-picklable closure over module constants) and
+    re-registered idempotently — registration overwrites by name."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _FlightGenReader(DataSourceReader):
+        def __init__(self, options):
+            self.parts = int(options.get("parts", _PYDS_PARTS))
+            self.rows = int(options.get("rows", _PYDS_ROWS))
+
+        def partitions(self):
+            return [InputPartition(p) for p in range(self.parts)]
+
+        def read(self, partition):
+            p = partition.value
+            for i in range(self.rows):
+                gid = p * self.rows + i
+                val = (gid * gid * 31 + 7) % _PYDS_MOD
+                yield (p, gid, val, f"c{gid % 5}")
+
+    class FlightGenDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "flightgen"
+
+        def schema(self):
+            return "part int, gid bigint, val bigint, cat string"
+
+        def reader(self, schema):
+            return _FlightGenReader(self.options)
+
+    spark.dataSource.register(FlightGenDataSource)
+
+
+@gate_query(
+    "scan_python_datasource",
+    oracle=f"""
+    WITH g AS (
+      SELECT r AS gid,
+             r // {_PYDS_ROWS} AS part,
+             (r * r * 31 + 7) % {_PYDS_MOD} AS val,
+             'c' || (r % 5) AS cat
+      FROM range(0, {_PYDS_PARTS * _PYDS_ROWS}) t(r)
+    )
+    SELECT cat,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(val) AS BIGINT) AS sum_val,
+           CAST(SUM(gid) AS BIGINT) AS sum_gid,
+           CAST(COUNT(DISTINCT part) AS BIGINT) AS n_parts
+    FROM g GROUP BY cat
+    """,
+    tags=("source", "udf"),
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON DATA SOURCE (the Spark-4 connector SDK — the
+    API a user would implement to scan a bespoke feed Spark has no
+    built-in reader for): a DataSource subclass declares the schema,
+    its reader PLANS partitions (one InputPartition per generator
+    shard — the unit of scan parallelism), and each partition's
+    read() streams tuples from a deterministic closed form. The gate
+    aggregates per category and keeps COUNT(DISTINCT part) as the
+    audit that rows really arrived from every planned partition (a
+    reader that silently collapsed to one partition still produces
+    the rows but is the wrong scan shape — at 100 TB partition
+    planning IS the connector's scalability). The oracle regenerates
+    the closed form with range(); sf_dir is deliberately unused —
+    the source is the connector itself.
+
+    Documented skip alongside: the built-in avro format is an
+    external jar not shippable into this offline env (same
+    scan_jdbc rationale, connectors.py:12)."""
+    _register_flightgen(spark)
+    df = spark.read.format("flightgen").load()
+    return df.groupBy("cat").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("val").cast("long").alias("sum_val"),
+        F.sum("gid").cast("long").alias("sum_gid"),
+        F.countDistinct("part").cast("long").alias("n_parts"),
     )
