@@ -141,7 +141,7 @@ _NEW_GATE_ALIASES = {
     # sink_nested_roundtrip, evt_ab_test) and session-7 gates
     # (agg_median_bisect, agg_heavy_hitters, text_lm_score,
     # sim_kmeans_lloyd, join_partition_pruned_runtime,
-    # mm_scene_cut_ppm) are
+    # mm_scene_cut_ppm, udtf_table_args, scan_python_datasource) are
     # NOT aliased: the 50-slot window is exactly full, and displacing
     # any current alias would cost its target the first-ever driver
     # row this rotation exists to deliver. They are covered this round

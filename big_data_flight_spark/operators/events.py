@@ -1050,3 +1050,70 @@ def evt_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("conv_b * 1000000L DIV n_b").alias("conv_b_micro"),
         (F.floor(z * 1e6 + F.lit(0.5)) / F.lit(1e6)).alias("z_d6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# evt_top_paths — 3-step behavioral path mining
+# ---------------------------------------------------------------------------
+
+@gate_query(
+    "evt_top_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS t1,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+      SELECT t1 || '>' || t2 || '>' || t3 AS path,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE t3 IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT path, n,
+           CAST(n * 1000000 // (SELECT SUM(n) FROM paths) AS BIGINT)
+             AS share_micro
+    FROM paths
+    ORDER BY n DESC, path LIMIT 10
+    """,
+    tags=("event",),
+)
+def evt_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step behavioral paths (the higher-order extension
+    of evt_transition_matrix — clickstream path mining / route-triple
+    analysis): two lead()s over ONE (user, ts, event_id) window
+    partitioning turn each event into the path it starts, counting
+    shuffles only the |types|³-bounded path table, and the share
+    column is an integer micro-unit fraction of all completed triples
+    (BIGINT floor division — zero float surface). Total-ordered
+    (n DESC, path) top-10.
+
+    Scale: one user_id shuffle for the windows, one path-keyed
+    aggregate with map-side partials, one distributed TakeOrdered —
+    no path-explosion: k-step paths cost k-1 lead columns, never a
+    self-join."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    paths = seq.select(
+        F.concat_ws(">", "t1", "t2", "t3").alias("path")
+    ).groupBy("path").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # Global-sum window over the AGGREGATED path table: bounded by
+    # |types|^3 rows by construction (win_share_of_total's documented
+    # single-partition class), so the share needs no second events
+    # scan and no 1-row cross join.
+    return (
+        paths.select(
+            "path",
+            "n",
+            F.expr("n * 1000000L DIV (SUM(n) OVER ())").alias("share_micro"),
+        )
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+    )

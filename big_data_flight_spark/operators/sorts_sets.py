@@ -339,3 +339,116 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= SAMPLE_PER_GROUP_K)
         .select("lang", "rk", "doc_id", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_weighted_systematic — RNG-free weighted sampling with replacement
+# ---------------------------------------------------------------------------
+
+_SWS_N = 50        # sample size (grid points over the cumulative axis)
+_SWS_SHARDS = 16   # prefix-sum shards (the distributed two-pass form)
+
+
+@gate_query(
+    "sample_weighted_systematic",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, n_chars AS w, doc_id % {_SWS_SHARDS} AS shard
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id, w, shard,
+             COALESCE(SUM(w) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lc
+      FROM d
+    ),
+    st AS (
+      SELECT shard, CAST(SUM(w) AS BIGINT) AS stw FROM d GROUP BY shard
+    ),
+    o AS (
+      SELECT shard,
+             COALESCE(SUM(stw) OVER (ORDER BY shard
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM st
+    ),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM d),
+    c AS (
+      SELECT l.doc_id, CAST(l.w AS BIGINT) AS w,
+             CAST(l.lc + o.off AS BIGINT) AS cum
+      FROM l JOIN o USING (shard)
+    ),
+    m AS (
+      SELECT doc_id, w AS weight, cum,
+             CAST(((cum + w) * {_SWS_N} + tw - 1) // tw
+                  - (cum * {_SWS_N} + tw - 1) // tw AS BIGINT) AS multiplicity
+      FROM c, tot
+    )
+    SELECT doc_id, weight, cum, multiplicity
+    FROM m WHERE multiplicity > 0
+    """,
+    tags=("sample", "sort"),
+)
+def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITH replacement, RNG-free — the corpus-mixing
+    primitive that allocates a fixed token/example budget across
+    documents proportionally to weight (here n_chars) with zero
+    randomness: lay every document's weight on a cumulative axis and
+    take every (total/{_SWS_N})-th point (systematic/low-discrepancy
+    sampling: each doc's multiplicity is floor-exact, multiplicities
+    always sum to EXACTLY {_SWS_N}, and a doc with weight ≥ one grid
+    stride is guaranteed selected — none of the variance of A-ES
+    exponential keys, and no float pow() parity surface).
+
+    The prefix sum is the DISTRIBUTED two-pass form, not a global
+    window: per-shard running sums (hash shards of doc_id), shard
+    totals aggregated, exclusive shard offsets broadcast back, global
+    position = offset + local prefix — the standard scan-at-scale
+    construction (the only global window runs over {_SWS_SHARDS}
+    shard-total rows). All-integer: multiplicity = ceil((cum+w)·N/W) −
+    ceil(cum·N/W) with (a+b−1) DIV b ceils — identical floors in both
+    engines; products stay ≪ 2^53."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("w"),
+        (F.col("doc_id") % _SWS_SHARDS).alias("shard"),
+    )
+    w_local = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = d.select(
+        "doc_id",
+        "w",
+        "shard",
+        F.coalesce(F.sum("w").over(w_local), F.lit(0)).cast("long").alias("lc"),
+    )
+    shard_tot = d.groupBy("shard").agg(F.sum("w").cast("long").alias("stw"))
+    w_off = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = shard_tot.select(
+        "shard",
+        F.coalesce(F.sum("stw").over(w_off), F.lit(0)).cast("long").alias("off"),
+    )
+    total = shard_tot.agg(F.sum("stw").cast("long").alias("tw"))
+    c = (
+        local.join(F.broadcast(offsets), "shard")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.col("w").alias("weight"),
+            (F.col("lc") + F.col("off")).cast("long").alias("cum"),
+            "tw",
+        )
+    )
+    m = c.select(
+        "doc_id",
+        "weight",
+        "cum",
+        (
+            F.expr(f"(( cum + weight ) * {_SWS_N}L + tw - 1) DIV tw")
+            - F.expr(f"(cum * {_SWS_N}L + tw - 1) DIV tw")
+        )
+        .cast("long")
+        .alias("multiplicity"),
+    )
+    return m.filter(F.col("multiplicity") > 0)

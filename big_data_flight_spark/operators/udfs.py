@@ -417,3 +417,114 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id long, purchase_id long, click_id long, delta_us long",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# udtf_table_args — Python UDTF over a TABLE argument (Spark 4 surface)
+# ---------------------------------------------------------------------------
+
+@gate_query(
+    "udtf_table_args",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS us,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS pus,
+             COUNT(*) OVER (PARTITION BY user_id) AS total
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_purchases,
+           MIN(CASE WHEN rn = 1 THEN event_id END) AS first_id,
+           MIN(CASE WHEN rn = total THEN event_id END) AS last_id,
+           CAST(COALESCE(MAX((us - pus) // 1000000), 0) AS BIGINT) AS max_gap_s
+    FROM o GROUP BY user_id
+    """,
+    tags=("udf",),
+)
+def udtf_table_args(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF consuming a TABLE ARGUMENT with PARTITION BY /
+    ORDER BY — the Spark-4 polymorphic-table-function surface (the
+    SQL-standard PTF shape: the ENGINE partitions and orders the
+    input, the UDTF sees one user's rows in event-time order and
+    emits one summary row from terminate()). This is the last
+    Python-integration surface next to scalar-Arrow / grouped-agg /
+    grouped-map / cogrouped-map / mapInPandas / plain @udtf: state
+    accumulates ACROSS eval() calls within a partition, something the
+    LATERAL-join UDTF shape cannot express. All-integer output (gap
+    in whole seconds via exact integer µs arithmetic — no float
+    timedelta), total-ordered by (ts, event_id) so first/last/gap are
+    deterministic under ties.
+
+    Scale: the TABLE argument plans as one hash exchange on user_id +
+    per-partition sort — identical cost to a window — with the Python
+    worker streaming each group (Arrow batches); state is O(1) per
+    group, never O(rows)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "user_id bigint, n_events bigint, n_purchases bigint, "
+            "first_id bigint, last_id bigint, max_gap_s bigint"
+        )
+    )
+    class UserEventSummary:
+        def __init__(self):
+            self.user = None
+            self.n = 0
+            self.n_purch = 0
+            self.first = None
+            self.last = None
+            self.prev_us = None
+            self.max_gap_us = 0
+
+        @staticmethod
+        def _us(dt) -> int:
+            # Exact integer microseconds since epoch: datetime ->
+            # timedelta fields are ints (no float total_seconds()).
+            import datetime as _dt
+
+            delta = dt - _dt.datetime(1970, 1, 1, tzinfo=dt.tzinfo)
+            return (
+                (delta.days * 86400 + delta.seconds) * 1_000_000
+                + delta.microseconds
+            )
+
+        def eval(self, row):
+            if self.user is None:
+                self.user = row["user_id"]
+                self.first = row["event_id"]
+            self.n += 1
+            self.last = row["event_id"]
+            if row["event_type"] == "purchase":
+                self.n_purch += 1
+            us = self._us(row["ts"])
+            if self.prev_us is not None and us - self.prev_us > self.max_gap_us:
+                self.max_gap_us = us - self.prev_us
+            self.prev_us = us
+
+        def terminate(self):
+            yield (
+                self.user,
+                self.n,
+                self.n_purch,
+                self.first,
+                self.last,
+                self.max_gap_us // 1_000_000,
+            )
+
+    spark.udtf.register("user_event_summary", UserEventSummary)
+    table(spark, sf_dir, "events").createOrReplaceTempView("udtf_events_src")
+    return spark.sql(
+        """
+        SELECT * FROM user_event_summary(
+          TABLE(SELECT user_id, event_id, ts, event_type
+                FROM udtf_events_src)
+          PARTITION BY user_id ORDER BY (ts, event_id))
+        """
+    )

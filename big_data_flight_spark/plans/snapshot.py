@@ -327,6 +327,35 @@ SNAPSHOT = {
         "HashAggregate",
         "=1:documents.parquet",
     ],
+    # Python UDTF over a TABLE argument: the engine must plan the
+    # PARTITION BY as one hash exchange + per-partition Sort feeding
+    # the Python evaluator (BatchEvalPythonUDTF is the plan node for
+    # the UDTF protocol — state across eval() calls, not a scalar
+    # Python UDF in a hot loop).
+    "udtf_table_args": ["BatchEvalPythonUDTF", "Sort", "Exchange"],
+    # Custom Python data source: the scan must arrive as the named
+    # BatchScan of the registered connector feeding one hash aggregate
+    # (the n_parts audit column proves the partition plan executed).
+    "scan_python_datasource": ["BatchScan flightgen", "HashAggregate"],
+    # Systematic weighted sampling: the two-pass distributed prefix
+    # sum — per-shard windows, shard offsets and the 1-row total ride
+    # broadcasts; a SortMergeJoin here means the 16-row offset table
+    # lost its broadcast.
+    "sample_weighted_systematic": [
+        "Window",
+        "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin",
+        "!SortMergeJoin",
+    ],
+    # Path mining: ONE events scan (two leads share one window
+    # partitioning; the share window runs over the aggregated path
+    # table, never a second scan), top-10 as a distributed TakeOrdered.
+    "evt_top_paths": [
+        "Window",
+        "HashAggregate",
+        "TakeOrderedAndProject",
+        "=1:events.parquet",
+    ],
 }
 
 

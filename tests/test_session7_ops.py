@@ -324,3 +324,70 @@ class TestDynamicPartitionPruning:
         assert got["view"].n == 50 and got["view"].type_n == 50
         assert got["click"].n == 30 and got["click"].type_n == 30
         assert got["view"].min_id == 0 and got["view"].max_id == 49
+
+
+class TestUdtfTableArgs:
+    def test_per_partition_summary(self, spark, tmp_path):
+        from big_data_flight_spark.operators.udfs import udtf_table_args
+
+        rows = []
+        # user 1: ordered gaps 60 s and 3600 s; a same-ts tie at the
+        # start (event 0 and 1) so first_id checks the id tie-break.
+        t0 = pd.Timestamp("2024-01-01 00:00:00")
+        spec = [
+            (0, t0, 1, "view"),
+            (1, t0, 1, "purchase"),
+            (2, t0 + pd.Timedelta(seconds=60), 1, "view"),
+            (3, t0 + pd.Timedelta(seconds=3660), 1, "purchase"),
+            (4, t0, 2, "view"),  # singleton user: gap 0
+        ]
+        for eid, ts, uid, etype in spec:
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": ts,
+                    "user_id": uid,
+                    "event_type": etype,
+                    "value": 1.0,
+                    "props": "{}",
+                }
+            )
+        frame = pd.DataFrame(rows)
+        frame["ts"] = frame["ts"].astype("datetime64[us]")
+        sf = _write(tmp_path, "events", frame)
+        got = {r.user_id: r for r in udtf_table_args(spark, sf).collect()}
+        u1 = got[1]
+        assert (u1.n_events, u1.n_purchases) == (4, 2)
+        assert (u1.first_id, u1.last_id) == (0, 3)
+        assert u1.max_gap_s == 3600
+        u2 = got[2]
+        assert (u2.n_events, u2.n_purchases, u2.max_gap_s) == (1, 0, 0)
+        assert (u2.first_id, u2.last_id) == (4, 4)
+
+
+class TestPythonDataSource:
+    def test_partition_plan_and_closed_form(self, spark, tmp_path):
+        from big_data_flight_spark.sources.connectors import (
+            _PYDS_MOD,
+            _PYDS_PARTS,
+            _PYDS_ROWS,
+            scan_python_datasource,
+        )
+
+        got = {r.cat: r for r in scan_python_datasource(spark, str(tmp_path)).collect()}
+        n_total = _PYDS_PARTS * _PYDS_ROWS
+        # Independent reference fold.
+        ref = {}
+        for gid in range(n_total):
+            cat = f"c{gid % 5}"
+            e = ref.setdefault(cat, {"n": 0, "sv": 0, "sg": 0, "parts": set()})
+            e["n"] += 1
+            e["sv"] += (gid * gid * 31 + 7) % _PYDS_MOD
+            e["sg"] += gid
+            e["parts"].add(gid // _PYDS_ROWS)
+        assert set(got) == set(ref)
+        for cat, e in ref.items():
+            assert got[cat].n == e["n"]
+            assert got[cat].sum_val == e["sv"]
+            assert got[cat].sum_gid == e["sg"]
+            assert got[cat].n_parts == len(e["parts"]) == _PYDS_PARTS
