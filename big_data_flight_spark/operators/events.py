@@ -998,7 +998,11 @@ def evt_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     product-analytics stack runs: users deterministically assigned to
     arms (user_id % 2 — the hash-bucket assignment real experiment
     platforms use, RNG-free so the gate is replayable), conversion =
-    any purchase, pooled-variance z statistic. Parity: counts are
+    at least 10 purchases (>= 10 in BOTH the builder below and the
+    oracle's `n_purchase >= 10`; at fixture scale every user makes a
+    purchase, so an any-purchase definition would degenerate to 100%
+    pooled conversion and a NULL z), pooled-variance z statistic.
+    Parity: counts are
     exact integers; conversion rates display as integer micro-units
     (BIGINT // BIGINT); the z statistic is ONE identical IEEE
     expression tree over doubles derived exactly from those integers
@@ -1069,7 +1073,8 @@ def evt_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths AS (
       SELECT t1 || '>' || t2 || '>' || t3 AS path,
              CAST(COUNT(*) AS BIGINT) AS n
-      FROM seq WHERE t3 IS NOT NULL
+      FROM seq
+      WHERE t1 IS NOT NULL AND t2 IS NOT NULL AND t3 IS NOT NULL
       GROUP BY 1
     )
     SELECT path, n,
@@ -1100,7 +1105,16 @@ def evt_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("t1"),
         F.lead("event_type", 1).over(w).alias("t2"),
         F.lead("event_type", 2).over(w).alias("t3"),
-    ).filter(F.col("t3").isNotNull())
+    ).filter(
+        # All three legs non-null in BOTH engines: concat_ws silently
+        # skips NULL elements while the oracle's '||' propagates NULL,
+        # so an unguarded NULL event_type would diverge ('b>c' vs NULL
+        # path group). lead() NULLs at partition tails are covered by
+        # t3 alone, but a NULL VALUE in event_type is not.
+        F.col("t1").isNotNull()
+        & F.col("t2").isNotNull()
+        & F.col("t3").isNotNull()
+    )
     paths = seq.select(
         F.concat_ws(">", "t1", "t2", "t3").alias("path")
     ).groupBy("path").agg(F.count(F.lit(1)).cast("long").alias("n"))

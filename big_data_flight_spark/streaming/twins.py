@@ -615,16 +615,24 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness across arbitrary micro-batch splits: a batch may
     deliver events in any order, so per-key state carries the seen
-    (ts_us, event_id, x) history and each batch re-folds the sorted
-    history — the result is independent of how the source files were
-    batched. Each batch emits the fold-so-far (update mode); the
+    (ts_us, event_id, x) history KEPT SORTED by (ts, event_id), plus
+    the running fold s over that sorted history. The common case —
+    every new event sorts after the current tail — folds the new
+    events incrementally onto the stored scalar (O(batch) work, no
+    replay); only a genuinely out-of-order arrival triggers the full
+    re-fold of the merged history (exactness demands it: the integer
+    halving fold is not incrementally patchable at an interior
+    insertion point — a ±1 floor difference can persist through any
+    number of subsequent halvings, so truncated/suffix replays are
+    NOT safe). Each batch emits the fold-so-far (update mode); the
     final answer per key is the row with the largest n_events
     (monotone per batch), reduced by a max-of-ordering-struct after
-    the drain. In production, with a watermark enforcing event-time-
-    ordered delivery past the horizon, the state collapses to the
-    O(1) scalar s — documented here, exact replay is what the gate
-    proves. Python's (s + x) // 2 floors identically to both
-    engines' floor((s + x) / 2.0) on these |x| < 2^32 integers."""
+    the drain. The history itself must be retained only to serve
+    future out-of-order arrivals — in production a watermark bounds
+    how late those can be and the state collapses to the O(1) scalar
+    past the horizon; exact unbounded replay is what the gate proves.
+    Python's (s + x) // 2 floors identically to both engines'
+    floor((s + x) / 2.0) on these |x| < 2^32 integers."""
     import math
 
     import pandas as pd
@@ -633,24 +641,47 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def update(key, pdfs, state: GroupState):
         if state.exists:
-            ts_l, id_l, x_l = (list(c) for c in state.get)
+            got = state.get
+            ts_l, id_l, x_l = list(got[0]), list(got[1]), list(got[2])
+            s = got[3]  # fold over the stored sorted history (None iff empty)
         else:
-            ts_l, id_l, x_l = [], [], []
+            ts_l, id_l, x_l, s = [], [], [], None
+        new = []
         for pdf in pdfs:
             for ts, eid, v in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
-                ts_l.append(int(ts.value // 1000))  # pandas ns -> µs
-                id_l.append(int(eid))
-                x_l.append(int(math.floor(v * 1_000_000 + 0.5)))
-        state.update((ts_l, id_l, x_l))
-        order = sorted(range(len(ts_l)), key=lambda i: (ts_l[i], id_l[i]))
-        s = None
-        for i in order:
-            s = x_l[i] if s is None else (s + x_l[i]) // 2
+                new.append(
+                    (
+                        int(ts.value // 1000),  # pandas ns -> µs
+                        int(eid),
+                        int(math.floor(v * 1_000_000 + 0.5)),
+                    )
+                )
+        new.sort()
+        tail = (ts_l[-1], id_l[-1]) if ts_l else None
+        if tail is None or (new and new[0][:2] > tail):
+            # In-order fast path: append + incremental fold.
+            for t, i, x in new:
+                ts_l.append(t)
+                id_l.append(i)
+                x_l.append(x)
+                s = x if s is None else (s + x) // 2
+        elif new:
+            # Out-of-order arrival: merge and re-fold the whole history
+            # (rare; see docstring for why a partial replay is unsafe).
+            merged = sorted(zip(ts_l, id_l, x_l)) if ts_l else []
+            merged = sorted(merged + new)
+            ts_l = [r[0] for r in merged]
+            id_l = [r[1] for r in merged]
+            x_l = [r[2] for r in merged]
+            s = None
+            for x in x_l:
+                s = x if s is None else (s + x) // 2
+        state.update((ts_l, id_l, x_l, s))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
-                "n_events": [len(order)],
-                "last_value_micro": [x_l[order[-1]]],
+                "n_events": [len(ts_l)],
+                "last_value_micro": [x_l[-1]],
                 "ewma_micro": [s],
             }
         )
@@ -666,7 +697,8 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "last_value_micro long, ewma_micro long"
             ),
             stateStructType=(
-                "ts_us array<long>, event_id array<long>, x array<long>"
+                "ts_us array<long>, event_id array<long>, x array<long>, "
+                "s long"
             ),
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
