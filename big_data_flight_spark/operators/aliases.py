@@ -116,15 +116,19 @@ _ALIASES = {
     "a0_join_null_keys": "join_null_keys",
     "a0_mm_decode_image": "mm_decode_image",
     "a0_scan_orc": "scan_orc",
-    "a0_sort_zorder": "sort_zorder",
-    "a0_win_share_of_total": "win_share_of_total",
 }
 
 # Round-6 brand-new gates: aliased if (and only if) already registered,
 # so the rotation can land before the new gates do. Adding a name here
 # REQUIRES removing one from the tail of _ALIASES' picks section to
 # keep the window at exactly 50 (guarded by tests/test_entry.py).
-_NEW_GATE_ALIASES: dict[str, str] = {}
+_NEW_GATE_ALIASES: dict[str, str] = {
+    # Round-6 newcomers (displaced per the order above: win_share_of_total
+    # and sort_zorder rejoin the r7 queue): the composed IVF-PQ ANN stack
+    # and the SemDeDup cluster-blocked semantic dedup.
+    "a0_sim_ivf_pq": "sim_ivf_pq",
+    "a0_sim_semdedup_clustered": "sim_semdedup_clustered",
+}
 
 
 def _register_aliases() -> None:

@@ -1178,9 +1178,13 @@ _KM_ROUNDS = 3   # Lloyd iterations; oracle unrolls from the same constant
 _KM_DIMS = 64    # fixture embedding width
 
 
-def _kmeans_oracle(k: int = _KM_K, rounds: int = _KM_ROUNDS, dims: int = _KM_DIMS) -> str:
-    """Unrolled-CTE Lloyd oracle generated from the SAME Python
-    constants as the Spark loop (the pagerank construction): round t
+def _lloyd_ctes(k: int, rounds: int, dims: int = _KM_DIMS) -> list[str]:
+    """The unrolled Lloyd CTE chain shared by every oracle that needs
+    bit-exact k-means centroids (sim_kmeans_lloyd, sim_ivf_pq,
+    sim_semdedup_clustered) — generated from the same Python constants
+    as the Spark loops so oracle and builder cannot drift. Produces
+    CTEs ``q`` (micro-quantized vectors), ``c0``..``c{rounds}``
+    (centroid tables) and ``a1``..``a{rounds}`` (assignments); round t
     assigns every vector to its nearest c{t-1} centroid under the
     exact BIGINT squared distance with a (dist, cluster) total order,
     then recomputes centroids as floor(sum/count) — one identical
@@ -1224,6 +1228,13 @@ def _kmeans_oracle(k: int = _KM_K, rounds: int = _KM_ROUNDS, dims: int = _KM_DIM
       LEFT JOIN u{t} u ON u.cluster = p.cluster AND u.dim = p.dim
       GROUP BY p.cluster
     )""")
+    return ctes
+
+
+def _kmeans_oracle(k: int = _KM_K, rounds: int = _KM_ROUNDS, dims: int = _KM_DIMS) -> str:
+    """See _lloyd_ctes: the sim_kmeans_lloyd oracle is the shared
+    Lloyd chain plus the membership-stats readout."""
+    ctes = _lloyd_ctes(k, rounds, dims)
     return f"""
     WITH {','.join(ctes)},
     stats AS (
@@ -1251,6 +1262,65 @@ array_min(transform(cents, ct -> struct(
             CAST(0 AS BIGINT), (s, v) -> s + v) AS dist,
   ct.cluster AS cluster))).cluster AS cluster
 """
+
+
+def _lloyd(
+    spark: SparkSession, sf_dir: str, k: int, rounds: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The Spark half of the shared Lloyd machinery (oracle twin:
+    _lloyd_ctes). Returns (q, cent, assign): the micro-quantized
+    loop-invariant input (checkpointed once), the final centroid
+    table c{rounds} (k rows, checkpointed per round per the
+    iterative-lineage rule), and the final-round assignment a{rounds}
+    (computed against c{rounds-1}, exactly like the oracle's a{t}
+    chain). Assignment is the zero-shuffle broadcast-argmin
+    projection _KM_ASSIGN; the only shuffle per round is the
+    posexplode centroid update, partial-aggregated map-side."""
+    e = table(spark, sf_dir, "embeddings")
+    q = (
+        e.select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long"),
+            ).alias("q"),
+        )
+        .repartition(8)
+        .localCheckpoint()  # loop-invariant input, materialized once
+    )
+    cent = q.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cluster"), F.col("q").alias("c")
+    ).localCheckpoint()
+    assign = None
+    for _ in range(rounds):
+        cents_row = cent.agg(F.collect_list(F.struct("cluster", "c")).alias("cents"))
+        assign = q.crossJoin(F.broadcast(cents_row)).selectExpr(
+            "vec_id", "q", _KM_ASSIGN
+        )
+        longf = assign.select("cluster", F.posexplode("q").alias("dim", "v"))
+        sums = longf.groupBy("cluster", "dim").agg(
+            F.sum("v").cast("long").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        newc = sums.select(
+            "cluster",
+            "dim",
+            F.floor(F.col("s").cast("double") / F.col("n")).cast("long").alias("cv"),
+        )
+        prev_long = cent.select("cluster", F.posexplode("c").alias("dim", "pv"))
+        upd = prev_long.join(newc, ["cluster", "dim"], "left").select(
+            "cluster", "dim", F.coalesce("cv", "pv").alias("cv")
+        )
+        cent = (
+            upd.groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("c")
+            )
+            .localCheckpoint()  # K rows; truncates the per-round lineage
+        )
+    return q, cent, assign
 
 
 @gate_query(
@@ -1281,50 +1351,7 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid table after (the iterative-lineage rule). Output stays
     flat: centroids string-rendered in micro-units + L1 checksum
     (driver canon: never emit an array column)."""
-    e = table(spark, sf_dir, "embeddings")
-    q = (
-        e.select(
-            "vec_id",
-            F.transform(
-                "embedding",
-                lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long"),
-            ).alias("q"),
-        )
-        .repartition(8)
-        .localCheckpoint()  # loop-invariant input, materialized once
-    )
-    cent = q.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cluster"), F.col("q").alias("c")
-    ).localCheckpoint()
-    assign = None
-    for _ in range(_KM_ROUNDS):
-        cents_row = cent.agg(F.collect_list(F.struct("cluster", "c")).alias("cents"))
-        assign = q.crossJoin(F.broadcast(cents_row)).selectExpr(
-            "vec_id", "q", _KM_ASSIGN
-        )
-        longf = assign.select("cluster", F.posexplode("q").alias("dim", "v"))
-        sums = longf.groupBy("cluster", "dim").agg(
-            F.sum("v").cast("long").alias("s"), F.count(F.lit(1)).alias("n")
-        )
-        newc = sums.select(
-            "cluster",
-            "dim",
-            F.floor(F.col("s").cast("double") / F.col("n")).cast("long").alias("cv"),
-        )
-        prev_long = cent.select("cluster", F.posexplode("c").alias("dim", "pv"))
-        upd = prev_long.join(newc, ["cluster", "dim"], "left").select(
-            "cluster", "dim", F.coalesce("cv", "pv").alias("cv")
-        )
-        cent = (
-            upd.groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "cv"))),
-                    lambda s: s["cv"],
-                ).alias("c")
-            )
-            .localCheckpoint()  # K rows; truncates the per-round lineage
-        )
+    q, cent, assign = _lloyd(spark, sf_dir, _KM_K, _KM_ROUNDS)
     stats = assign.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.sum("vec_id").cast("long").alias("id_sum"),
@@ -1341,5 +1368,381 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0).cast("long"),
                 lambda acc, v: acc + v,
             ).alias("centroid_l1"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_ivf_pq — the composed IVF-PQ ANN stack, all-integer and bit-exact
+# ---------------------------------------------------------------------------
+
+_IVFPQ_CELLS = 8    # coarse cells (k-means codebook, shared Lloyd machinery)
+_IVFPQ_ROUNDS = 2   # Lloyd rounds for the coarse quantizer
+_IVFPQ_NPROBE = 3   # cells probed per query
+_IVFPQ_NQ = 10      # probe queries (vec_id < NQ, the IVF convention)
+
+
+def _ivfpq_oracle() -> str:
+    """IVF-PQ oracle: the shared Lloyd chain trains the coarse
+    codebook, then everything downstream — cell assignment, PQ
+    encoding, probe ranking, ADC scoring — is re-derived in SQL from
+    the same Python constants. All arithmetic is BIGINT on micro-unit
+    integers (d2 <= 64*(2.4e6)^2 ~ 3.7e14 < 2^53 and far below int64),
+    so the oracle is STRONG end to end: unlike the standalone LSH/IVF
+    gates there is no audit fallback anywhere in this stack."""
+    k, rounds, nprobe, nq = _IVFPQ_CELLS, _IVFPQ_ROUNDS, _IVFPQ_NPROBE, _IVFPQ_NQ
+    sub, m_, pk = PQ_SUB, PQ_M, PQ_K
+    ctes = _lloyd_ctes(k, rounds)
+    sq = f"[(v.q[i] - c.c[i]) * (v.q[i] - c.c[i]) for i in range(1, {_KM_DIMS + 1})]"
+    return f"""
+    WITH {','.join(ctes)},
+    cells AS MATERIALIZED (
+      SELECT vec_id, q, cluster FROM (
+        SELECT v.vec_id, v.q, c.cluster,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY CAST(list_sum({sq}) AS BIGINT), c.cluster) AS rn
+        FROM q v CROSS JOIN c{rounds} c
+      ) WHERE rn = 1
+    ),
+    cb AS (
+      SELECT m, vec_id AS code,
+             [q[m * {sub} + j] for j in range(1, {sub + 1})] AS c_sub
+      FROM q CROSS JOIN range(0, {m_}) t(m)
+      WHERE vec_id < {pk}
+    ),
+    vs AS (
+      SELECT vec_id, m,
+             [q[m * {sub} + j] for j in range(1, {sub + 1})] AS v_sub
+      FROM q CROSS JOIN range(0, {m_}) t(m)
+    ),
+    enc AS (
+      SELECT vec_id, m, code, c_sub FROM (
+        SELECT vs.vec_id, vs.m, cb.code, cb.c_sub,
+               row_number() OVER (
+                 PARTITION BY vs.vec_id, vs.m
+                 ORDER BY CAST(list_sum(
+                   [(v_sub[j] - c_sub[j]) * (v_sub[j] - c_sub[j])
+                    for j in range(1, {sub + 1})]) AS BIGINT), cb.code) AS rn
+        FROM vs JOIN cb USING (m)
+      ) WHERE rn = 1
+    ),
+    rec AS MATERIALIZED (
+      SELECT vec_id,
+             flatten(list(c_sub ORDER BY m)) AS recon,
+             string_agg(CAST(code AS VARCHAR), '-' ORDER BY m) AS codes
+      FROM enc GROUP BY vec_id
+    ),
+    probe AS (
+      SELECT query_id, cluster FROM (
+        SELECT v.vec_id AS query_id, c.cluster,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY CAST(list_sum({sq}) AS BIGINT), c.cluster) AS rn
+        FROM q v CROSS JOIN c{rounds} c
+        WHERE v.vec_id < {nq}
+      ) WHERE rn <= {nprobe}
+    ),
+    cand AS (
+      SELECT p.query_id, ce.vec_id AS neighbor_id, ce.cluster AS cell,
+             r.codes,
+             CAST(list_sum([(qq.q[i] - r.recon[i]) * (qq.q[i] - r.recon[i])
+                            for i in range(1, {_KM_DIMS + 1})]) AS BIGINT) AS adc
+      FROM probe p
+      JOIN cells ce ON ce.cluster = p.cluster
+      JOIN rec r ON r.vec_id = ce.vec_id
+      JOIN q qq ON qq.vec_id = p.query_id
+      WHERE ce.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cell, codes, adc, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+      FROM cand
+    ) WHERE rn <= 5
+    """
+
+
+@gate_query(
+    "sim_ivf_pq",
+    oracle=_ivfpq_oracle(),
+    tags=("similarity", "iterative"),
+)
+def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF-PQ retrieval stack (Jégou et al.'s IVFADC —
+    the layout FAISS/Milvus/ScaNN-class systems run at billion scale):
+    a k-means coarse quantizer partitions the corpus into inverted
+    cells; every vector is PQ-compressed (PQ_M=8 subspaces x PQ_K=16
+    codes = 4-bit codes, 64x smaller than the raw vector); a query
+    ranks the coarse centroids, probes only its NPROBE=3 of 8 cells,
+    and scores candidates by asymmetric distance against the PQ
+    reconstruction. The standalone sim_ann_ivf and sim_pq_adc gates
+    prove each half; this gate proves the COMPOSITION — cell pruning
+    feeding ADC scoring — which is the plan a 100 TB deployment
+    actually runs.
+
+    Parity: unlike the float standalone gates, the whole stack runs in
+    integer micro-units (the sim_kmeans_lloyd construction): the
+    coarse codebook is the shared bit-exact Lloyd loop (_lloyd /
+    _lloyd_ctes, same Python constants both engines), cell assignment
+    and probe ranking total-order on (BIGINT d2, cluster), PQ encoding
+    argmins (BIGINT d2, code), and ADC is an exact BIGINT fold — so
+    the oracle is STRONG end to end, with no recall-audit fallback
+    anywhere. Every output column is BIGINT or string.
+
+    Scale: the coarse codebook (CELLS rows) and PQ codebook (M*K rows)
+    broadcast; cell assignment and PQ encoding are each ONE streamed
+    pass over the corpus (argmin = partial-aggregatable min-of-struct,
+    no corpus window); the probe->candidate join is an equi-join on
+    cell id that prunes the corpus NPROBE/CELLS before any distance
+    math; ADC reads the 4-byte codes, not the 256-byte vectors — the
+    64x scan-bandwidth cut is the point. At cluster scale the per-
+    query M*K lookup table replaces the reconstruction fold verbatim
+    (same algebra; sim_pq_adc documents the measured equivalence)."""
+    q, cent, _ = _lloyd(spark, sf_dir, _IVFPQ_CELLS, _IVFPQ_ROUNDS)
+    cents_row = cent.agg(F.collect_list(F.struct("cluster", "c")).alias("cents"))
+    cells = q.crossJoin(F.broadcast(cents_row)).selectExpr(
+        "vec_id", "q", _KM_ASSIGN
+    )
+    sub = F.expr(f"slice(q, m * {PQ_SUB} + 1, {PQ_SUB})")
+    cb = (
+        q.filter(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").alias("code"), "q")
+        .select(
+            "code",
+            "q",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+        )
+        .select("m", "code", sub.alias("c_sub"))
+    )
+    vs = (
+        cells.select(
+            "vec_id",
+            "cluster",
+            "q",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+        )
+        .select("vec_id", "cluster", "m", sub.alias("v_sub"))
+    )
+    d2_sub = F.aggregate(
+        F.zip_with(F.col("v_sub"), F.col("c_sub"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    rec = (
+        vs.join(F.broadcast(cb), "m")
+        .select("vec_id", "cluster", "m", "code", "c_sub", d2_sub.alias("d2"))
+        .groupBy("vec_id", "cluster", "m")
+        .agg(F.min(F.struct("d2", "code", "c_sub")).alias("best"))
+        .groupBy("vec_id", "cluster")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "m",
+                        F.col("best.code").alias("code"),
+                        F.col("best.c_sub").alias("c_sub"),
+                    )
+                )
+            ).alias("pc")
+        )
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "cluster",
+            F.flatten(F.transform("pc", lambda s: s["c_sub"])).alias("recon"),
+            F.array_join(
+                F.transform("pc", lambda s: s["code"].cast("string")), "-"
+            ).alias("codes"),
+        )
+    )
+    qs = q.filter(F.col("vec_id") < _IVFPQ_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    cdist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("ct.c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w_cell = Window.partitionBy("query_id").orderBy("cdist", "cluster")
+    probe = (
+        qs.crossJoin(F.broadcast(cents_row))
+        .select("query_id", "qv", F.explode("cents").alias("ct"))
+        .select(
+            "query_id", "qv", F.col("ct.cluster").alias("cluster"), cdist.alias("cdist")
+        )
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") <= _IVFPQ_NPROBE)
+        .select("query_id", "qv", "cluster")
+    )
+    adc = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("recon"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        probe.join(rec, "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("cluster").alias("cell"),
+            "codes",
+            adc.alias("adc"),
+        )
+    )
+    w_nn = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w_nn).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cell", "codes", "adc", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_semdedup_clustered — SemDeDup: cluster-blocked semantic dedup
+# ---------------------------------------------------------------------------
+
+_SD_THRESH = 1_300_000_000_000  # micro-unit L2^2 dup threshold: sits just
+# above the ~0.1th percentile of the fixture's pairwise distances at BOTH
+# sf0.01 (p0.1% = 1.246e12, min 9.74e11) and sf0.1 (p0.1% = 1.249e12, min
+# 7.98e11) — measured — so the dup path is non-empty at both scales while
+# >99.8% of pairs stay distinct.
+
+
+def _semdedup_oracle() -> str:
+    k, rounds = _IVFPQ_CELLS, _IVFPQ_ROUNDS
+    ctes = _lloyd_ctes(k, rounds)
+    sq = f"[(v.q[i] - c.c[i]) * (v.q[i] - c.c[i]) for i in range(1, {_KM_DIMS + 1})]"
+    pd2 = (
+        f"[(a.q[i] - b.q[i]) * (a.q[i] - b.q[i]) "
+        f"for i in range(1, {_KM_DIMS + 1})]"
+    )
+    return f"""
+    WITH {','.join(ctes)},
+    cells AS MATERIALIZED (
+      SELECT vec_id, q, cluster FROM (
+        SELECT v.vec_id, v.q, c.cluster,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY CAST(list_sum({sq}) AS BIGINT), c.cluster) AS rn
+        FROM q v CROSS JOIN c{rounds} c
+      ) WHERE rn = 1
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.cluster, a.vec_id AS ia, b.vec_id AS ib,
+             CAST(list_sum({pd2}) AS BIGINT) AS d2
+      FROM cells a JOIN cells b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    ),
+    dups AS (
+      SELECT DISTINCT cluster, ib AS vec_id FROM pairs
+      WHERE d2 <= {_SD_THRESH}
+    ),
+    base AS (
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(vec_id) AS BIGINT) AS id_sum
+      FROM cells GROUP BY cluster
+    ),
+    dd AS (
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_dups,
+             CAST(SUM(vec_id) AS BIGINT) AS dup_sum
+      FROM dups GROUP BY cluster
+    ),
+    mp AS (
+      SELECT cluster, MIN(d2) AS min_pair_d2 FROM pairs GROUP BY cluster
+    )
+    SELECT b.cluster, b.n_docs,
+           COALESCE(dd.n_dups, 0) AS n_dups,
+           b.n_docs - COALESCE(dd.n_dups, 0) AS n_kept,
+           b.id_sum - COALESCE(dd.dup_sum, 0) AS kept_id_sum,
+           mp.min_pair_d2
+    FROM base b
+    LEFT JOIN dd USING (cluster)
+    LEFT JOIN mp USING (cluster)
+    """
+
+
+@gate_query(
+    "sim_semdedup_clustered",
+    oracle=_semdedup_oracle(),
+    tags=("similarity", "dedup", "iterative"),
+)
+def sim_semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    public): k-means clusters the embedding corpus, then near-
+    duplicate pairs are searched ONLY within each cluster — the
+    cluster blocking is what bounds the pair space (the brute-force
+    twin sim_* near-dup gates compare all pairs; at web scale only
+    the blocked form survives, pairs = sum over clusters |c|^2, not
+    n^2). A vector is a duplicate if a LOWER-id vector sits within
+    the L2^2 threshold in the same cluster (keep-first, the same
+    deterministic keep rule as text_exact_dedup); the per-cluster
+    readout exposes kept counts, a kept-id checksum, and the cluster's
+    minimum pair distance as an audit column (NULL for singleton
+    clusters on both engines).
+
+    Parity: clusters come from the shared bit-exact integer Lloyd
+    machinery (_lloyd / _lloyd_ctes — same Python constants as
+    sim_ivf_pq's coarse quantizer); pair distances are exact BIGINT
+    micro-unit folds; the threshold 1.3e12 is measured to make the
+    dup path non-empty at both fixture scales (see _SD_THRESH note).
+    The paper ranks by cosine-to-centroid; the keep rule here is the
+    id order so the gate stays RNG-free and totally ordered.
+
+    Scale: assignment is the zero-shuffle broadcast argmin; the pair
+    join is an equi-join on cluster id (never a cross join); at
+    100 TB the within-cluster pair space is bounded by re-running
+    Lloyd with k ~ n/1000 cells so |c| stays flat — the paper's
+    regime — and a hot-cluster cap (the stop-shingle construction in
+    text_near_dedup_jaccard_capped) guards the skew tail."""
+    q, cent, _ = _lloyd(spark, sf_dir, _IVFPQ_CELLS, _IVFPQ_ROUNDS)
+    cents_row = cent.agg(F.collect_list(F.struct("cluster", "c")).alias("cents"))
+    cells = q.crossJoin(F.broadcast(cents_row)).selectExpr(
+        "vec_id", "q", _KM_ASSIGN
+    )
+    a = cells.select(
+        F.col("cluster"), F.col("vec_id").alias("ia"), F.col("q").alias("qa")
+    )
+    b = cells.select(
+        F.col("cluster"), F.col("vec_id").alias("ib"), F.col("q").alias("qb")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("ia") < F.col("ib"))
+        .select("cluster", "ia", "ib", d2.alias("d2"))
+    )
+    dups = (
+        pairs.filter(F.col("d2") <= _SD_THRESH)
+        .select("cluster", F.col("ib").alias("vec_id"))
+        .distinct()
+    )
+    base = cells.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("vec_id").cast("long").alias("id_sum"),
+    )
+    dd = dups.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dups"),
+        F.sum("vec_id").cast("long").alias("dup_sum"),
+    )
+    mp = pairs.groupBy("cluster").agg(F.min("d2").alias("min_pair_d2"))
+    return (
+        base.join(dd, "cluster", "left")
+        .join(mp, "cluster", "left")
+        .select(
+            "cluster",
+            "n_docs",
+            F.coalesce("n_dups", F.lit(0).cast("long")).alias("n_dups"),
+            (F.col("n_docs") - F.coalesce("n_dups", F.lit(0).cast("long"))).alias(
+                "n_kept"
+            ),
+            (F.col("id_sum") - F.coalesce("dup_sum", F.lit(0).cast("long"))).alias(
+                "kept_id_sum"
+            ),
+            "min_pair_d2",
         )
     )

@@ -356,6 +356,31 @@ SNAPSHOT = {
         "TakeOrderedAndProject",
         "=1:events.parquet",
     ],
+    # r6. IVF-PQ composed stack: checkpointed Lloyd state (ExistingRDD),
+    # cell assignment + probe over the broadcast 1-row centroid array
+    # (BroadcastNestedLoopJoin — the sanctioned shape), the PQ codebook
+    # joined BROADCAST, encoding reduced via partial-aggregatable
+    # min-of-struct hash aggregates, and the per-query top-5 pushed
+    # into the window. No cartesian anywhere: the candidate join is an
+    # equi-join on the cell id — that pruning IS the algorithm.
+    "sim_ivf_pq": [
+        "ExistingRDD",
+        "BroadcastNestedLoopJoin",
+        "BroadcastHashJoin",
+        "HashAggregate",
+        "WindowGroupLimit",
+        "!CartesianProduct",
+    ],
+    # r6. SemDeDup: the near-dup pair join must stay the equi-join on
+    # the k-means cell id (cluster blocking bounds the pair space —
+    # a nested loop here means the blocking regressed to all-pairs).
+    "sim_semdedup_clustered": [
+        "ExistingRDD",
+        "BroadcastNestedLoopJoin",
+        "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin",
+        "!CartesianProduct",
+        "HashAggregate",
+    ],
 }
 
 

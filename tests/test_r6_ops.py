@@ -1,0 +1,184 @@
+"""Round-6 operator semantics on SYNTHETIC fixtures — the pagerank
+convention: the sf-fixture oracle proves cross-engine agreement, these
+tests pin the semantics against independently-coded references that
+share no code with the gates.
+
+Both gates under test compose the shared integer Lloyd machinery, so
+the reference here re-implements the WHOLE stack (quantize -> Lloyd ->
+cell assign -> PQ encode -> probe -> ADC rank) in plain Python from
+the written parquet values."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_embeddings(tmp_path, vecs: dict[int, list[float]]) -> str:
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(list(vecs), type=pa.int64()),
+            "embedding": pa.array(list(vecs.values()), type=pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vecs), type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp_path}/embeddings.parquet")
+    return str(tmp_path)
+
+
+def _vectors_64d(n: int, seed: int, dup_of: dict[int, int] | None = None):
+    """n pseudo-random float32 64-dim vectors; ids in ``dup_of`` are
+    near-copies (tiny jitter) of their source vector."""
+    rng = random.Random(seed)
+    vecs: dict[int, list[float]] = {}
+    for i in range(n):
+        vecs[i] = [rng.uniform(-1.0, 1.0) for _ in range(64)]
+    for d, src in (dup_of or {}).items():
+        vecs[d] = [x + rng.uniform(-0.005, 0.005) for x in vecs[src]]
+    return {i: [float(np.float32(x)) for x in v] for i, v in vecs.items()}
+
+
+def _quant(vecs):
+    return {i: [math.floor(x * 1e6 + 0.5) for x in v] for i, v in vecs.items()}
+
+
+def _d2(a, b):
+    return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+
+def _lloyd_ref(q, k, rounds):
+    """Independent Lloyd: ties to the smaller cluster, floor(sum/n)
+    centroid update, empty clusters carry their centroid."""
+    cent = {c: list(q[c]) for c in range(k)}
+    for _ in range(rounds):
+        assign = {i: min((_d2(v, cent[c]), c) for c in range(k))[1] for i, v in q.items()}
+        for c in range(k):
+            members = [q[i] for i in q if assign[i] == c]
+            if members:
+                cent[c] = [math.floor(sum(col) / len(members)) for col in zip(*members)]
+    return cent
+
+
+def _cells_ref(q, cent, k):
+    return {i: min((_d2(v, cent[c]), c) for c in range(k))[1] for i, v in q.items()}
+
+
+class TestIvfPq:
+    def test_matches_independent_stack(self, spark, tmp_path):
+        from big_data_flight_spark.operators.similarity import (
+            _IVFPQ_CELLS,
+            _IVFPQ_NPROBE,
+            _IVFPQ_NQ,
+            _IVFPQ_ROUNDS,
+            PQ_K,
+            PQ_M,
+            PQ_SUB,
+            sim_ivf_pq,
+        )
+
+        vecs = _vectors_64d(30, seed=17)
+        sf = _write_embeddings(tmp_path, vecs)
+        q = _quant(vecs)
+        cent = _lloyd_ref(q, _IVFPQ_CELLS, _IVFPQ_ROUNDS)
+        cells = _cells_ref(q, cent, _IVFPQ_CELLS)
+        # PQ codebook from vec_id < PQ_K, per subspace
+        cb = {
+            (m, code): q[code][m * PQ_SUB : (m + 1) * PQ_SUB]
+            for m in range(PQ_M)
+            for code in range(PQ_K)
+        }
+        recon, codes = {}, {}
+        for i, v in q.items():
+            rv, cs = [], []
+            for m in range(PQ_M):
+                sub = v[m * PQ_SUB : (m + 1) * PQ_SUB]
+                best = min((_d2(sub, cb[(m, c)]), c) for c in range(PQ_K))
+                rv.extend(cb[(m, best[1])])
+                cs.append(str(best[1]))
+            recon[i] = rv
+            codes[i] = "-".join(cs)
+        expected = {}
+        for qi in range(_IVFPQ_NQ):
+            probed = sorted((_d2(q[qi], cent[c]), c) for c in range(_IVFPQ_CELLS))
+            probed = {c for _, c in probed[:_IVFPQ_NPROBE]}
+            cand = sorted(
+                (_d2(q[qi], recon[j]), j)
+                for j in q
+                if j != qi and cells[j] in probed
+            )
+            for rn, (adc, j) in enumerate(cand[:5], start=1):
+                expected[(qi, j)] = (cells[j], codes[j], adc, rn)
+        rows = sim_ivf_pq(spark, sf).collect()
+        got = {
+            (r.query_id, r.neighbor_id): (r.cell, r.codes, r.adc, r.rn) for r in rows
+        }
+        assert got == expected
+
+    def test_neighbors_only_from_probed_cells(self, spark, tmp_path):
+        from big_data_flight_spark.operators.similarity import (
+            _IVFPQ_CELLS,
+            _IVFPQ_NPROBE,
+            _IVFPQ_ROUNDS,
+            sim_ivf_pq,
+        )
+
+        vecs = _vectors_64d(40, seed=23)
+        sf = _write_embeddings(tmp_path, vecs)
+        q = _quant(vecs)
+        cent = _lloyd_ref(q, _IVFPQ_CELLS, _IVFPQ_ROUNDS)
+        cells = _cells_ref(q, cent, _IVFPQ_CELLS)
+        for r in sim_ivf_pq(spark, sf).collect():
+            probed = sorted(
+                (_d2(q[r.query_id], cent[c]), c) for c in range(_IVFPQ_CELLS)
+            )
+            assert r.cell in {c for _, c in probed[:_IVFPQ_NPROBE]}
+            assert r.cell == cells[r.neighbor_id]
+
+
+class TestSemDedup:
+    def test_planted_duplicates(self, spark, tmp_path):
+        from big_data_flight_spark.operators.similarity import (
+            _IVFPQ_CELLS,
+            _IVFPQ_ROUNDS,
+            _SD_THRESH,
+            sim_semdedup_clustered,
+        )
+
+        # 9 and 23 are near-copies of 3 and 11; random 64-dim vectors
+        # are otherwise ~4e13 apart in micro L2^2, far above _SD_THRESH.
+        vecs = _vectors_64d(30, seed=31, dup_of={9: 3, 23: 11})
+        sf = _write_embeddings(tmp_path, vecs)
+        q = _quant(vecs)
+        cent = _lloyd_ref(q, _IVFPQ_CELLS, _IVFPQ_ROUNDS)
+        cells = _cells_ref(q, cent, _IVFPQ_CELLS)
+        dups = {
+            j
+            for j in q
+            for i in q
+            if i < j and cells[i] == cells[j] and _d2(q[i], q[j]) <= _SD_THRESH
+        }
+        # The planted copies share their source's cell (they are close
+        # to it in every dimension) and must be flagged as duplicates.
+        assert cells[9] == cells[3] and cells[23] == cells[11]
+        assert dups == {9, 23}
+        rows = {r.cluster: r for r in sim_semdedup_clustered(spark, sf).collect()}
+        for c in range(_IVFPQ_CELLS):
+            members = [i for i in q if cells[i] == c]
+            if not members:
+                assert c not in rows
+                continue
+            r = rows[c]
+            cdups = [i for i in members if i in dups]
+            assert r.n_docs == len(members)
+            assert r.n_dups == len(cdups)
+            assert r.n_kept == len(members) - len(cdups)
+            assert r.kept_id_sum == sum(members) - sum(cdups)
+            pair_min = min(
+                (_d2(q[i], q[j]) for i in members for j in members if i < j),
+                default=None,
+            )
+            assert r.min_pair_d2 == pair_min
