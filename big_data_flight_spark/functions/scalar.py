@@ -504,3 +504,112 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             "missing_is_null"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_url — URL parsing + canonicalization (r6)
+# ---------------------------------------------------------------------------
+
+# The synthesized URL's closed form, shared VERBATIM by the Spark
+# builder (F.expr) and the DuckDB oracle so the two engines parse
+# byte-identical inputs: scheme + mixed-case host (exercises the
+# lowercase step), an explicit port on doc_id%7, a trailing slash on
+# doc_id%2 (exercises the trim step), tracking params + an id param on
+# doc_id%3 in {0,1} (no query at all on %3=2 — the NULL path), and a
+# fragment on doc_id%5. '||', CASE, CAST(AS VARCHAR(20)) and modulo
+# are dialect-shared (checked on both engines).
+_URL_RAW = """
+  'https://' || source || '.Example.com' ||
+  CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END ||
+  '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR(20)) ||
+  CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+  CASE WHEN doc_id % 3 = 0
+       THEN '?utm_source=feed&utm_campaign=x&id=' || CAST(doc_id AS VARCHAR(20))
+       WHEN doc_id % 3 = 1 THEN '?id=' || CAST(doc_id AS VARCHAR(20))
+       ELSE '' END ||
+  CASE WHEN doc_id % 5 = 0 THEN '#sec-2' ELSE '' END
+"""
+
+
+@gate_query(
+    "fn_url",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, ({_URL_RAW}) AS url FROM documents
+    ),
+    parsed AS (
+      SELECT doc_id, url,
+             regexp_extract(url, '^https://([^/:?#]+)', 1) AS host,
+             regexp_extract(url, '^https://([^/?#]+)', 1) AS authority,
+             regexp_extract(url, '^https://[^/?#]+(/[^?#]*)', 1) AS path,
+             NULLIF(regexp_extract(url, '\\?([^#]*)', 1), '') AS query,
+             NULLIF(regexp_extract(url, '[?&]id=([0-9]+)', 1), '') AS id_str
+      FROM u
+    )
+    SELECT doc_id, host, authority, path,
+           CAST(id_str AS BIGINT) AS id_param,
+           (authority <> host) AS has_port,
+           (url LIKE '%#%') AS has_fragment,
+           CASE WHEN query IS NULL THEN 0
+                ELSE CAST(len(string_split(query, '&')) AS BIGINT) END
+             AS n_query_params,
+           'https://' || lower(authority) || trim(TRAILING '/' FROM path) ||
+             CASE WHEN id_str IS NOT NULL THEN '?id=' || id_str ELSE '' END
+             AS canonical_url
+    FROM parsed
+    """,
+    tags=("scalar", "text"),
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing + canonicalization — the web-corpus curation
+    primitive (URL-level dedup, domain frequency caps, tracking-param
+    stripping all start here). The builder parses with Spark's
+    ``parse_url`` (java.net.URI-backed HOST/AUTHORITY/PATH/QUERY/REF
+    component extraction); the oracle re-derives every component with
+    RE2 regexes over the SAME synthesized string (_URL_RAW, shared
+    verbatim) — a hash match proves the two parsers agree on hosts,
+    ports, paths, query params and fragments across every branch of
+    the closed form. The canonical form (lowercased authority,
+    trailing slash trimmed, tracking params dropped, fragment dropped,
+    id param kept) is rebuilt from each engine's OWN parsed pieces, so
+    a component-level divergence cannot cancel out.
+
+    Parity traps handled: parse_url returns NULL for absent components
+    while regexp_extract returns '' — NULLIF on the oracle side; the
+    id lookup uses parse_url's keyed form (QUERY, 'id'), whose
+    (^|&)id= anchoring the oracle mirrors with [?&]id= so a
+    'utm_campaign' value can never false-match.
+
+    Scale: pure per-row projection over one scan — no shuffle, no UDF,
+    whole-stage codegen end to end."""
+    d = table(spark, sf_dir, "documents")
+    u = d.select("doc_id", F.expr(_URL_RAW).alias("url"))
+    p = u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("AUTHORITY")).alias("authority"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("id")).alias("id_str"),
+    )
+    return p.select(
+        "doc_id",
+        "host",
+        "authority",
+        "path",
+        F.col("id_str").cast("long").alias("id_param"),
+        (F.col("authority") != F.col("host")).alias("has_port"),
+        F.col("url").contains("#").alias("has_fragment"),
+        F.when(F.col("query").isNull(), F.lit(0).cast("long"))
+        .otherwise(F.size(F.split("query", "&")).cast("long"))
+        .alias("n_query_params"),
+        F.concat(
+            F.lit("https://"),
+            F.lower("authority"),
+            F.expr("trim(TRAILING '/' FROM path)"),
+            F.when(
+                F.col("id_str").isNotNull(), F.concat(F.lit("?id="), F.col("id_str"))
+            ).otherwise(F.lit("")),
+        ).alias("canonical_url"),
+    )

@@ -114,8 +114,6 @@ _ALIASES = {
     "a0_join_lateral_topk": "join_lateral_topk",
     "a0_fn_struct": "fn_struct",
     "a0_join_null_keys": "join_null_keys",
-    "a0_mm_decode_image": "mm_decode_image",
-    "a0_scan_orc": "scan_orc",
 }
 
 # Round-6 brand-new gates: aliased if (and only if) already registered,
@@ -128,6 +126,10 @@ _NEW_GATE_ALIASES: dict[str, str] = {
     # and the SemDeDup cluster-blocked semantic dedup.
     "a0_sim_ivf_pq": "sim_ivf_pq",
     "a0_sim_semdedup_clustered": "sim_semdedup_clustered",
+    # (second r6 batch; displaced scan_orc + mm_decode_image): URL
+    # parsing/canonicalization and the resample hop in the WAV codec.
+    "a0_fn_url": "fn_url",
+    "a0_mm_audio_resample_wav": "mm_audio_resample_wav",
 }
 
 

@@ -1117,3 +1117,94 @@ def mm_scene_cut_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_cut_l1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_audio_resample_wav — integer DSP inside the codec round-trip (r6)
+# ---------------------------------------------------------------------------
+
+def _resample_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Transform-side kernel: decode the PCM16 container, decimate 2:1
+    with exact integer pair-averaging (floor((s_2j + s_2j+1) / 2) —
+    Python's // floors toward -inf exactly like the oracle's
+    floor(x / 2.0) on these |s| <= 1024 sums), and re-encode a REAL
+    8 kHz container. Decode and re-encode both go through the stdlib
+    ``wave`` module — the downstream feature kernel re-parses this
+    container with zero trust in this stage."""
+    import io as _io
+    import wave as _wave
+
+    import numpy as np
+
+    for pdf in batches:
+        blobs = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["wav_bin"]):
+            with _wave.open(_io.BytesIO(blob), "rb") as w:
+                if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                    raise ValueError(
+                        f"doc {doc_id}: expected mono PCM16, got "
+                        f"channels={w.getnchannels()} width={w.getsampwidth()}"
+                    )
+                rate = w.getframerate()
+                x = np.frombuffer(
+                    w.readframes(w.getnframes()), dtype="<i2"
+                ).astype(np.int64)
+            pairs = x[: len(x) // 2 * 2].reshape(-1, 2)
+            y = ((pairs[:, 0] + pairs[:, 1]) // 2).astype("<i2")
+            bio = _io.BytesIO()
+            with _wave.open(bio, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(rate // 2)
+                w.writeframes(y.tobytes())
+            blobs.append(bio.getvalue())
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "wav_bin": blobs})
+
+
+@gate_query(
+    "mm_audio_resample_wav",
+    oracle="""
+    SELECT doc_id,
+           CAST(80 AS BIGINT) AS n_frames,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(list_sum(list_transform(range(0, 80),
+             j -> abs(CAST(floor((
+                    (((2 * j) * (doc_id % 13 + 1)) % 2048 - 1024)
+                  + (((2 * j + 1) * (doc_id % 13 + 1)) % 2048 - 1024)
+                  ) / 2.0) AS BIGINT)))) AS BIGINT) AS sum_abs,
+           CAST(list_max(list_transform(range(0, 80),
+             j -> CAST(floor((
+                    (((2 * j) * (doc_id % 13 + 1)) % 2048 - 1024)
+                  + (((2 * j + 1) * (doc_id % 13 + 1)) % 2048 - 1024)
+                  ) / 2.0) AS BIGINT))) AS BIGINT) AS peak
+    FROM documents
+    """,
+    tags=("multimodal", "udf"),
+)
+def mm_audio_resample_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio resampling (2:1 decimation with integer pair-averaging)
+    INSIDE the real codec round-trip — the DSP step production audio
+    curation runs between ingest and feature extraction, here as a
+    third Arrow stage: synth renders the 16 kHz container
+    (mm_audio_decode_wav's sawtooth closed form), the resample kernel
+    decodes -> averages sample pairs -> re-encodes a REAL 8 kHz
+    container, and the UNCHANGED feature kernel (_decode_wav) re-parses
+    that new container. The oracle is the decimated sawtooth's CLOSED
+    FORM — floor((s(2j) + s(2j+1)) / 2) — so it never sees any
+    container, and a hash match proves BOTH codec hops and the integer
+    arithmetic between them are lossless (a header mistake flips
+    sample_rate/n_frames; an off-by-one in pairing or a round-vs-floor
+    slip shifts sum_abs/peak). Python's // floors toward -inf exactly
+    like SQL floor(x/2.0); |pair sums| <= 2048 so the double division
+    is exact. All-integer output, zero float parity surface.
+
+    Scale: narrow three-stage Arrow pipeline — containers are born,
+    transformed and consumed inside one task chain; no binary bytes
+    ever reach a shuffle."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    wav = docs.mapInPandas(_synth_wav, "doc_id long, wav_bin binary")
+    half = wav.mapInPandas(_resample_wav, "doc_id long, wav_bin binary")
+    return half.mapInPandas(
+        _decode_wav,
+        "doc_id long, n_frames long, sample_rate long, sum_abs long, peak long",
+    )

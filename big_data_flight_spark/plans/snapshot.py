@@ -371,6 +371,14 @@ SNAPSHOT = {
         "WindowGroupLimit",
         "!CartesianProduct",
     ],
+    # r6. URL parsing: a pure per-row projection over one documents
+    # scan — no shuffle, no Python evaluator (parse_url is a JVM
+    # builtin inside whole-stage codegen).
+    "fn_url": ["!Exchange", "!Python", "=1:documents.parquet"],
+    # r6. Resample chain: THREE Arrow stages (synth -> decimate/
+    # re-encode -> decode; each MapInPandas node appears twice in the
+    # formatted plan), binary containers never reach an Exchange.
+    "mm_audio_resample_wav": ["=6:MapInPandas", "!Exchange"],
     # r6. SemDeDup: the near-dup pair join must stay the equi-join on
     # the k-means cell id (cluster blocking bounds the pair space —
     # a nested loop here means the blocking regressed to all-pairs).

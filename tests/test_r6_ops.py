@@ -18,6 +18,14 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
+def _write(dirpath, name, frame) -> str:
+    pq.write_table(
+        pa.Table.from_pandas(frame, preserve_index=False),
+        f"{dirpath}/{name}.parquet",
+    )
+    return str(dirpath)
+
+
 def _write_embeddings(tmp_path, vecs: dict[int, list[float]]) -> str:
     tbl = pa.table(
         {
@@ -182,3 +190,71 @@ class TestSemDedup:
                 default=None,
             )
             assert r.min_pair_d2 == pair_min
+
+
+class TestFnUrl:
+    def test_hand_urls(self, spark, tmp_path):
+        import pandas as pd
+
+        from big_data_flight_spark.functions.scalar import fn_url
+
+        docs = pd.DataFrame(
+            {
+                # 0: port(:8080 via %7), slash(%2), utm+id(%3=0), frag(%5)
+                # 7: port, no slash, ?id only (%3=1), no frag
+                # 8: no port, slash, no query (%3=2), no frag
+                # 15: no port, no slash, utm+id (%3=0), frag (%5=0)
+                "doc_id": [0, 7, 8, 15],
+                "text": ["a", "b", "c", "d"],
+                "lang": ["en", "de", "en", "fr"],
+                "source": ["src1", "src2", "src3", "src4"],
+                "n_chars": [1, 1, 1, 1],
+            }
+        )
+        sf = _write(tmp_path, "documents", docs)
+        got = {r.doc_id: r for r in fn_url(spark, sf).collect()}
+        r0 = got[0]
+        assert r0.host == "src1.Example.com"
+        assert r0.authority == "src1.Example.com:8080"
+        assert r0.path == "/en/doc/0/"
+        assert (r0.id_param, r0.has_port, r0.has_fragment) == (0, True, True)
+        assert r0.n_query_params == 3
+        assert r0.canonical_url == "https://src1.example.com:8080/en/doc/0?id=0"
+        r7 = got[7]
+        assert (r7.authority, r7.path) == ("src2.Example.com:8080", "/de/doc/7")
+        assert (r7.id_param, r7.n_query_params, r7.has_fragment) == (7, 1, False)
+        assert r7.canonical_url == "https://src2.example.com:8080/de/doc/7?id=7"
+        r8 = got[8]
+        assert (r8.id_param, r8.n_query_params, r8.has_port) == (None, 0, False)
+        assert r8.canonical_url == "https://src3.example.com/en/doc/8"
+        r15 = got[15]
+        assert (r15.id_param, r15.has_fragment) == (15, True)
+        assert r15.canonical_url == "https://src4.example.com/fr/doc/15?id=15"
+
+
+class TestAudioResample:
+    def test_decimated_sawtooth(self, spark, tmp_path):
+        import pandas as pd
+
+        from big_data_flight_spark.operators.multimodal import mm_audio_resample_wav
+
+        ids = [0, 3, 12, 25]
+        docs = pd.DataFrame(
+            {
+                "doc_id": ids,
+                "text": [""] * 4,
+                "lang": ["en"] * 4,
+                "source": ["s"] * 4,
+                "n_chars": [0] * 4,
+            }
+        )
+        sf = _write(tmp_path, "documents", docs)
+        got = {r.doc_id: r for r in mm_audio_resample_wav(spark, sf).collect()}
+        for d in ids:
+            step = d % 13 + 1
+            s = [((i * step) % 2048) - 1024 for i in range(160)]
+            y = [(s[2 * j] + s[2 * j + 1]) // 2 for j in range(80)]
+            r = got[d]
+            assert (r.n_frames, r.sample_rate) == (80, 8000)
+            assert r.sum_abs == sum(abs(v) for v in y)
+            assert r.peak == max(y)
