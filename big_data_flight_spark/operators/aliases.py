@@ -113,7 +113,6 @@ _ALIASES = {
     "a0_join_skew_salted": "join_skew_salted",
     "a0_join_lateral_topk": "join_lateral_topk",
     "a0_fn_struct": "fn_struct",
-    "a0_join_null_keys": "join_null_keys",
 }
 
 # Round-6 brand-new gates: aliased if (and only if) already registered,
@@ -130,6 +129,8 @@ _NEW_GATE_ALIASES: dict[str, str] = {
     # parsing/canonicalization and the resample hop in the WAV codec.
     "a0_fn_url": "fn_url",
     "a0_mm_audio_resample_wav": "mm_audio_resample_wav",
+    # (third r6 batch; displaced join_null_keys): HITS hub/authority.
+    "a0_graph_hits": "graph_hits",
 }
 
 

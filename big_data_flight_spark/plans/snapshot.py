@@ -371,6 +371,18 @@ SNAPSHOT = {
         "WindowGroupLimit",
         "!CartesianProduct",
     ],
+    # r6. HITS: the final plan reads checkpointed round state only
+    # (ExistingRDD — the per-round broadcast-score joins, 1-row max
+    # broadcasts and hash aggregates all happen BEFORE the round
+    # checkpoints, exactly like sim_kmeans_lloyd's loop; the kernel's
+    # algebra is pinned by the pure-Python property test instead),
+    # plus the two bounded per-side rank windows and their union.
+    "graph_hits": [
+        "ExistingRDD",
+        "Window",
+        "Union",
+        "!CartesianProduct",
+    ],
     # r6. URL parsing: a pure per-row projection over one documents
     # scan — no shuffle, no Python evaluator (parse_url is a JVM
     # builtin inside whole-stage codegen).

@@ -310,3 +310,39 @@ def test_triangle_stats_matches_python_reference(spark, raw_edges):
     assert row["n_edges"] == len(pairs)
     # oriented wedges are a subset of unoriented length-2 paths
     assert row["n_triangles"] <= row["n_wedges"] <= expect_paths2
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(100, 109)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_hits_matches_python_reference(spark, raw_pairs):
+    """The integer HITS kernel must agree EXACTLY with a pure-Python
+    reference on arbitrary small bipartite graphs — mutual recursion
+    (hub-sum -> max-normalize -> authority-sum -> max-normalize) in
+    (raw * 1e6) // max BIGINT arithmetic."""
+    from big_data_flight_spark.operators.graph import _SCALE, hits_scores
+
+    pairs = sorted({(c, s) for c, s in raw_pairs})
+    h = {c: _SCALE for c, _ in pairs}
+    a = {}
+    for _ in range(2):
+        raw_a: dict[int, int] = {}
+        for c, s in pairs:
+            raw_a[s] = raw_a.get(s, 0) + h[c]
+        mx = max(raw_a.values())
+        a = {s: r * _SCALE // mx for s, r in raw_a.items()}
+        raw_h: dict[int, int] = {}
+        for c, s in pairs:
+            raw_h[c] = raw_h.get(c, 0) + a[s]
+        mx = max(raw_h.values())
+        h = {c: r * _SCALE // mx for c, r in raw_h.items()}
+
+    df = spark.createDataFrame(pairs, "c long, s long")
+    got_a, got_h = hits_scores(df, 2)
+    assert {r.node: r.score for r in got_a.collect()} == a
+    assert {r.node: r.score for r in got_h.collect()} == h
