@@ -112,7 +112,6 @@ _ALIASES = {
     "a0_fn_try_safe": "fn_try_safe",
     "a0_join_skew_salted": "join_skew_salted",
     "a0_join_lateral_topk": "join_lateral_topk",
-    "a0_fn_struct": "fn_struct",
 }
 
 # Round-6 brand-new gates: aliased if (and only if) already registered,
@@ -131,6 +130,8 @@ _NEW_GATE_ALIASES: dict[str, str] = {
     "a0_mm_audio_resample_wav": "mm_audio_resample_wav",
     # (third r6 batch; displaced join_null_keys): HITS hub/authority.
     "a0_graph_hits": "graph_hits",
+    # (fourth r6 batch; displaced fn_struct): partition-TTL expiry.
+    "a0_sink_retention_expire": "sink_retention_expire",
 }
 
 

@@ -1094,3 +1094,61 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("gid").cast("long").alias("sum_gid"),
         F.countDistinct("part").cast("long").alias("n_parts"),
     )
+
+
+@gate_query(
+    "sink_retention_expire",
+    oracle=f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS dt,
+           COUNT(*) AS n,
+           {DSUM("value", "sum_value")},
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-08'
+    GROUP BY dt
+    """,
+    tags=("sink", "etl"),
+)
+def sink_retention_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level retention expiry (TTL) — the warehouse
+    maintenance job every regulated 100 TB table runs: partitions
+    older than the retention horizon are dropped WHOLESALE by
+    deleting their directories, never by a filter-rewrite of the
+    table (a rewrite reads and rewrites 100 TB to delete 7 days; the
+    directory drop is O(expired partitions) metadata work — the same
+    asymmetry that motivates partitionBy in the first place, and the
+    exact mechanism of SQL ALTER TABLE DROP PARTITION / Delta VACUUM
+    after retention). The gate lands events partitioned by day (30
+    directories), enumerates partitions from the directory layout
+    (the Hive-catalog view of the table), expires every day before
+    2024-01-08, and aggregates the readback. The oracle recomputes
+    the surviving week's stats straight from the source: a hash match
+    proves the expired days are GONE (any surviving expired row adds
+    a group or inflates n) and the surviving 23 days are
+    bit-identical (min/max ids + exact decimal sums per day).
+
+    The directory deletes are deterministic filesystem metadata ops
+    (the foreachBatch epoch-sink convention); the partition column
+    re-CASTs to string on readback per the parity rules."""
+    import shutil as _shutil
+
+    out = os.path.join(_TMP, "retention_events")
+    _shutil.rmtree(out, ignore_errors=True)
+    src = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "ts", "value")
+        .withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+    )
+    src.write.mode("overwrite").partitionBy("dt").parquet(out)
+    cutoff = "2024-01-08"
+    for entry in sorted(os.listdir(out)):
+        if entry.startswith("dt=") and entry[3:] < cutoff:
+            _shutil.rmtree(os.path.join(out, entry))
+    back = spark.read.parquet(out)
+    return back.groupBy(F.col("dt").cast("string").alias("dt")).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", "sum_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )

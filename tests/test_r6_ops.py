@@ -258,3 +258,51 @@ class TestAudioResample:
             assert (r.n_frames, r.sample_rate) == (80, 8000)
             assert r.sum_abs == sum(abs(v) for v in y)
             assert r.peak == max(y)
+
+
+class TestRetentionExpire:
+    def test_expired_dirs_gone_survivors_intact(self, spark, tmp_path):
+        import os
+
+        import pandas as pd
+
+        from big_data_flight_spark.sources.connectors import (
+            _TMP,
+            sink_retention_expire,
+        )
+
+        # 3 days before the 2024-01-08 cutoff, 2 after, 2 rows each.
+        ts = pd.to_datetime(
+            [
+                "2024-01-05 01:00",
+                "2024-01-05 02:00",
+                "2024-01-06 01:00",
+                "2024-01-06 02:00",
+                "2024-01-07 01:00",
+                "2024-01-07 02:00",
+                "2024-01-08 01:00",
+                "2024-01-08 02:00",
+                "2024-01-20 01:00",
+                "2024-01-20 02:00",
+            ]
+        )
+        events = pd.DataFrame(
+            {
+                "event_id": range(10),
+                "ts": ts,
+                "user_id": [1] * 10,
+                "event_type": ["click"] * 10,
+                "value": [float(i) for i in range(10)],
+                "props": ["{}"] * 10,
+            }
+        )
+        sf = _write(tmp_path, "events", events)
+        got = {r.dt: r for r in sink_retention_expire(spark, sf).collect()}
+        assert set(got) == {"2024-01-08", "2024-01-20"}
+        assert (got["2024-01-08"].min_id, got["2024-01-08"].max_id) == (6, 7)
+        assert (got["2024-01-20"].n, got["2024-01-20"].sum_value) == (2, 17.0)
+        dirs = {
+            e for e in os.listdir(os.path.join(_TMP, "retention_events"))
+            if e.startswith("dt=")
+        }
+        assert dirs == {"dt=2024-01-08", "dt=2024-01-20"}
