@@ -109,9 +109,7 @@ _ALIASES = {
     "a0_tpch_q21": "tpch_q21",
     "a0_tpch_q8": "tpch_q8",
     "a0_fn_variant": "fn_variant",
-    "a0_fn_try_safe": "fn_try_safe",
     "a0_join_skew_salted": "join_skew_salted",
-    "a0_join_lateral_topk": "join_lateral_topk",
 }
 
 # Round-6 brand-new gates: aliased if (and only if) already registered,
@@ -132,6 +130,12 @@ _NEW_GATE_ALIASES: dict[str, str] = {
     "a0_graph_hits": "graph_hits",
     # (fourth r6 batch; displaced fn_struct): partition-TTL expiry.
     "a0_sink_retention_expire": "sink_retention_expire",
+    # (fifth r6 batch; displaced fn_try_safe + join_lateral_topk —
+    # the documented 6-name displacement order is exhausted, so the
+    # two lowest-risk remaining picks went): BM25 lexical scoring and
+    # reciprocal-rank fusion, the two halves of hybrid retrieval.
+    "a0_text_bm25": "text_bm25",
+    "a0_sim_rrf_fusion": "sim_rrf_fusion",
 }
 
 

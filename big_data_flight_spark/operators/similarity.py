@@ -1746,3 +1746,196 @@ def sim_semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_pair_d2",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_rrf_fusion — reciprocal-rank fusion of two retrieval rankers (r6)
+# ---------------------------------------------------------------------------
+
+_RRF_NQ = 8      # queries (matches sim_hamming_topk's query set)
+_RRF_K = 20      # depth of each input ranking
+_RRF_C = 60      # the standard RRF constant
+_RRF_TOP = 10    # fused results per query
+
+
+def _rrf_oracle() -> str:
+    nq, k, c, top = _RRF_NQ, _RRF_K, _RRF_C, _RRF_TOP
+    return f"""
+    WITH cosr AS (
+      SELECT query_id, neighbor_id, rn AS cos_rank FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY ROUND({_DUCK_DOT} / ({_duck_norm('a')} * {_duck_norm('b')}), 6) DESC,
+                          b.vec_id) AS rn
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < {nq}
+      ) WHERE rn <= {k}
+    ),
+    sig AS (
+      SELECT vec_id,
+        CAST(list_sum(list_transform(range(1, 33), i ->
+          CASE WHEN CAST(embedding[i] AS DOUBLE) > 0 THEN 2 ** (i - 1) ELSE 0 END))
+          AS BIGINT) AS sig_lo,
+        CAST(list_sum(list_transform(range(33, 65), i ->
+          CASE WHEN CAST(embedding[i] AS DOUBLE) > 0 THEN 2 ** (i - 33) ELSE 0 END))
+          AS BIGINT) AS sig_hi
+      FROM embeddings
+    ),
+    hamr AS (
+      SELECT query_id, neighbor_id, rn AS ham_rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY bit_count(xor(q.sig_lo, c.sig_lo))
+                        + bit_count(xor(q.sig_hi, c.sig_hi)), c.vec_id) AS rn
+        FROM sig q JOIN sig c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {nq}
+      ) WHERE rn <= {k}
+    ),
+    fused AS (
+      SELECT COALESCE(c.query_id, h.query_id) AS query_id,
+             COALESCE(c.neighbor_id, h.neighbor_id) AS neighbor_id,
+             CAST(c.cos_rank AS BIGINT) AS cos_rank,
+             CAST(h.ham_rank AS BIGINT) AS ham_rank,
+             CAST(COALESCE(1000000 // ({c} + c.cos_rank), 0)
+                + COALESCE(1000000 // ({c} + h.ham_rank), 0) AS BIGINT)
+               AS rrf_micro
+      FROM cosr c FULL OUTER JOIN hamr h
+        ON c.query_id = h.query_id AND c.neighbor_id = h.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_rank, ham_rank, rrf_micro,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf_micro DESC, neighbor_id) AS rn
+      FROM fused
+    ) WHERE rn <= {top}
+    """
+
+
+@gate_query(
+    "sim_rrf_fusion",
+    oracle=_rrf_oracle(),
+    tags=("similarity",),
+)
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., public — the standard
+    hybrid-search combiner) of two heterogeneous rankers over the same
+    corpus: exact-cosine top-{k} and 1-bit Hamming top-{k} (the
+    sign-signature ranker of sim_hamming_topk). RRF(d) = sum over
+    rankers of 1/(C + rank(d)), computed here in integer micro-units
+    (1e6 // (60 + rank) — exact BIGINT floor division, identical both
+    engines), so the FUSED rank key is an integer: no float ever
+    ranks. A document found by only one ranker contributes one term
+    (the FULL OUTER join + COALESCE 0 — the textbook union-of-lists
+    semantics); per-ranker ranks stay visible as nullable audit
+    columns. Cosine ranks order on the ROUNDED d6 score with
+    neighbor-id tie-break (the sim_topk_neighbors convention, r3
+    driver-green); Hamming is integer-only.
+
+    Scale: both input rankings are query-broadcast x corpus-stream
+    shapes with WindowGroupLimit top-{k} pushdown; the fusion join is
+    a {k}-row-per-query equi-join on (query, neighbor) — at 100 TB
+    the rankers are the ANN gates (LSH / IVF-PQ / Hamming) and the
+    fusion cost is O(queries x k), independent of corpus size."""
+    e = table(spark, sf_dir, "embeddings")
+    emb_dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    # --- ranker 1: exact cosine top-k (the sim_topk_neighbors shape)
+    def cos_arr(a, b):
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda m, x: m + x
+        )
+        na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda m, x: m + x * x))
+        nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda m, x: m + x * x))
+        return dot / (na * nb)
+
+    q = e.filter(F.col("vec_id") < _RRF_NQ).select(
+        F.col("vec_id").alias("query_id"), emb_dbl.alias("q_emb")
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"), emb_dbl.alias("c_emb")
+    ).repartition(32)
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    cosr = (
+        F.broadcast(q)
+        .crossJoin(corpus)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cos_arr(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+        )
+        .withColumn("cos_rank", F.row_number().over(w_cos).cast("long"))
+        .filter(F.col("cos_rank") <= _RRF_K)
+        .select("query_id", "neighbor_id", "cos_rank")
+    )
+
+    # --- ranker 2: 1-bit sign-signature Hamming top-k
+    def _sig(lo: int):
+        terms = [
+            F.when(
+                F.col("embedding")[i].cast("double") > 0,
+                F.lit(1 << (i - lo)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(lo, lo + 32)
+        ]
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        return acc
+
+    sigs = e.select("vec_id", _sig(0).alias("sig_lo"), _sig(32).alias("sig_hi"))
+    qs = sigs.filter(F.col("vec_id") < _RRF_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sig_lo").alias("q_lo"),
+        F.col("sig_hi").alias("q_hi"),
+    )
+    cs = sigs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("sig_lo").alias("c_lo"),
+        F.col("sig_hi").alias("c_hi"),
+    ).repartition(32)
+    ham = (
+        F.bit_count(F.col("q_lo").bitwiseXOR(F.col("c_lo")))
+        + F.bit_count(F.col("q_hi").bitwiseXOR(F.col("c_hi")))
+    ).cast("long")
+    w_ham = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    hamr = (
+        F.broadcast(qs)
+        .crossJoin(cs)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", ham.alias("hamming"))
+        .withColumn("ham_rank", F.row_number().over(w_ham).cast("long"))
+        .filter(F.col("ham_rank") <= _RRF_K)
+        .select("query_id", "neighbor_id", "ham_rank")
+    )
+
+    fused = (
+        cosr.join(hamr, ["query_id", "neighbor_id"], "full_outer")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_rank",
+            "ham_rank",
+            (
+                F.coalesce(
+                    F.expr(f"1000000L DIV ({_RRF_C} + cos_rank)"), F.lit(0).cast("long")
+                )
+                + F.coalesce(
+                    F.expr(f"1000000L DIV ({_RRF_C} + ham_rank)"), F.lit(0).cast("long")
+                )
+            ).alias("rrf_micro"),
+        )
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("neighbor_id")
+    )
+    return (
+        fused.withColumn("rn", F.row_number().over(w_f).cast("long"))
+        .filter(F.col("rn") <= _RRF_TOP)
+        .select("query_id", "neighbor_id", "cos_rank", "ham_rank", "rrf_micro", "rn")
+    )

@@ -2320,3 +2320,132 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_seen * 1000000L DIV n_bigrams").alias("coverage_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_bm25 — BM25 lexical retrieval scoring (r6)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "data", "window")  # fixed query, present at all SFs
+_BM25_EXPR = (
+    # ONE IEEE expression tree, written once and F.expr'd/inlined into
+    # both engines verbatim: constants 2.2 / 1.2 / 0.75 parse to the
+    # same doubles, 1 - 0.75 folds exactly to 0.25, avgdl is one
+    # BIGINT/BIGINT division, ln is the single transcendental (its
+    # 1-ulp cross-engine risk is absorbed by the final ROUND(.,6) —
+    # the tfidf precedent).
+    "ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) / "
+    "(tf + 1.2 * (1 - 0.75 + 0.75 * dl / (CAST(total_dl AS DOUBLE) / n_docs)))"
+)
+
+
+@gate_query(
+    "text_bm25",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+      FROM tok WHERE token <> '' GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(SUM(dl) AS BIGINT) AS total_dl,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE token IN {str(tuple(_BM25_TERMS))}
+      GROUP BY doc_id, token
+    ),
+    dfreq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ),
+    term AS (
+      SELECT tf.doc_id, tf.token, tf.tf, dl.dl,
+             {_BM25_EXPR} AS ts
+      FROM tf
+      JOIN dfreq USING (token)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+           CAST(SUM(tf) AS BIGINT) AS matched_tf,
+           CAST(MIN(dl) AS BIGINT) AS dl,
+           ROUND(list_sum(list(ts ORDER BY token)), 6) AS bm25_d6
+    FROM term GROUP BY doc_id
+    """,
+    tags=("text",),
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document scoring (Robertson/Spärck Jones, public; the
+    Lucene +1 idf form so scores stay positive) for a fixed 3-term
+    query — the LEXICAL half of hybrid retrieval (sim_rrf_fusion is
+    the fusion stage; tf-idf is the weighting ancestor already gated).
+    k1=1.2, b=0.75. Parity: tf/df/dl/N are exact integers; avgdl is
+    ONE BIGINT/BIGINT IEEE division; the per-term score is the single
+    shared expression _BM25_EXPR (inlined verbatim into both engines);
+    the per-doc sum folds the <=3 term scores IN TOKEN ORDER on both
+    sides (sorted-struct fold vs list(ts ORDER BY token) — the
+    _ordered_mean rule); display via ROUND(.,6), never ranked on.
+
+    Scale: ONE aggregate over ONE scan of the exploded token stream —
+    per-doc length and the per-term tfs come out of the same shuffle
+    as conditional sums (|terms| is a query-time constant, so the tf
+    columns unstack to term rows after the aggregate, when rows are
+    already one-per-doc); df and corpus stats ride broadcasts, and
+    scoring is a projection. This is the classic search-index
+    batch-scoring shape: no windows, no per-row Python, no second
+    corpus scan."""
+    d = table(spark, sf_dir, "documents")
+    tok = tokens(d)
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl"),
+        *[
+            F.sum((F.col("token") == t).cast("long")).alias(f"tf_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    ).localCheckpoint()  # three consumers (tf, df, corpus stats) read
+    # this |docs|-row table; without the one-time materialization each
+    # would re-run the tokenize+aggregate corpus pass (measured: 3
+    # documents scans in the plan) — the text_bpe_encode convention.
+    stats = per_doc.agg(
+        F.sum("dl").cast("long").alias("total_dl"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    term_structs = F.array(
+        *[
+            F.struct(F.lit(t).alias("token"), F.col(f"tf_{i}").alias("tf"))
+            for i, t in enumerate(_BM25_TERMS)
+        ]
+    )
+    tf = (
+        per_doc.select("doc_id", "dl", F.explode(term_structs).alias("e"))
+        .select("doc_id", "dl", F.col("e.token").alias("token"), F.col("e.tf").alias("tf"))
+        .filter(F.col("tf") > 0)
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    term = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "token", "tf", "dl", F.expr(_BM25_EXPR).alias("ts"))
+    )
+    return term.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+        F.sum("tf").cast("long").alias("matched_tf"),
+        F.min("dl").cast("long").alias("dl"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("token", "ts"))),
+                    lambda s: s["ts"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("bm25_d6"),
+    )

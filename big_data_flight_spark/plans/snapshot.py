@@ -383,6 +383,29 @@ SNAPSHOT = {
         "Union",
         "!CartesianProduct",
     ],
+    # r6. BM25: the corpus pays exactly ONE tokenize+aggregate pass —
+    # the per-doc (dl, tf...) table is checkpointed and its three
+    # consumers (term rows, df, corpus stats) read the ExistingRDD, so
+    # NO parquet scan may appear in the final plan at all; df rides a
+    # broadcast (a SortMergeJoin on token means the |terms|-row table
+    # lost it) and the stats the sanctioned 1-row broadcast cross join.
+    "text_bm25": [
+        "ExistingRDD",
+        "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin",
+        "HashAggregate",
+        "!Scan parquet",
+    ],
+    # r6. RRF fusion: both input rankers keep their query-broadcast
+    # shape with the top-k pushed into the window; the fusion itself
+    # is the (query, neighbor) equi-join of two k-deep lists (SMJ is
+    # fine there), but a gone WindowGroupLimit means a ranker's top-k
+    # stopped pushing.
+    "sim_rrf_fusion": [
+        "WindowGroupLimit",
+        "BroadcastNestedLoopJoin",
+        "=4:embeddings.parquet",
+    ],
     # r6. URL parsing: a pure per-row projection over one documents
     # scan — no shuffle, no Python evaluator (parse_url is a JVM
     # builtin inside whole-stage codegen).

@@ -306,3 +306,112 @@ class TestRetentionExpire:
             if e.startswith("dt=")
         }
         assert dirs == {"dt=2024-01-08", "dt=2024-01-20"}
+
+
+class TestBm25:
+    def test_hand_corpus(self, spark, tmp_path):
+        import pandas as pd
+
+        from big_data_flight_spark.operators.text import _BM25_TERMS, text_bm25
+
+        # 4 docs: doc 0 heavy in 'spark', doc 1 has all three terms,
+        # doc 2 no query terms (must be ABSENT), doc 3 long with one hit.
+        texts = [
+            "spark spark spark fast",
+            "spark data window",
+            "filter join scan",
+            "data " + "pad " * 20,
+        ]
+        docs = pd.DataFrame(
+            {
+                "doc_id": range(4),
+                "text": texts,
+                "lang": ["en"] * 4,
+                "source": ["s"] * 4,
+                "n_chars": [len(t) for t in texts],
+            }
+        )
+        sf = _write(tmp_path, "documents", docs)
+        got = {r.doc_id: r for r in text_bm25(spark, sf).collect()}
+        assert set(got) == {0, 1, 3}
+
+        # independent reference
+        toks = [t.split() for t in texts]
+        dls = [len(t) for t in toks]
+        n_docs, avgdl = 4, sum(dls) / 4
+        df = {
+            t: sum(1 for d in toks if t in d) for t in _BM25_TERMS
+        }
+
+        def score(doc):
+            s = 0.0
+            for t in sorted(_BM25_TERMS):
+                tf = toks[doc].count(t)
+                if tf == 0:
+                    continue
+                idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                s += idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dls[doc] / avgdl))
+            return s
+
+        for d in (0, 1, 3):
+            assert got[d].dl == dls[d]
+            assert abs(got[d].bm25_d6 - score(d)) < 1e-6
+        assert (got[0].n_terms_matched, got[0].matched_tf) == (1, 3)
+        assert (got[1].n_terms_matched, got[1].matched_tf) == (3, 3)
+        # repetition saturates: doc 0's tf=3 must score LESS than 3x a
+        # single occurrence would (the k1 saturation BM25 exists for).
+        assert got[0].bm25_d6 < 3 * got[1].bm25_d6
+
+
+class TestRrfFusion:
+    def test_matches_independent_fusion(self, spark, tmp_path):
+        from big_data_flight_spark.operators.similarity import (
+            _RRF_C,
+            _RRF_K,
+            _RRF_NQ,
+            _RRF_TOP,
+            sim_rrf_fusion,
+        )
+
+        vecs = _vectors_64d(25, seed=41)
+        sf = _write_embeddings(tmp_path, vecs)
+        # independent reference (float cosine rounded to 6, sign bits)
+        ids = sorted(vecs)
+
+        def cos(a, b):
+            dot = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+            na = math.sqrt(sum(x * x for x in vecs[a]))
+            nb = math.sqrt(sum(x * x for x in vecs[b]))
+            return round(dot / (na * nb), 6)
+
+        expected = {}
+        for qi in range(_RRF_NQ):
+            cosr = sorted(
+                (j for j in ids if j != qi), key=lambda j: (-cos(qi, j), j)
+            )[:_RRF_K]
+            hamr = sorted(
+                (j for j in ids if j != qi),
+                key=lambda j: (
+                    sum(
+                        (x > 0) != (y > 0)
+                        for x, y in zip(vecs[qi], vecs[j])
+                    ),
+                    j,
+                ),
+            )[:_RRF_K]
+            cr = {j: r for r, j in enumerate(cosr, 1)}
+            hr = {j: r for r, j in enumerate(hamr, 1)}
+            fused = {
+                j: (1_000_000 // (_RRF_C + cr[j]) if j in cr else 0)
+                + (1_000_000 // (_RRF_C + hr[j]) if j in hr else 0)
+                for j in set(cr) | set(hr)
+            }
+            top = sorted(fused, key=lambda j: (-fused[j], j))[:_RRF_TOP]
+            for rn, j in enumerate(top, 1):
+                expected[(qi, j)] = (cr.get(j), hr.get(j), fused[j], rn)
+        rows = sim_rrf_fusion(spark, sf).collect()
+        got = {
+            (r.query_id, r.neighbor_id): (r.cos_rank, r.ham_rank, r.rrf_micro, r.rn)
+            for r in rows
+        }
+        assert got == expected
