@@ -30,12 +30,19 @@ def test_oracle_parity_smoke(spark, duck, name):
 
 
 def test_new_gates_are_aliased_into_driver_window():
-    """Brand-new-gate rule: each session-2 gate must have its a0_
-    alias inside the driver's 50-name alphabetical window."""
+    """Brand-new-gate rule, rotation-aware: every CURRENT
+    _NEW_GATE_ALIASES target must land inside the driver's 50-name
+    alphabetical window (the r5-session-2 NEW_GATES list above was
+    that round's instance; the alias window rotates per round, so
+    this asserts the live registration instead of a frozen list)."""
+    from big_data_flight_spark.operators.aliases import _NEW_GATE_ALIASES
+
     _load_all_operator_modules()
     window = sorted(_REGISTRY)[:50]
-    for name in NEW_GATES:
-        assert f"a0_{name}" in window
+    assert _NEW_GATE_ALIASES, "each round's brand-new gates must be aliased"
+    for alias, target in _NEW_GATE_ALIASES.items():
+        assert target in _REGISTRY
+        assert alias in window
 
 
 def test_bitmap_distinct_equals_exact(spark):
