@@ -109,7 +109,6 @@ _ALIASES = {
     "a0_tpch_q21": "tpch_q21",
     "a0_tpch_q8": "tpch_q8",
     "a0_fn_variant": "fn_variant",
-    "a0_join_skew_salted": "join_skew_salted",
 }
 
 # Round-6 brand-new gates: aliased if (and only if) already registered,
@@ -136,6 +135,9 @@ _NEW_GATE_ALIASES: dict[str, str] = {
     # reciprocal-rank fusion, the two halves of hybrid retrieval.
     "a0_text_bm25": "text_bm25",
     "a0_sim_rrf_fusion": "sim_rrf_fusion",
+    # (sixth r6 batch; displaced join_skew_salted): conversion
+    # attribution.
+    "a0_evt_attribution": "evt_attribution",
 }
 
 

@@ -1131,3 +1131,106 @@ def evt_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# evt_attribution — first/last-touch conversion attribution (r6)
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 24 * 3600 * 1_000_000  # last-touch lookback horizon
+
+
+@gate_query(
+    "evt_attribution",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS) OVER w AS lt_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN epoch_us(ts) END IGNORE NULLS) OVER w AS lt_us,
+             first_value(CASE WHEN event_type <> 'purchase'
+                              THEN event_type END IGNORE NULLS) OVER w AS ft_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    conv AS (SELECT * FROM ordered WHERE event_type = 'purchase'),
+    credit AS (
+      SELECT 'last' AS model,
+             CASE WHEN lt_us IS NOT NULL
+                       AND epoch_us(ts) - lt_us <= {_ATTR_WINDOW_US}
+                  THEN lt_type END AS channel
+      FROM conv
+      UNION ALL
+      SELECT 'first' AS model, ft_type AS channel FROM conv
+    )
+    SELECT model, COALESCE(channel, '(none)') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions
+    FROM credit GROUP BY model, channel
+    """,
+    tags=("event",),
+)
+def evt_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion attribution — the marketing-analytics op behind
+    every channel-ROI dashboard: each purchase credits (a) the LAST
+    non-purchase touch within a 24 h lookback (last-touch model) and
+    (b) the user's FIRST-ever non-purchase touch (first-touch model),
+    then conversions aggregate per (model, channel). Both touches are
+    IGNORE-NULLS window PICKS over one (user, ts, event_id) ordering
+    with a rows-unbounded-to-1-preceding frame (the LOCF rule: picks,
+    not folds, so string/integer values cross engines verbatim); the
+    last-touch type and timestamp are picked by the SAME null
+    condition over the SAME frame, so they always come from the same
+    row. The 24 h horizon compares exact integer microseconds
+    (unix_micros/epoch_us — never float seconds). Purchases with no
+    eligible touch credit '(none)' via the same COALESCE both
+    engines.
+
+    Scale: ONE user_id shuffle carries all three window picks, and the
+    two models' credits leave the SAME pass as an exploded 2-struct
+    array (a plain UNION of per-model selects re-executed the windowed
+    subtree — measured: 2 events scans, fused to 1, plan-pinned); the
+    final aggregate runs over the |purchases| subset with map-side
+    partials. No joins, no second events scan."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_purchase_type = F.when(
+        F.col("event_type") != "purchase", F.col("event_type")
+    )
+    non_purchase_us = F.when(
+        F.col("event_type") != "purchase", F.unix_micros("ts")
+    )
+    ordered = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.last(non_purchase_type, ignorenulls=True).over(w).alias("lt_type"),
+        F.last(non_purchase_us, ignorenulls=True).over(w).alias("lt_us"),
+        F.first(non_purchase_type, ignorenulls=True).over(w).alias("ft_type"),
+    )
+    conv = ordered.filter(F.col("event_type") == "purchase")
+    credits = F.array(
+        F.struct(
+            F.lit("last").alias("model"),
+            F.when(
+                F.col("lt_us").isNotNull()
+                & (F.unix_micros("ts") - F.col("lt_us") <= _ATTR_WINDOW_US),
+                F.col("lt_type"),
+            ).alias("channel"),
+        ),
+        F.struct(F.lit("first").alias("model"), F.col("ft_type").alias("channel")),
+    )
+    return (
+        conv.select(F.explode(credits).alias("e"))
+        .groupBy(
+            F.col("e.model").alias("model"),
+            F.coalesce(F.col("e.channel"), F.lit("(none)")).alias("channel"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_conversions"))
+    )

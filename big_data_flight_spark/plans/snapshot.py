@@ -383,6 +383,17 @@ SNAPSHOT = {
         "Union",
         "!CartesianProduct",
     ],
+    # r6. Attribution: ONE events scan carries all three window picks;
+    # both models' credits leave that pass as an exploded struct array
+    # (Generate) — a union of per-model selects would re-execute the
+    # windowed subtree (measured: 2 scans); no join may appear.
+    "evt_attribution": [
+        "=1:events.parquet",
+        "Window",
+        "Generate",
+        "HashAggregate",
+        "!Join",
+    ],
     # r6. BM25: the corpus pays exactly ONE tokenize+aggregate pass —
     # the per-doc (dl, tf...) table is checkpointed and its three
     # consumers (term rows, df, corpus stats) read the ExistingRDD, so

@@ -415,3 +415,48 @@ class TestRrfFusion:
             for r in rows
         }
         assert got == expected
+
+
+class TestAttribution:
+    def test_hand_journeys(self, spark, tmp_path):
+        import pandas as pd
+
+        from big_data_flight_spark.operators.events import evt_attribution
+
+        # user 1: click -> purchase 1h later (last=click, first=click)
+        #         then view -> purchase 2h later (last=view, first=click)
+        # user 2: click -> purchase 25h later (outside 24h: last=(none),
+        #         first=click)
+        # user 3: purchase with no prior events at all (both (none)...
+        #         first-touch has no pick either -> (none))
+        rows = [
+            (1, "2024-01-01 00:00", 1, "click"),
+            (2, "2024-01-01 01:00", 1, "purchase"),
+            (3, "2024-01-01 02:00", 1, "view"),
+            (4, "2024-01-01 04:00", 1, "purchase"),
+            (5, "2024-01-02 00:00", 2, "click"),
+            (6, "2024-01-03 01:00", 2, "purchase"),
+            (7, "2024-01-04 00:00", 3, "purchase"),
+        ]
+        events = pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pd.to_datetime([r[1] for r in rows]),
+                "user_id": [r[2] for r in rows],
+                "event_type": [r[3] for r in rows],
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        )
+        sf = _write(tmp_path, "events", events)
+        got = {
+            (r.model, r.channel): r.n_conversions
+            for r in evt_attribution(spark, sf).collect()
+        }
+        assert got == {
+            ("last", "click"): 1,
+            ("last", "view"): 1,
+            ("last", "(none)"): 2,
+            ("first", "click"): 3,
+            ("first", "(none)"): 1,
+        }
