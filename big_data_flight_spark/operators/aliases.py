@@ -108,7 +108,6 @@ _ALIASES = {
     "a0_text_ngram_freq": "text_ngram_freq",
     "a0_tpch_q21": "tpch_q21",
     "a0_tpch_q8": "tpch_q8",
-    "a0_fn_variant": "fn_variant",
 }
 
 # Round-6 brand-new gates: aliased if (and only if) already registered,
@@ -138,6 +137,9 @@ _NEW_GATE_ALIASES: dict[str, str] = {
     # (sixth r6 batch; displaced join_skew_salted): conversion
     # attribution.
     "a0_evt_attribution": "evt_attribution",
+    # (seventh r6 batch; displaced fn_variant): watermarked sliding
+    # streaming window.
+    "a0_stream_sliding_window": "stream_sliding_window",
 }
 
 

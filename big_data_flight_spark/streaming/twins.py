@@ -552,6 +552,42 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate_query(
+    "stream_sliding_window",
+    oracle=f"""
+    SELECT
+      time_bucket(INTERVAL '6 hours', ts) - k * INTERVAL '6 hours' AS w_start,
+      COUNT(*) AS n,
+      {DSUM("value", "sum_value")}
+    FROM events CROSS JOIN (SELECT unnest(range(4)) AS k)
+    GROUP BY w_start
+    """,
+    tags=("streaming", "event"),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SLIDING event-time window (1 day sliding every 6 h)
+    — the overlapping-window streaming shape next to the tumbling gate
+    (stream_windowed_agg): each event lands in exactly window/slide=4
+    open windows, so per-event state fan-out is 4x and state per
+    window stays bounded by the 1 h watermark horizon. Same
+    strong-batch-oracle argument as the tumbling gate (bounded source;
+    counts and decimal sums are arrival-order-insensitive;
+    epoch-aligned starts under the pinned UTC tz match the oracle's
+    time_bucket arithmetic — the oracle is shared verbatim with batch
+    evt_sliding_window's construction). COMPLETE output mode, like the
+    tumbling twin: append would withhold every window whose end is
+    past the final watermark (max event ts - 1 h) — the 4 still-open
+    trailing slides at drain time (measured: 119 vs 123 rows)."""
+    out = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(F.col("w.start").alias("w_start"), "n", "sum_value")
+    )
+    return run_to_memory(out, mode="complete")
+
+
+@gate_query(
     "stream_foreach_batch_sink",
     oracle=f"""
     SELECT event_type, COUNT(*) AS n, {DSUM("value", "sum_value")},
