@@ -140,6 +140,10 @@ _NEW_GATE_ALIASES: dict[str, str] = {
     # (seventh r6 batch; displaced fn_variant): watermarked sliding
     # streaming window.
     "a0_stream_sliding_window": "stream_sliding_window",
+    # NOT aliased (r5 late-session precedent — the remaining window
+    # names are the ADVICE-fix gate and the three never-graded bench
+    # headliners, all higher priority): agg_bitmap_rolling_distinct
+    # joins the r7 queue FIRST, with the 10 displaced picks after it.
 }
 
 

@@ -1029,3 +1029,93 @@ def agg_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contains_quantile"),
         )
     )
+
+
+@gate_query(
+    "agg_bitmap_rolling_distinct",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM e),
+    roll AS (
+      SELECT days.d, CAST(COUNT(DISTINCT e.user_id) AS BIGINT)
+               AS n_active_users_7d
+      FROM days JOIN e
+        ON e.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+      GROUP BY days.d
+    ),
+    today AS (
+      SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_today
+      FROM e GROUP BY d
+    )
+    SELECT strftime(roll.d, '%Y-%m-%d') AS day_str,
+           n_active_users_7d, n_users_today
+    FROM roll JOIN today ON roll.d = today.d
+    """,
+    tags=("sketch", "aggregate", "event"),
+)
+def agg_bitmap_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users from MERGED day-level
+    bitmaps — the pre-aggregated rollup pattern every 100 TB metrics
+    stack runs (Doris BITMAP_UNION over partitions / ClickHouse
+    groupBitmapMerge): raw events compact ONCE into per-(day, word)
+    32-bit bitmap words (the agg_bitmap_distinct construction — one
+    bit per user, both aggregation levels partial map-side), and the
+    rolling window then merges ONLY the word table: each word row
+    scatters to the <=7 trailing windows it serves (the sliding-window
+    fan-out, but applied to the compacted pre-aggregate — days x
+    keyspace/32 rows — instead of the raw event stream), bit_or
+    re-merges per (window day, word), bit_count sums. Exactness is
+    the point: bitmaps are lossless, so the oracle recomputes both
+    columns as direct COUNT(DISTINCT) over the raw trailing range — a
+    value match proves the compact-merge path loses nobody. The
+    scatter is semi-joined to the 30-row broadcast day list so no
+    phantom windows appear past the data's edge; leading days
+    naturally aggregate shorter windows on both engines.
+
+    At 100 TB: the events table is scanned ONCE (the word table and
+    the per-day audit both derive from the same compacted aggregate);
+    re-answering any window size reuses the stored words — the whole
+    reason metric stores persist bitmap columns instead of raw ids."""
+    e = table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    )
+    words = e.groupBy(
+        "d",
+        F.floor(F.col("user_id") / BITMAP_WORD_BITS).cast("long").alias("w"),
+    ).agg(
+        F.bit_or(
+            F.pow(F.lit(2.0), F.col("user_id") % BITMAP_WORD_BITS).cast("long")
+        ).alias("word")
+    ).localCheckpoint()  # the compacted pre-aggregate: scanned by the
+    # scatter AND the per-day audit — one raw-events pass total.
+    days = words.select("d").distinct()
+    scattered = words.select(
+        F.explode(
+            F.sequence(
+                F.col("d"), F.col("d") + F.expr("INTERVAL 6 DAY"), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("td"),
+        "w",
+        "word",
+    )
+    rolled = (
+        scattered.join(F.broadcast(days.withColumnRenamed("d", "td")), "td")
+        .groupBy("td", "w")
+        .agg(F.bit_or("word").alias("mword"))
+        .groupBy("td")
+        .agg(F.sum(F.bit_count("mword")).cast("long").alias("n_active_users_7d"))
+    )
+    today = words.groupBy("d").agg(
+        F.sum(F.bit_count("word")).cast("long").alias("n_users_today")
+    )
+    return (
+        rolled.withColumnRenamed("td", "d")
+        .join(today, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day_str"),
+            "n_active_users_7d",
+            "n_users_today",
+        )
+    )

@@ -460,3 +460,42 @@ class TestAttribution:
             ("first", "click"): 3,
             ("first", "(none)"): 1,
         }
+
+
+class TestBitmapRollingDistinct:
+    def test_hand_days_and_short_leading_windows(self, spark, tmp_path):
+        import pandas as pd
+
+        from big_data_flight_spark.operators.sketches import (
+            agg_bitmap_rolling_distinct,
+        )
+
+        # day 1: users {1,2}; day 2: {2,3}; day 9: {1}
+        # trailing-7d: d1={1,2}; d2={1,2,3}; d9 window [d3..d9] = {1}
+        rows = [
+            ("2024-01-01 05:00", 1),
+            ("2024-01-01 06:00", 2),
+            ("2024-01-02 05:00", 2),
+            ("2024-01-02 06:00", 3),
+            ("2024-01-09 05:00", 1),
+        ]
+        events = pd.DataFrame(
+            {
+                "event_id": range(len(rows)),
+                "ts": pd.to_datetime([r[0] for r in rows]),
+                "user_id": [r[1] for r in rows],
+                "event_type": ["click"] * len(rows),
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        )
+        sf = _write(tmp_path, "events", events)
+        got = {
+            r.day_str: (r.n_active_users_7d, r.n_users_today)
+            for r in agg_bitmap_rolling_distinct(spark, sf).collect()
+        }
+        assert got == {
+            "2024-01-01": (2, 2),
+            "2024-01-02": (3, 2),
+            "2024-01-09": (1, 1),
+        }
