@@ -143,7 +143,8 @@ _NEW_GATE_ALIASES: dict[str, str] = {
     # NOT aliased (r5 late-session precedent — the remaining window
     # names are the ADVICE-fix gate and the three never-graded bench
     # headliners, all higher priority): agg_bitmap_rolling_distinct
-    # joins the r7 queue FIRST, with the 10 displaced picks after it.
+    # and graph_k_core
+    # join the r7 queue FIRST, with the 10 displaced picks after them.
 }
 
 

@@ -383,6 +383,16 @@ SNAPSHOT = {
         "Union",
         "!CartesianProduct",
     ],
+    # r6. k-core: like the other iterative gates, the final plan reads
+    # checkpointed per-round state (ExistingRDD) into the removed-
+    # profile hash aggregate and the core summary, unioned; no
+    # cartesian may appear.
+    "graph_k_core": [
+        "ExistingRDD",
+        "HashAggregate",
+        "Union",
+        "!CartesianProduct",
+    ],
     # r6. Attribution: ONE events scan carries all three window picks;
     # both models' credits leave that pass as an exploded struct array
     # (Generate) — a union of per-model selects would re-execute the

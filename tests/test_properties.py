@@ -346,3 +346,46 @@ def test_hits_matches_python_reference(spark, raw_pairs):
     got_a, got_h = hits_scores(df, 2)
     assert {r.node: r.score for r in got_a.collect()} == a
     assert {r.node: r.score for r in got_h.collect()} == h
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(100, 106)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(1, 4),
+)
+def test_kcore_matches_python_reference(spark, raw_pairs, k):
+    """The k-core peeling kernel must agree EXACTLY with a pure-Python
+    reference on arbitrary small bipartite graphs: per-round removed
+    sets, the round cap, and the fixpoint core."""
+    from big_data_flight_spark.operators.graph import kcore_profile
+
+    pairs = sorted({(c, s) for c, s in raw_pairs})
+    adj: dict[int, set[int]] = {}
+    for c, s in pairs:
+        adj.setdefault(c, set()).add(s)
+        adj.setdefault(s, set()).add(c)
+    max_rounds = 8
+    expected = {}
+    rounds = 0
+    for t in range(1, max_rounds + 1):
+        drop = sorted(n for n, v in adj.items() if len(v) < k)
+        if not drop:
+            break
+        rounds = t
+        expected[("removed", t)] = (len(drop), sum(drop))
+        for n in drop:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    expected[("core", rounds)] = (len(adj), sum(adj))
+
+    df = spark.createDataFrame(pairs, "c long, s long")
+    got = {
+        (r.phase, r.round): (r.n_nodes, r.id_sum)
+        for r in kcore_profile(df, k, max_rounds).collect()
+    }
+    assert got == expected
