@@ -516,12 +516,20 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lowercase step), an explicit port on doc_id%7, a trailing slash on
 # doc_id%2 (exercises the trim step), tracking params + an id param on
 # doc_id%3 in {0,1} (no query at all on %3=2 — the NULL path), and a
-# fragment on doc_id%5. '||', CASE, CAST(AS VARCHAR(20)) and modulo
-# are dialect-shared (checked on both engines).
+# fragment on doc_id%5. '||', CASE, CAST(AS VARCHAR(20)), md5 and
+# modulo are dialect-shared (checked on both engines).
+#
+# The host/path labels derive from md5(source)/md5(lang) rather than
+# the raw fixture strings: parse_url is java.net.URI-backed and
+# returns NULL host for URI-illegal characters ('_', space, non-ASCII)
+# that the oracle's permissive regexes would happily accept — and the
+# driver MAY regenerate fixtures between rounds with different value
+# sets. md5 hex is [0-9a-f] (identical on both engines), so the
+# synthesized URL stays URI-legal under ANY future source/lang values.
 _URL_RAW = """
-  'https://' || source || '.Example.com' ||
+  'https://' || substring(md5(source), 1, 8) || '.Example.com' ||
   CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END ||
-  '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR(20)) ||
+  '/' || substring(md5(lang), 1, 4) || '/doc/' || CAST(doc_id AS VARCHAR(20)) ||
   CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
   CASE WHEN doc_id % 3 = 0
        THEN '?utm_source=feed&utm_campaign=x&id=' || CAST(doc_id AS VARCHAR(20))

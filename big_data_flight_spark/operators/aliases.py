@@ -140,12 +140,19 @@ _NEW_GATE_ALIASES: dict[str, str] = {
     # (seventh r6 batch; displaced fn_variant): watermarked sliding
     # streaming window.
     "a0_stream_sliding_window": "stream_sliding_window",
-    # NOT aliased (r5 late-session precedent — the remaining window
-    # names are the ADVICE-fix gate and the three never-graded bench
-    # headliners, all higher priority): agg_bitmap_rolling_distinct
-    # and graph_k_core
-    # join the r7 queue FIRST, with the 10 displaced picks after them.
 }
+
+# Gates born this round but NOT aliased (r5 late-session precedent —
+# the remaining window names are the ADVICE-fix gate and the three
+# never-graded bench headliners, all higher priority). They join the
+# r7 rotation queue FIRST, with the 10 displaced picks after them.
+# Every brand-new gate MUST appear either in _NEW_GATE_ALIASES or
+# here — enforced by tests/test_scale_patterns.py against the
+# committed tests/known_gates.txt ledger.
+_DEFERRED_TO_NEXT_ROTATION = (
+    "agg_bitmap_rolling_distinct",
+    "graph_k_core",
+)
 
 
 def _register_aliases() -> None:

@@ -43,6 +43,15 @@ def _dot(a, b):  # double dot product, deterministic left-to-right fold
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _cos_arr(a, b):
+    """Cosine of two double arrays — THE one IEEE expression tree every
+    cosine-ranking gate shares (sim_ann_ivf's cell probe,
+    sim_rrf_fusion's ranker, ...). One definition keeps the fold
+    bit-identical across gates: a reassociated copy in one gate would
+    silently break only that gate's cross-engine parity."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
 def _ordered_mean(col):
     """Order-canonical float64 mean across group rows: collect → sort →
     left fold. Both engines then add the same doubles in the same
@@ -495,12 +504,6 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cell", F.transform("pc", lambda s: s["cv"]).alias("centroid"))
     )
 
-    def cos_arr(a, b):  # double arrays
-        dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda m, x: m + x)
-        na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda m, x: m + x * x))
-        nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda m, x: m + x * x))
-        return dot / (na * nb)
-
     emb_dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), emb_dbl.alias("q_emb")
@@ -509,7 +512,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_cell = Window.partitionBy("query_id").orderBy(F.col("c_sim").desc(), F.col("cell"))
     probe = (
         q.crossJoin(F.broadcast(cent))
-        .select("query_id", "q_emb", "cell", cos_arr(F.col("q_emb"), F.col("centroid")).alias("c_sim"))
+        .select("query_id", "q_emb", "cell", _cos_arr(F.col("q_emb"), F.col("centroid")).alias("c_sim"))
         .withColumn("rn", F.row_number().over(w_cell))
         .filter(F.col("rn") <= 5)
         .select("query_id", "q_emb", "cell")
@@ -522,7 +525,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_top = (
         probe.join(corpus, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", F.round(cos_arr(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"))
+        .select("query_id", "neighbor_id", F.round(_cos_arr(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"))
         .withColumn("rn", F.row_number().over(w_nn))
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id")
@@ -1843,14 +1846,6 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
 
     # --- ranker 1: exact cosine top-k (the sim_topk_neighbors shape)
-    def cos_arr(a, b):
-        dot = F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda m, x: m + x
-        )
-        na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda m, x: m + x * x))
-        nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda m, x: m + x * x))
-        return dot / (na * nb)
-
     q = e.filter(F.col("vec_id") < _RRF_NQ).select(
         F.col("vec_id").alias("query_id"), emb_dbl.alias("q_emb")
     )
@@ -1867,7 +1862,7 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cos_arr(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+            F.round(_cos_arr(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
         )
         .withColumn("cos_rank", F.row_number().over(w_cos).cast("long"))
         .filter(F.col("cos_rank") <= _RRF_K)

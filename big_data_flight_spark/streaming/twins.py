@@ -704,8 +704,9 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         elif new:
             # Out-of-order arrival: merge and re-fold the whole history
             # (rare; see docstring for why a partial replay is unsafe).
-            merged = sorted(zip(ts_l, id_l, x_l)) if ts_l else []
-            merged = sorted(merged + new)
+            # The stored history is invariantly sorted (both paths keep
+            # it so) — only the concatenation needs sorting.
+            merged = sorted(list(zip(ts_l, id_l, x_l)) + new)
             ts_l = [r[0] for r in merged]
             id_l = [r[1] for r in merged]
             x_l = [r[2] for r in merged]

@@ -213,23 +213,63 @@ class TestFnUrl:
         )
         sf = _write(tmp_path, "documents", docs)
         got = {r.doc_id: r for r in fn_url(spark, sf).collect()}
+
+        # host/path labels are md5-derived (URI-charset safety — see
+        # _URL_RAW); recompute them here independently.
+        import hashlib
+
+        def h(src):
+            return hashlib.md5(src.encode()).hexdigest()[:8]
+
+        def p(lang):
+            return hashlib.md5(lang.encode()).hexdigest()[:4]
+
         r0 = got[0]
-        assert r0.host == "src1.Example.com"
-        assert r0.authority == "src1.Example.com:8080"
-        assert r0.path == "/en/doc/0/"
+        assert r0.host == f"{h('src1')}.Example.com"
+        assert r0.authority == f"{h('src1')}.Example.com:8080"
+        assert r0.path == f"/{p('en')}/doc/0/"
         assert (r0.id_param, r0.has_port, r0.has_fragment) == (0, True, True)
         assert r0.n_query_params == 3
-        assert r0.canonical_url == "https://src1.example.com:8080/en/doc/0?id=0"
+        assert (
+            r0.canonical_url
+            == f"https://{h('src1')}.example.com:8080/{p('en')}/doc/0?id=0"
+        )
         r7 = got[7]
-        assert (r7.authority, r7.path) == ("src2.Example.com:8080", "/de/doc/7")
+        assert (r7.authority, r7.path) == (
+            f"{h('src2')}.Example.com:8080",
+            f"/{p('de')}/doc/7",
+        )
         assert (r7.id_param, r7.n_query_params, r7.has_fragment) == (7, 1, False)
-        assert r7.canonical_url == "https://src2.example.com:8080/de/doc/7?id=7"
         r8 = got[8]
         assert (r8.id_param, r8.n_query_params, r8.has_port) == (None, 0, False)
-        assert r8.canonical_url == "https://src3.example.com/en/doc/8"
+        assert r8.canonical_url == f"https://{h('src3')}.example.com/{p('en')}/doc/8"
         r15 = got[15]
         assert (r15.id_param, r15.has_fragment) == (15, True)
-        assert r15.canonical_url == "https://src4.example.com/fr/doc/15?id=15"
+
+    def test_uri_illegal_fixture_values_stay_parseable(self, spark, tmp_path):
+        """The md5-label defense: source/lang values java.net.URI would
+        reject as raw hostname/path labels (underscore, space,
+        non-ASCII) must still produce fully-parsed rows."""
+        import pandas as pd
+
+        from big_data_flight_spark.functions.scalar import fn_url
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["a", "b", "c"],
+                "lang": ["en US", "zh—cn", "de"],
+                "source": ["common_crawl", "web archive", "sité"],
+                "n_chars": [1, 1, 1],
+            }
+        )
+        sf = _write(tmp_path, "documents", docs)
+        rows = fn_url(spark, sf).collect()
+        assert len(rows) == 3
+        for r in rows:
+            assert r.host is not None and r.host.endswith(".Example.com")
+            assert r.path is not None and "/doc/" in r.path
+            assert r.canonical_url.startswith("https://")
 
 
 class TestAudioResample:

@@ -35,7 +35,10 @@ def test_new_gates_are_aliased_into_driver_window():
     alphabetical window (the r5-session-2 NEW_GATES list above was
     that round's instance; the alias window rotates per round, so
     this asserts the live registration instead of a frozen list)."""
-    from big_data_flight_spark.operators.aliases import _NEW_GATE_ALIASES
+    from big_data_flight_spark.operators.aliases import (
+        _DEFERRED_TO_NEXT_ROTATION,
+        _NEW_GATE_ALIASES,
+    )
 
     _load_all_operator_modules()
     window = sorted(_REGISTRY)[:50]
@@ -43,6 +46,32 @@ def test_new_gates_are_aliased_into_driver_window():
     for alias, target in _NEW_GATE_ALIASES.items():
         assert target in _REGISTRY
         assert alias in window
+    for target in _DEFERRED_TO_NEXT_ROTATION:
+        assert target in _REGISTRY
+
+
+def test_every_gate_is_consciously_registered():
+    """The teeth behind the brand-new-gate rule (an r6 review finding:
+    a live-only check lets an unlisted newcomer slip through): the
+    committed tests/known_gates.txt ledger must exactly equal the
+    distinct registry. Adding a gate therefore forces a ledger edit,
+    and the failure message states the alias-or-defer obligation."""
+    import os
+
+    _load_all_operator_modules()
+    ledger_path = os.path.join(os.path.dirname(__file__), "known_gates.txt")
+    with open(ledger_path) as fh:
+        known = {line.strip() for line in fh if line.strip()}
+    names = {n for n in _REGISTRY if not n.startswith("a0_")}
+    unknown = names - known
+    assert not unknown, (
+        f"gates {sorted(unknown)} are not in tests/known_gates.txt — add "
+        "them to the ledger AND either alias them into the driver window "
+        "(_NEW_GATE_ALIASES) or list them in _DEFERRED_TO_NEXT_ROTATION "
+        "(operators/aliases.py)"
+    )
+    stale = known - names
+    assert not stale, f"ledger entries {sorted(stale)} no longer registered"
 
 
 def test_bitmap_distinct_equals_exact(spark):
