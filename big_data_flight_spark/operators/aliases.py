@@ -152,6 +152,7 @@ _NEW_GATE_ALIASES: dict[str, str] = {
 _DEFERRED_TO_NEXT_ROTATION = (
     "agg_bitmap_rolling_distinct",
     "graph_k_core",
+    "udf_grouped_map_arrow",
 )
 
 

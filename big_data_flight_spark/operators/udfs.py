@@ -528,3 +528,70 @@ def udtf_table_args(spark: SparkSession, sf_dir: str) -> DataFrame:
           PARTITION BY user_id ORDER BY (ts, event_id))
         """
     )
+
+
+def _arrow_group_stats(tbl):
+    """applyInArrow kernel: one pyarrow.Table in, one out, per group —
+    exact integer reductions (values quantized to micro-units row-side
+    before any arithmetic, so every sum is a BIGINT)."""
+    import math
+
+    import pyarrow as pa
+
+    vals = tbl.column("value").to_pylist()
+    ids = tbl.column("event_id").to_pylist()
+    micro = [int(math.floor(v * 1_000_000 + 0.5)) for v in vals]
+    return pa.table(
+        {
+            "event_type": [tbl.column("event_type")[0].as_py()],
+            "n": [len(ids)],
+            "sum_value_micro": [sum(micro)],
+            "min_id": [min(ids)],
+            "max_id": [max(ids)],
+        },
+        schema=pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("n", pa.int64()),
+                ("sum_value_micro", pa.int64()),
+                ("min_id", pa.int64()),
+                ("max_id", pa.int64()),
+            ]
+        ),
+    )
+
+
+@gate_query(
+    "udf_grouped_map_arrow",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_value_micro,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("udf",),
+)
+def udf_grouped_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().applyInArrow — the Arrow-native grouped-map surface
+    (Spark 4), completing the Python-integration matrix: pandas
+    grouped-map (udf_grouped_map) and cogrouped-map
+    (udf_cogrouped_map) now have their zero-pandas sibling gated too.
+    The kernel receives each event_type group as ONE pyarrow.Table
+    and reduces it to exact integers (micro-unit quantization happens
+    per row BEFORE summation, so the oracle's SUM(floor(v*1e6+0.5))
+    matches bit-for-bit — no float fold anywhere). Scale: one hash
+    exchange on the group key, per-group Arrow batches; the shape for
+    group-local kernels that want pyarrow/numpy without pandas
+    conversion overhead."""
+    e = table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    return e.groupBy("event_type").applyInArrow(
+        _arrow_group_stats,
+        schema=(
+            "event_type string, n long, sum_value_micro long, "
+            "min_id long, max_id long"
+        ),
+    )
