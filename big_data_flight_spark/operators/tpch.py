@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_flight_spark.io import table
-from big_data_flight_spark.registry import DSUM, dsum, gate_query
+from big_data_flight_spark.registry import DSUM, davg, dsum, gate_query
 
 
 @gate_query(
@@ -170,12 +170,12 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q14",
     oracle="""
     SELECT
-      ROUND(
-        100.0 * CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+      floor(
+        (100.0 * CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
                         THEN l_extendedprice * (1 - l_discount) ELSE 0 END
                    AS DECIMAL(38,6))) AS DOUBLE)
-        / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE),
-        6) AS promo_revenue_pct
+        / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE))
+        * 1000000 + 0.5) / 1000000 AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1996-09-01 00:00:00'
@@ -193,13 +193,18 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
     j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    ratio = (
+        100.0
+        * F.sum(promo.cast("decimal(38,6)")).cast("double")
+        / F.sum(rev.cast("decimal(38,6)")).cast("double")
+    )
+    # floor-form display rounding (registry rule: ROUND(.,6) on an
+    # unconstrained double is engine-divergent at half boundaries —
+    # the q2/ADVICE-r3 lesson; r6 review finding).
     return j.agg(
-        F.round(
-            100.0
-            * F.sum(promo.cast("decimal(38,6)")).cast("double")
-            / F.sum(rev.cast("decimal(38,6)")).cast("double"),
-            6,
-        ).alias("promo_revenue_pct")
+        (F.floor(ratio * F.lit(1000000) + F.lit(0.5)) / F.lit(1000000)).alias(
+            "promo_revenue_pct"
+        )
     )
 
 
@@ -248,7 +253,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_totalprice,
            (SELECT COUNT(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items
     FROM orders
-    WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.8 FROM orders)
+    WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) * 1.8 FROM orders)
     """,
     tags=("relational", "sql"),
 )
@@ -265,7 +270,7 @@ def filter_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey, o_totalprice,
                (SELECT COUNT(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items
         FROM orders
-        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.8 FROM orders)
+        WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) * 1.8 FROM orders)
         """
     )
 
@@ -311,7 +316,12 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
        key (c_custkey..o_totalprice) is functionally dependent on
        o_orderkey and every `big` order has lineitems by
        construction, so row k of the pushed-down top-100 is row k of
-       the final result.
+       the final result. This additionally assumes orders→customer FK
+       integrity (an orphan o_custkey among the top-100 would drop a
+       row here while the oracle, which joins customer first, picks a
+       different 100th) — asserted by
+       tests/test_fixtures.py::test_orders_customer_fk_integrity so a
+       fixture regeneration that breaks the FK fails loudly.
     3. (r4) NO lineitem re-join at all: the output total_qty IS the
        per-order sum the HAVING aggregate already computed, so `big`
        carries it forward and the second fact scan disappears. The
@@ -331,6 +341,11 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
         .filter(F.col("q") > 150)
     )
+    # F.broadcast(big) is a FIXTURE-SCALE hint only: `big` is
+    # fact-cardinality (~20% of orders pass the >150 threshold —
+    # measured 29k of 147k at sf0.1), so at 100 TB this join runs as a
+    # shuffle/semi-join on the order key instead; the single-fact-scan
+    # rewrite above is the part of this plan that survives any scale.
     o = table(spark, sf_dir, "orders").join(
         F.broadcast(big), F.col("o_orderkey") == big.l_orderkey
     )
@@ -544,7 +559,7 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 @gate_query(
     "tpch_q15",
     oracle=f"""
-    WITH revenue0 AS (
+    WITH revenue0 AS MATERIALIZED (
       SELECT l_suppkey AS supplier_no,
              {DSUM("l_extendedprice * (1 - l_discount)", "total_revenue")}
       FROM lineitem
@@ -708,6 +723,7 @@ def tpch_q21_threescan(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer
       WHERE c_nationkey IN (1, 5, 9, 13, 17, 21, 24)
         AND c_acctbal > (
+          -- DAVG('c_acctbal', ...) inlined (threshold position, no alias)
           SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(c_acctbal)
           FROM customer
           WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 5, 9, 13, 17, 21, 24)
@@ -730,7 +746,7 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").isin(1, 5, 9, 13, 17, 21, 24)
     )
     thr = c.filter(F.col("c_acctbal") > 0.0).agg(
-        (F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double") / F.count("c_acctbal")).alias("thr")
+        davg("c_acctbal", "thr")
     )
     o = table(spark, sf_dir, "orders").select("o_custkey")
     eligible = (
@@ -858,7 +874,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 @gate_query(
     "tpch_q11",
     oracle="""
-    WITH val AS (
+    WITH val AS MATERIALIZED (
       SELECT l_partkey AS pk,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS value
       FROM lineitem
@@ -950,7 +966,7 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     return (
         ps.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )

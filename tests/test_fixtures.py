@@ -24,3 +24,17 @@ def test_l_quantity_is_integral():
         "WHERE l_quantity <> floor(l_quantity) OR l_quantity IS NULL"
     ).fetchone()[0]
     assert n == 0
+
+
+def test_orders_customer_fk_integrity():
+    """tpch_q18 takes its top-100 BEFORE the customer join (rewrite #2
+    in its docstring) — valid only if every o_custkey resolves in
+    customer. An orphan among the top-100 would silently shift the
+    result by one row vs the oracle, so the FK must fail loudly on any
+    fixture regeneration that breaks it."""
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_SMOKE}/orders.parquet') o "
+        f"LEFT JOIN read_parquet('{SF_SMOKE}/customer.parquet') c "
+        "ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL"
+    ).fetchone()[0]
+    assert n == 0
