@@ -28,6 +28,22 @@ def tokens(docs: DataFrame) -> DataFrame:
     ).filter(F.col("token") != "")
 
 
+# Adjacent (w1, w2) bigram structs from the raw token array — ONE
+# definition for every bigram-table consumer (text_bigram_lm,
+# text_lm_score; r6 review: two verbatim copies risked silent
+# desynchronization). text_ngram_freq / text_repetition_stats / BPE
+# keep their own variants deliberately: different guards and shapes.
+def _adj_pair_structs():
+    # a function, not a module constant: F.expr needs an active
+    # SparkContext, which does not exist at import time.
+    return F.expr(
+        "CASE WHEN size(toks) >= 2 THEN "
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> struct(toks[i-1] AS w1, toks[i] AS w2)) "
+        "ELSE array() END"
+    )
+
+
 @gate_query(
     "text_tokenize_counts",
     oracle="""
@@ -74,7 +90,8 @@ def text_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
     )
     SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT token) AS n_unique,
-           ROUND(COUNT(DISTINCT token) * 1.0 / COUNT(*), 6) AS type_token_ratio
+           floor(COUNT(DISTINCT token) * 1.0 / COUNT(*) * 1000000 + 0.5)
+             / 1000000 AS type_token_ratio
     FROM tok WHERE token <> ''
     GROUP BY doc_id
     """,
@@ -87,7 +104,13 @@ def text_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.countDistinct("token").alias("n_unique"),
-        F.round(F.countDistinct("token") / F.count(F.lit(1)), 6).alias("type_token_ratio"),
+        (
+            F.floor(
+                F.countDistinct("token") / F.count(F.lit(1)) * F.lit(1000000)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000)
+        ).alias("type_token_ratio"),
     )
 
 
@@ -177,7 +200,8 @@ def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       doc_id,
       n_chars,
       len(string_split(text, ' ')) AS n_words,
-      ROUND(n_chars * 1.0 / len(string_split(text, ' ')), 6) AS avg_word_len,
+      floor(n_chars * 1.0 / len(string_split(text, ' ')) * 1000000 + 0.5)
+        / 1000000 AS avg_word_len,
       CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 100
             AND n_chars * 1.0 / len(string_split(text, ' ')) BETWEEN 3 AND 10
            THEN 'keep' ELSE 'review' END AS quality_bucket
@@ -196,7 +220,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_chars",
         n_words.cast("long").alias("n_words"),
-        F.round(awl, 6).alias("avg_word_len"),
+        (F.floor(awl * F.lit(1000000) + F.lit(0.5)) / F.lit(1000000)).alias(
+            "avg_word_len"
+        ),
         F.when(
             n_words.between(20, 100) & awl.between(3, 10), "keep"
         ).otherwise("review").alias("quality_bucket"),
@@ -214,10 +240,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CASE WHEN token IN ('the','and','of','to','a') THEN 1 ELSE 0 END) AS BIGINT)
                AS en_hits,
              COUNT(*) AS n_tokens
-      FROM tok GROUP BY doc_id, lang
+      FROM tok WHERE token <> '' GROUP BY doc_id, lang
     )
     SELECT doc_id, lang, en_hits, n_tokens,
-           ROUND(en_hits * 1.0 / n_tokens, 6) AS en_score,
+           floor(en_hits * 1.0 / n_tokens * 1000000 + 0.5) / 1000000 AS en_score,
            en_hits * 1.0 / n_tokens > 0.05 AS looks_english
     FROM scored
     """,
@@ -227,9 +253,18 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: stopword-hit-rate n-gram scoring (the
     fixture vocabulary is synthetic, so the score is the mechanism
     under test, not a real classifier — swap the token list for a
-    per-language lexicon in production)."""
+    per-language lexicon in production). lang rides the select into
+    the explode (no corpus-sized re-join); the oracle filters empty
+    split-tokens exactly like tokens() does (r6 review: the filter
+    was missing oracle-side — latent divergence on any regenerated
+    doc with a double/trailing space); the score displays via the
+    floor micro-form (int-derived ratio: both engines divide the
+    same BIGINTs, so the floor arithmetic is bit-identical —
+    engine-ROUND is not at decimal boundaries)."""
     d = table(spark, sf_dir, "documents")
-    t = tokens(d).join(d.select("doc_id", "lang"), "doc_id")
+    t = d.select(
+        "doc_id", "lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
     hit = F.when(F.col("token").isin("the", "and", "of", "to", "a"), 1).otherwise(0)
     scored = t.groupBy("doc_id", "lang").agg(
         F.sum(hit).alias("en_hits"), F.count(F.lit(1)).alias("n_tokens")
@@ -240,7 +275,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "en_hits",
         "n_tokens",
-        F.round(rate, 6).alias("en_score"),
+        (F.floor(rate * F.lit(1000000) + F.lit(0.5)) / F.lit(1000000)).alias("en_score"),
         (rate > 0.05).alias("looks_english"),
     )
 
@@ -372,7 +407,8 @@ JACCARD_PAIRS_ORACLE = """
       WHERE len(list_intersect(a.shingles, b.shingles)) > 0
     )
     SELECT doc_a, doc_b,
-           ROUND(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+           floor(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common)
+                 * 1000000 + 0.5) / 1000000 AS jaccard
     FROM pairs
     JOIN sizes sa ON doc_a = sa.doc_id
     JOIN sizes sb ON doc_b = sb.doc_id
@@ -424,7 +460,8 @@ JACCARD_CAPPED_ORACLE = f"""
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           ROUND(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard,
+           floor(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common)
+                 * 1000000 + 0.5) / 1000000 AS jaccard,
            (SELECT n FROM dropped) AS dropped_shingles
     FROM common
     JOIN sizes sa ON doc_a = sa.doc_id
@@ -480,8 +517,14 @@ def near_dup_pairs(
     dropped = None
     if max_doc_freq is not None:
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        keep = dfreq.filter(F.col("df") <= max_doc_freq).select("shingle")
-        sh_join = sh.join(F.broadcast(keep), "shingle", "left_semi")
+        # Broadcast the DROPPED stop-shingle set, not the keep set
+        # (r6 review): keep is nearly the whole shingle vocabulary —
+        # unbroadcastable at exactly the web scale this cap exists
+        # for — while the stop set (df > cap) is small by construction
+        # ('web-scale stop words'). left_anti(stop) == left_semi(keep)
+        # because every shingle of sh appears in dfreq exactly once.
+        stop = dfreq.filter(F.col("df") > max_doc_freq).select("shingle")
+        sh_join = sh.join(F.broadcast(stop), "shingle", "left_anti")
         if audit_dropped:
             # 1-row global audit scalar (count of stop-shingles removed),
             # attached to every output row via a broadcast cross join —
@@ -507,7 +550,15 @@ def near_dup_pairs(
         common.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
         .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select(
+            "doc_a",
+            "doc_b",
+            # int-derived ratio: floor micro-form is bit-identical
+            # across engines; engine-ROUND is not (r6 review).
+            (F.floor(jac * F.lit(1000000) + F.lit(0.5)) / F.lit(1000000)).alias(
+                "jaccard"
+            ),
+        )
     )
     if dropped is not None:
         out = out.crossJoin(F.broadcast(dropped))
@@ -559,8 +610,10 @@ def text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair graph (Jaccard ≥ 0.5) via iterative min-label propagation —
     each doc ends up labeled with the smallest doc_id reachable through
     near-dup edges (the canonical 'keeper'); singletons label
-    themselves. The driver loop converges in O(log(diameter)) rounds
-    and stops as soon as a round changes nothing — the standard
+    themselves. The driver loop needs O(diameter) rounds (min-label
+    propagation moves one hop per round — the O(log) claim previously
+    here was wrong, r6 review; the LSS twin is the O(log²) form) and
+    stops as soon as a round changes nothing — the standard
     DataFrame-iterative-algorithm shape (same skeleton as PageRank /
     label propagation). Oracle: recursive CTE computing reachability
     min-labels.
@@ -580,6 +633,7 @@ def text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
 
     labels = docs.select(F.col("doc_id").alias("doc"), F.col("doc_id").alias("label"))
+    changed = -1
     for _ in range(10):  # diameter bound; fixture clusters are tiny
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc)
@@ -603,6 +657,14 @@ def text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Loud, not silent (r6 review): exhausting the diameter bound
+        # means un-converged labels — wrong cluster ids, not an error
+        # any oracle could localize.
+        raise RuntimeError(
+            "text_dedup_clusters label propagation did not converge in 10 "
+            "rounds — a near-dup chain exceeds the diameter bound; raise it"
+        )
 
     degree = edges.groupBy(F.col("src").alias("doc")).agg(F.count(F.lit(1)).alias("deg"))
     return (
@@ -697,13 +759,22 @@ def connected_components_lss(edges: DataFrame, max_rounds: int = 8) -> DataFrame
         return (row["n"], row["h"])
 
     sig = _sig(cur)
+    converged = False
     for _ in range(max_rounds):
         nxt = small_star(large_star(cur)).localCheckpoint()
         nsig = _sig(nxt)
         cur = nxt  # superseded checkpoint blocks are GC'd by ContextCleaner
         if nsig == sig:
+            converged = True
             break
         sig = nsig
+    if not converged:
+        # Loud, not silent (r6 review): an exhausted bound would emit
+        # non-star edges and therefore wrong cluster labels downstream.
+        raise RuntimeError(
+            f"connected_components_lss did not converge within "
+            f"{max_rounds} rounds — raise max_rounds (O(log^2 n) bound)"
+        )
     return cur
 
 
@@ -723,7 +794,13 @@ def text_dedup_clusters_lss(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_text_similarity.py."""
     docs = table(spark, sf_dir, "documents").repartition(32, "doc_id")
     pairs = text_near_dedup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    # Checkpoint ONCE: both the LSS loop's seed AND `touched` below
+    # consume this plan, whose lineage reaches back through the whole
+    # shingle self-join — un-materialized, the near-dup pipeline would
+    # execute twice (r6 review; the loop-invariant-inputs rule).
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).localCheckpoint()
     stars = connected_components_lss(edges)
     # star edges: u -> component min. Docs absent from `stars` are
     # roots or singletons -> label themselves.
@@ -1309,9 +1386,15 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # repartition: the single-file fixture reads as ONE split, and the
+    # 8-gram explode is the heavy stage; checkpoint ONCE because both
+    # join sides consume this plan (r6 review — un-materialized, the
+    # tokenize+explode executed twice, single-threaded).
     shingles = (
-        d.select("doc_id", toks.alias("toks"))
+        d.repartition(32, "doc_id")
+        .select("doc_id", toks.alias("toks"))
         .select("doc_id", F.explode(grams).alias("shingle"))
+        .localCheckpoint()
     )
     probe = shingles.filter(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("probe_id"), "shingle"
@@ -2175,12 +2258,7 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     backoff smoothing are plain column arithmetic on this table."""
     d = table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), " ")
-    pairs = F.expr(
-        "CASE WHEN size(toks) >= 2 THEN "
-        "transform(sequence(1, size(toks) - 1), "
-        "i -> struct(toks[i-1] AS w1, toks[i] AS w2)) "
-        "ELSE array() END"
-    )
+    pairs = _adj_pair_structs()
     counts = (
         d.select(toks.alias("toks"))
         .select(F.explode(pairs).alias("p"))
@@ -2277,16 +2355,14 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, no pre-pair explode)."""
     d = table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), " ")
-    pairs = F.expr(
-        "CASE WHEN size(toks) >= 2 THEN "
-        "transform(sequence(1, size(toks) - 1), "
-        "i -> struct(toks[i-1] AS w1, toks[i] AS w2)) "
-        "ELSE array() END"
-    )
     doc_pairs = (
         d.select("doc_id", toks.alias("toks"))
-        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.explode(_adj_pair_structs()).alias("p"))
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .localCheckpoint()  # two consumers (LM training + scoring join):
+        # un-materialized, the corpus tokenize+explode ran twice
+        # (r6 review; the oracle marks its dp CTE MATERIALIZED for the
+        # same reason).
     )
     train_counts = (
         doc_pairs.filter(F.col("doc_id") % 2 == 0)
