@@ -48,8 +48,31 @@ def _cos_arr(a, b):
     cosine-ranking gate shares (sim_ann_ivf's cell probe,
     sim_rrf_fusion's ranker, ...). One definition keeps the fold
     bit-identical across gates: a reassociated copy in one gate would
-    silently break only that gate's cross-engine parity."""
+    silently break only that gate's cross-engine parity.
+
+    WHY THIS FAMILY RANKS ON THE ROUNDED COSINE (vs CLAUDE.md's
+    general never-round-a-rank-key rule, which comes from the q2/ln
+    lesson): the cosine pipeline is transcendental-free — casts,
+    products, in-order folds, sqrt, divide are all IEEE-identical on
+    identical inputs — so the RAW doubles are already bit-identical
+    across engines and the only cross-engine hazard either way is an
+    exact 1e-6 rounding boundary (measure-zero, and driver-validated
+    across six fixture generations since r3). Rank-on-raw would trade
+    that for reordering today's rounding-collapsed ties; for
+    ln-tainted keys (tfidf/bm25) the rounded form is additionally the
+    STRICTLY safer one, since raw values there can differ by 1 ulp."""
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _ordered_sum(col):
+    """Order-canonical float64 SUM across group rows: collect -> sort ->
+    left fold (the _ordered_mean construction without the division).
+    The safe form for summing float PRODUCTS — decimal-quantizing them
+    (e.g. DECIMAL(38,12)) diverges when a product lands on a decimal
+    rounding boundary: Spark casts HALF_UP, DuckDB HALF_EVEN (observed
+    at scale 12; r6 review retired the last such use)."""
+    vals = F.sort_array(F.collect_list(col))
+    return F.aggregate(vals, F.lit(0.0), lambda acc, x: acc + x)
 
 
 def _ordered_mean(col):
@@ -143,15 +166,24 @@ def sim_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly how batch k-NN scales: the corpus streams, queries ride
     along."""
     e = table(spark, sf_dir, "embeddings")
+    # Norms are precomputed per VECTOR before the pair join (the
+    # sim_cosine_pairs rule; r6 review: computing them inside the
+    # per-pair expression re-ran each O(64) norm fold once per pair —
+    # ~3x the fold work of the dot product alone). Value-identical:
+    # same fold, same IEEE ops, just evaluated once per row.
     q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("emb_q")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("emb_q"),
+        _norm(F.col("embedding")).alias("nrm_q"),
     )
     # corpus side drives parallelism (queries are broadcast): fan the
     # single parquet split out to all cores
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_c")).repartition(32)
-    cos = _dot(F.col("emb_q"), F.col("emb_c")) / (
-        _norm(F.col("emb_q")) * _norm(F.col("emb_c"))
-    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb_c"),
+        _norm(F.col("embedding")).alias("nrm_c"),
+    ).repartition(32)
+    cos = _dot(F.col("emb_q"), F.col("emb_c")) / (F.col("nrm_q") * F.col("nrm_c"))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -209,14 +241,14 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dots AS (
       SELECT vec_id, label, c_label,
-             CAST(SUM(CAST(vv * cv AS DECIMAL(38,12))) AS DOUBLE) AS dot,
-             CAST(SUM(CAST(vv * vv AS DECIMAL(38,12))) AS DOUBLE) AS v_sq,
-             CAST(SUM(CAST(cv * cv AS DECIMAL(38,12))) AS DOUBLE) AS c_sq
+             list_sum(list_sort(list(vv * cv))) AS dot,
+             list_sum(list_sort(list(vv * vv))) AS v_sq,
+             list_sum(list_sort(list(cv * cv))) AS c_sq
       FROM vec JOIN cent USING (pos)
       GROUP BY vec_id, label, c_label
     )
     SELECT vec_id, label AS true_label, c_label AS assigned_label,
-           ROUND(cos_sim, 6) AS cos_sim
+           floor(cos_sim * 1000000 + 0.5) / 1000000 AS cos_sim
     FROM (
       SELECT vec_id, label, c_label, dot / sqrt(v_sq * c_sq) AS cos_sim,
              row_number() OVER (
@@ -244,16 +276,17 @@ def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", F.posexplode("embedding").alias("pos", "val"))
         .select("vec_id", "label", "pos", F.col("val").cast("double").alias("vv"))
     )
-    def dsum12(expr, alias):
-        return F.sum(expr.cast("decimal(38,12)")).cast("double").alias(alias)
-
     dots = (
         vec.join(F.broadcast(cent), "pos")
         .groupBy("vec_id", "label", "c_label")
         .agg(
-            dsum12(F.col("vv") * F.col("cv"), "dot"),
-            dsum12(F.col("vv") * F.col("vv"), "v_sq"),
-            dsum12(F.col("cv") * F.col("cv"), "c_sq"),
+            # sorted folds, NOT decimal-quantized sums: float products
+            # on a decimal rounding boundary cast HALF_UP in Spark but
+            # HALF_EVEN in DuckDB (the hazard the centroid gate above
+            # documents; r6 review).
+            _ordered_sum(F.col("vv") * F.col("cv")).alias("dot"),
+            _ordered_sum(F.col("vv") * F.col("vv")).alias("v_sq"),
+            _ordered_sum(F.col("cv") * F.col("cv")).alias("c_sq"),
         )
     )
     cos = F.col("dot") / F.sqrt(F.col("v_sq") * F.col("c_sq"))
@@ -265,7 +298,9 @@ def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.col("label").alias("true_label"),
             F.col("c_label").alias("assigned_label"),
-            F.round(cos, 6).alias("cos_sim"),
+            (F.floor(cos * F.lit(1000000) + F.lit(0.5)) / F.lit(1000000)).alias(
+                "cos_sim"
+            ),
         )
     )
 
@@ -321,8 +356,15 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_a") < F.col("vec_b"))
         .distinct()
     )
-    # exact ≥0.3 pairs on the same slice, for recall accounting
-    v = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    # exact ≥0.3 pairs on the same slice, for recall accounting —
+    # repartitioned off the single fixture split so the nested-loop
+    # truth join spreads across cores (the sim_cosine_pairs rule;
+    # r6 review found this one missing it).
+    v = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 500)
+        .repartition(32)
+    )
     a = v.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = v.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
@@ -403,54 +445,7 @@ def text_near_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def kmeans_codebook(
-    e: DataFrame, k: int = 8, iters: int = 3, seed_ids: list[int] | None = None
-) -> DataFrame:
-    """Deterministic Lloyd's k-means over the embedding column — the
-    IVF codebook trainer for corpora without labels. DataFrame-
-    iterative (same skeleton as text_dedup_clusters): assign each
-    vector to its nearest centroid (broadcast k×DIM table), recompute
-    centroids as order-canonical means, repeat.
-
-    Deterministic by construction: seeds are fixed vec_ids (not
-    random), assignment ties break on cell id, means use sorted folds.
-    At 100 TB: train on a ~1‰ sample (codebook quality saturates
-    quickly), then a single assignment pass over the corpus.
-
-    Returns (cell, centroid array<double>).
-    """
-    seeds = seed_ids or [i * 17 for i in range(k)]  # spread fixed ids
-    emb_dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    cent = (
-        e.filter(F.col("vec_id").isin(seeds))
-        .select(F.col("vec_id").alias("cell"), emb_dbl.alias("centroid"))
-    )
-    vecs = e.select("vec_id", emb_dbl.alias("v")).repartition(32).cache()
-
-    def cos(a, b):
-        dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda m, x: m + x)
-        na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda m, x: m + x * x))
-        nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda m, x: m + x * x))
-        return dot / (na * nb)
-
-    for _ in range(iters):
-        w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
-        assigned = (
-            vecs.crossJoin(F.broadcast(cent))
-            .select("vec_id", "v", "cell", cos(F.col("v"), F.col("centroid")).alias("sim"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cell", "v")
-        )
-        cent = (
-            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(_ordered_mean(F.col("val")).alias("cv"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
-            .select("cell", F.transform("pc", lambda s: s["cv"]).alias("centroid"))
-        )
-    return cent
+_IVF_NPROBE = 5  # cells probed of the 10 label cells
 
 
 @gate_query(
@@ -508,13 +503,15 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), emb_dbl.alias("q_emb")
     )
-    # query → top-3 cells by centroid cosine
+    # query -> top-_IVF_NPROBE cells by centroid cosine (the docstring's
+    # recall-floor derivation — 'probing 5 of 10 cells bounds recall
+    # near 0.5' — is tied to this constant; r6 review named it).
     w_cell = Window.partitionBy("query_id").orderBy(F.col("c_sim").desc(), F.col("cell"))
     probe = (
         q.crossJoin(F.broadcast(cent))
         .select("query_id", "q_emb", "cell", _cos_arr(F.col("q_emb"), F.col("centroid")).alias("c_sim"))
         .withColumn("rn", F.row_number().over(w_cell))
-        .filter(F.col("rn") <= 5)
+        .filter(F.col("rn") <= _IVF_NPROBE)
         .select("query_id", "q_emb", "cell")
     )
     # search only within probed cells
@@ -634,19 +631,21 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines. Probes broadcast, corpus streams (the batch k-NN
     scale shape); the per-probe vote table is 5 rows."""
     e = table(spark, sf_dir, "embeddings")
+    # per-vector norms precomputed before the pair join (see
+    # sim_topk_neighbors; value-identical, 3x fewer folds per pair)
     q = e.filter(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),
         F.col("embedding").alias("emb_q"),
+        _norm(F.col("embedding")).alias("nrm_q"),
     )
     c = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("n_label"),
         F.col("embedding").alias("emb_c"),
+        _norm(F.col("embedding")).alias("nrm_c"),
     ).repartition(32)
-    cos = _dot(F.col("emb_q"), F.col("emb_c")) / (
-        _norm(F.col("emb_q")) * _norm(F.col("emb_c"))
-    )
+    cos = _dot(F.col("emb_q"), F.col("emb_c")) / (F.col("nrm_q") * F.col("nrm_c"))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -920,10 +919,12 @@ def sim_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@gate_query(
-    "sim_hamming_topk",
-    oracle="""
-    WITH sig AS (
+# The 1-bit sign signature, ONE definition for both its consumers
+# (sim_hamming_topk and sim_rrf_fusion's Hamming ranker; r6 review:
+# byte-identical copies risked drifting independently). Two 32-bit
+# halves packed into BIGINTs — the split avoids the engine-specific
+# sign-bit-63 shift edge entirely.
+_SIG_SQL = """
       SELECT vec_id,
         CAST(list_sum(list_transform(range(1, 33), i ->
           CASE WHEN CAST(embedding[i] AS DOUBLE) > 0 THEN 2 ** (i - 1) ELSE 0 END))
@@ -932,7 +933,28 @@ def sim_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
           CASE WHEN CAST(embedding[i] AS DOUBLE) > 0 THEN 2 ** (i - 33) ELSE 0 END))
           AS BIGINT) AS sig_hi
       FROM embeddings
-    )
+"""
+
+
+def _sig_expr(lo: int):
+    """Spark twin of _SIG_SQL for one 32-bit half starting at dim lo."""
+    terms = [
+        F.when(
+            F.col("embedding")[i].cast("double") > 0,
+            F.lit(1 << (i - lo)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(lo, lo + 32)
+    ]
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return acc
+
+
+@gate_query(
+    "sim_hamming_topk",
+    oracle=f"""
+    WITH sig AS MATERIALIZED ({_SIG_SQL})
     SELECT query_id, neighbor_id, hamming, rn FROM (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              CAST(bit_count(xor(q.sig_lo, c.sig_lo))
@@ -965,20 +987,9 @@ def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine (sim_rerank_pandas is that stage here)."""
     e = table(spark, sf_dir, "embeddings")
 
-    def _sig(lo: int):
-        terms = [
-            F.when(
-                F.col("embedding")[i].cast("double") > 0,
-                F.lit(1 << (i - lo)).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-            for i in range(lo, lo + 32)
-        ]
-        acc = terms[0]
-        for t in terms[1:]:
-            acc = acc + t
-        return acc
-
-    sigs = e.select("vec_id", _sig(0).alias("sig_lo"), _sig(32).alias("sig_hi"))
+    sigs = e.select(
+        "vec_id", _sig_expr(0).alias("sig_lo"), _sig_expr(32).alias("sig_hi")
+    )
     q = sigs.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"),
         F.col("sig_lo").alias("q_lo"),
@@ -1775,16 +1786,7 @@ def _rrf_oracle() -> str:
         WHERE a.vec_id < {nq}
       ) WHERE rn <= {k}
     ),
-    sig AS (
-      SELECT vec_id,
-        CAST(list_sum(list_transform(range(1, 33), i ->
-          CASE WHEN CAST(embedding[i] AS DOUBLE) > 0 THEN 2 ** (i - 1) ELSE 0 END))
-          AS BIGINT) AS sig_lo,
-        CAST(list_sum(list_transform(range(33, 65), i ->
-          CASE WHEN CAST(embedding[i] AS DOUBLE) > 0 THEN 2 ** (i - 33) ELSE 0 END))
-          AS BIGINT) AS sig_hi
-      FROM embeddings
-    ),
+    sig AS MATERIALIZED ({_SIG_SQL}),
     hamr AS (
       SELECT query_id, neighbor_id, rn AS ham_rank FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1870,20 +1872,9 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- ranker 2: 1-bit sign-signature Hamming top-k
-    def _sig(lo: int):
-        terms = [
-            F.when(
-                F.col("embedding")[i].cast("double") > 0,
-                F.lit(1 << (i - lo)).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-            for i in range(lo, lo + 32)
-        ]
-        acc = terms[0]
-        for t in terms[1:]:
-            acc = acc + t
-        return acc
-
-    sigs = e.select("vec_id", _sig(0).alias("sig_lo"), _sig(32).alias("sig_hi"))
+    sigs = e.select(
+        "vec_id", _sig_expr(0).alias("sig_lo"), _sig_expr(32).alias("sig_hi")
+    )
     qs = sigs.filter(F.col("vec_id") < _RRF_NQ).select(
         F.col("vec_id").alias("query_id"),
         F.col("sig_lo").alias("q_lo"),

@@ -83,19 +83,6 @@ def test_lsh_self_audit_reasonable(spark):
     assert row["candidates_bounded"] is True
 
 
-def test_kmeans_codebook_deterministic_and_shaped(spark):
-    from big_data_flight_spark.io import table
-    from big_data_flight_spark.operators.similarity import DIM, kmeans_codebook
-    from tests.conftest import SF_SMOKE
-
-    e = table(spark, SF_SMOKE, "embeddings")
-    cb1 = {r["cell"]: list(r["centroid"]) for r in kmeans_codebook(e, k=4, iters=2).collect()}
-    cb2 = {r["cell"]: list(r["centroid"]) for r in kmeans_codebook(e, k=4, iters=2).collect()}
-    assert cb1 == cb2                      # deterministic across runs
-    assert len(cb1) <= 4 and len(cb1) > 0  # cells may merge, never grow
-    assert all(len(c) == DIM for c in cb1.values())
-
-
 def test_winnowing_shared_substring_shares_fingerprint(spark):
     """Winnowing's guarantee: any match of length >= k + w - 1 chars
     (8 + 4 - 1 = 11 here) between two documents yields at least one
