@@ -77,7 +77,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 
 
 _SIMHASH_SQL_CTE = f"""
-  sh AS (
+  sh AS MATERIALIZED (
     SELECT DISTINCT doc_id, shingle FROM (
       SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                              for i in range(1, len(w) - 1)]) AS shingle
@@ -94,7 +94,7 @@ _SIMHASH_SQL_CTE = f"""
     FROM hv CROSS JOIN range({SIMHASH_BITS}) t(b)
     GROUP BY doc_id, b
   ),
-  sigs AS (
+  sigs AS MATERIALIZED (
     SELECT doc_id,
            CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2.0, b) AS BIGINT) ELSE 0 END) AS BIGINT)
              AS sig
@@ -201,7 +201,7 @@ def minhash_band_candidates(docs: DataFrame) -> DataFrame:
 
 
 _MINHASH_SQL_CTE = f"""
-  sh AS (
+  sh AS MATERIALIZED (
     SELECT DISTINCT doc_id, shingle FROM (
       SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                              for i in range(1, len(w) - 1)]) AS shingle
@@ -214,7 +214,7 @@ _MINHASH_SQL_CTE = f"""
     FROM sh CROSS JOIN range({MINHASH_K}) t(i)
     GROUP BY doc_id, i
   ),
-  bands AS (
+  bands AS MATERIALIZED (
     SELECT doc_id, i // {MINHASH_K // MINHASH_BANDS} AS band_idx,
            string_agg(mh::VARCHAR, ':' ORDER BY i) AS band_val
     FROM mh GROUP BY doc_id, band_idx
@@ -224,7 +224,7 @@ _MINHASH_SQL_CTE = f"""
     FROM bands a JOIN bands b
       ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
   ),
-  sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+  sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
   verified AS (
     SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
     FROM cands c
@@ -240,7 +240,8 @@ _MINHASH_SQL_CTE = f"""
     oracle=f"""
     WITH {_MINHASH_SQL_CTE}
     SELECT v.doc_a, v.doc_b,
-           ROUND(v.n_common * 1.0 / (sa.n_sh + sb.n_sh - v.n_common), 6) AS jaccard
+           floor(v.n_common * 1.0 / (sa.n_sh + sb.n_sh - v.n_common)
+                 * 1000000 + 0.5) / 1000000 AS jaccard
     FROM verified v
     JOIN sizes sa ON v.doc_a = sa.doc_id
     JOIN sizes sb ON v.doc_b = sb.doc_id
@@ -257,7 +258,8 @@ def text_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     if one 4-hash band matches entirely (P ≈ j⁴ per band), so shuffle
     volume tracks the number of true near-dup clusters, not n². The
     final exact-Jaccard verify runs only on candidates — precision 1,
-    recall ≈ 1-(1-j⁴)⁴ (≈ 0.99 at j=0.8, the regime dedup targets)."""
+    recall ≈ 1-(1-j⁴)⁴ (≈ 0.88 at j=0.8, ≈ 0.99 at j=0.9 — r6 review
+    corrected the overstated 0.8 figure)."""
     docs = table(spark, sf_dir, "documents").repartition(32, "doc_id")
     sh = shingles(docs, 3)
     cands = minhash_band_candidates(docs)
@@ -283,7 +285,15 @@ def text_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
         )
         .filter(jac >= JACCARD_T)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select(
+            "doc_a",
+            "doc_b",
+            # int-derived ratio -> floor micro-form (bit-identical IEEE
+            # on both engines; engine-ROUND is not — r6 review).
+            (F.floor(jac * F.lit(1000000) + F.lit(0.5)) / F.lit(1000000)).alias(
+                "jaccard"
+            ),
+        )
     )
 
 
@@ -337,10 +347,22 @@ def text_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = pairs.withColumn("is_cand", F.lit(1))
     t = truth.withColumn("is_truth", F.lit(1))
     agg = p.join(t, ["doc_a", "doc_b"], "full_outer").agg(
-        F.sum(F.coalesce("is_cand", F.lit(0))).cast("long").alias("n_candidates"),
-        F.sum(F.coalesce("is_truth", F.lit(0))).cast("long").alias("n_true_pairs"),
-        F.sum(
-            F.when(F.col("is_cand").isNotNull() & F.col("is_truth").isNotNull(), 1).otherwise(0)
+        # coalesce OUTSIDE the sum too: F.sum over ZERO rows is NULL
+        # while the oracle's COUNT(*) is 0 (r6 review — an all-empty
+        # regenerated fixture would mismatch).
+        F.coalesce(F.sum(F.coalesce("is_cand", F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_candidates"),
+        F.coalesce(F.sum(F.coalesce("is_truth", F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_true_pairs"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("is_cand").isNotNull() & F.col("is_truth").isNotNull(), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
         ).cast("long").alias("n_recalled"),
     )
     return agg.select(
@@ -397,7 +419,7 @@ def cms_counters(df: DataFrame) -> DataFrame:
       SELECT seed, bucket, COUNT(*) AS c
       FROM hashed GROUP BY seed, bucket
     ),
-    truth AS (
+    truth AS MATERIALIZED (
       SELECT user_id, COUNT(*) AS true_n FROM events GROUP BY user_id
     ),
     est AS (
@@ -704,8 +726,6 @@ def kmv_distinct_estimate(keyed: DataFrame) -> DataFrame:
     """KMV sketch build + merge + estimate over (shard, key) rows —
     split from the gate so tests can drive the underfull branch
     (distinct < k) with inline frames."""
-    from pyspark.sql import Window
-
     h = (
         keyed.select(
             "shard",
@@ -968,7 +988,10 @@ def agg_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregate map-side. All-integer end to end — floor(price)
     is the one float touch, identical in both engines."""
     li = table(spark, sf_dir, "lineitem")
-    d = li.select(F.floor("l_extendedprice").cast("long").alias("d"))
+    # repartition: the audit's broadcast cross join below inherits the
+    # single fixture split otherwise — one core would run the 4x
+    # conditional scan (the nested-loop-join rule; r6 review).
+    d = li.select(F.floor("l_extendedprice").cast("long").alias("d")).repartition(32)
     hist = (
         d.select(F.expr(f"d DIV {HIST_BIN_W}").alias("b"))
         .groupBy("b")
@@ -1034,7 +1057,7 @@ def agg_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @gate_query(
     "agg_bitmap_rolling_distinct",
     oracle="""
-    WITH e AS (
+    WITH e AS MATERIALIZED (
       SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
     ),
     days AS (SELECT DISTINCT d FROM e),
