@@ -145,7 +145,7 @@ _JSON_SCHEMA = T.StructType(
     "scan_json",
     oracle=f"""
     SELECT event_type, COUNT(*) AS n, {DSUM("value", "sum_value")},
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
     FROM events WHERE event_id < 2000
     GROUP BY event_type
     """,
@@ -203,7 +203,8 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT c_mktsegment, COUNT(*) AS n, {DSUM("c_acctbal", "sum_bal")},
            CAST(MIN(c_custkey) AS BIGINT) AS min_key,
-           CAST(MAX(c_custkey) AS BIGINT) AS max_key
+           CAST(MAX(c_custkey) AS BIGINT) AS max_key,
+           CAST(SUM(length(c_name)) AS BIGINT) AS wide_len_sum
     FROM customer
     GROUP BY c_mktsegment
     """,
@@ -214,7 +215,10 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     columnar format — same predicate-pushdown + column-pruning path as
     parquet), read it back, aggregate. The oracle aggregates the
     original parquet, so a value match proves lossless ORC encode/
-    decode for long/int/double/string columns."""
+    decode for long/int/double/string columns — including the string
+    column c_name, whose round-trip the wide_len_sum length checksum
+    audits (r6 review: it was written and read but never verified; the
+    fixture's customer has no other wide string columns)."""
     out = os.path.join(_TMP, "orc_customer")
     table(spark, sf_dir, "customer").write.mode("overwrite").orc(out)
     df = spark.read.orc(out)
@@ -223,6 +227,7 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("c_acctbal", "sum_bal"),
         F.min("c_custkey").alias("min_key"),
         F.max("c_custkey").alias("max_key"),
+        F.sum(F.length("c_name")).cast("long").alias("wide_len_sum"),
     )
 
 
@@ -694,9 +699,16 @@ _Z_DUCK = _z_interleave(
 )
 _Z_SCALE = 2**Z_BITS - 1
 # Scale-free query box on the NORMALIZED coordinates (≈38% of the user
-# span × ≈36% of the day span), so the same literals select a
-# comparable slice at every sf.
-_Z_BOX = "un BETWEEN 64 AND 160 AND dn BETWEEN 80 AND 170"
+# span × ≈36% of the day span), so the same slice is selected at every
+# sf — AND at every Z_BITS: the bounds derive from _Z_SCALE fractions
+# (r6 review: hardcoded 0-255 literals would silently shrink the box
+# to ~9%x9% if Z_BITS were ever widened, weakening the file-skipping
+# coverage this gate exists to pin). At Z_BITS=8 these evaluate to the
+# historical 64/160/80/170.
+_Z_BOX = (
+    f"un BETWEEN {int(0.2510 * _Z_SCALE)} AND {int(0.6275 * _Z_SCALE)} "
+    f"AND dn BETWEEN {int(0.3138 * _Z_SCALE)} AND {int(0.6667 * _Z_SCALE)}"
+)
 
 
 def write_zorder_layout(spark: SparkSession, sf_dir: str, out: str) -> None:
@@ -852,6 +864,18 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     delta = src.filter(
         (F.col("dt") == "2024-01-05") & (F.col("event_type") == "click")
     ).withColumn("value", F.col("value") * 2)
+    # Loud precondition, not a mystery red row (r6 review): an EMPTY
+    # delta makes dynamic overwrite a silent no-op (no partitions in
+    # the output -> nothing replaced), while the oracle still models
+    # the day as corrected. Data-dependent on the fixture having
+    # clicks that day (7/68/660 rows at the three sfs today); O(1)
+    # limit(1) probe, the loop-control-scalar class.
+    if not delta.limit(1).count():
+        raise RuntimeError(
+            "sink_dynamic_partition_overwrite: correction delta is empty "
+            "(no 'click' events on 2024-01-05 in this fixture) — dynamic "
+            "overwrite would silently replace nothing"
+        )
     key = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(key, None)
     try:
@@ -1131,20 +1155,19 @@ def sink_retention_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     The directory deletes are deterministic filesystem metadata ops
     (the foreachBatch epoch-sink convention); the partition column
     re-CASTs to string on readback per the parity rules."""
-    import shutil as _shutil
-
     out = os.path.join(_TMP, "retention_events")
-    _shutil.rmtree(out, ignore_errors=True)
     src = (
         table(spark, sf_dir, "events")
         .select("event_id", "ts", "value")
         .withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
     )
+    # static overwrite truncates the whole directory first, so no
+    # pre-clean of a previous run's expired layout is needed
     src.write.mode("overwrite").partitionBy("dt").parquet(out)
     cutoff = "2024-01-08"
     for entry in sorted(os.listdir(out)):
         if entry.startswith("dt=") and entry[3:] < cutoff:
-            _shutil.rmtree(os.path.join(out, entry))
+            shutil.rmtree(os.path.join(out, entry))
     back = spark.read.parquet(out)
     return back.groupBy(F.col("dt").cast("string").alias("dt")).agg(
         F.count(F.lit(1)).alias("n"),
