@@ -999,7 +999,7 @@ def evt_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     arms (user_id % 2 — the hash-bucket assignment real experiment
     platforms use, RNG-free so the gate is replayable), conversion =
     at least 10 purchases (>= 10 in BOTH the builder below and the
-    oracle's `n_purchase >= 10`; at fixture scale every user makes a
+    oracle's inlined SUM(CASE purchase)>=10; at fixture scale every user makes a
     purchase, so an any-purchase definition would degenerate to 100%
     pooled conversion and a NULL z), pooled-variance z statistic.
     Parity: counts are
@@ -1155,7 +1155,7 @@ _ATTR_WINDOW_US = 24 * 3600 * 1_000_000  # last-touch lookback horizon
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     ),
-    conv AS (SELECT * FROM ordered WHERE event_type = 'purchase'),
+    conv AS MATERIALIZED (SELECT * FROM ordered WHERE event_type = 'purchase'),
     credit AS (
       SELECT 'last' AS model,
              CASE WHEN lt_us IS NOT NULL
