@@ -53,16 +53,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            # Session tz is pinned UTC → value-preserving; keeps the
-            # TIMESTAMP(LTZ) output schema every downstream gate (and
-            # the driver's schema hash) has always seen, and keeps
-            # watermark/window semantics identical across fixture
-            # generations.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = ts_guard(df)
+    return df
+
+
+def ts_guard(df: DataFrame) -> DataFrame:
+    """THE one events.ts dtype guard, shared by the batch reader above
+    and streaming/twins.events_stream (r6 review: two verbatim copies
+    risked patching the next fixture physical-type change in only one
+    place). ts has already changed representation once across driver
+    rounds (TIMESTAMP(NANOS) in r1-r2, µs TIMESTAMP_NTZ since r3):
+
+    - int64 nanos (nanosAsLong): truncating ns→µs convert;
+    - TIMESTAMP_NTZ: cast to TIMESTAMP(LTZ) — the session tz is
+      pinned UTC (session.configure), so the cast is value-preserving,
+      keeps the output schema every gate and the driver's schema hash
+      have always seen, and satisfies watermarks (which require ltz).
+    """
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

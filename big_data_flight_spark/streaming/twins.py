@@ -23,6 +23,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from big_data_flight_spark.io import ts_guard
 from big_data_flight_spark.operators.events import (
     EWMA_ORACLE,
     SESSION_WINDOW_NATIVE_ORACLE,
@@ -63,15 +64,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ts_type = dict(raw.dtypes).get("ts")
-    if ts_type == "bigint":
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        # r3 fixtures are µs TIMESTAMP_NTZ (isAdjustedToUTC=false), but
-        # watermarks require TIMESTAMP_LTZ. The session tz is pinned
-        # UTC (session.configure), so this cast is value-preserving.
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return raw
+    # shared dtype guard (io.ts_guard) — one definition for the batch
+    # and streaming readers, so the next fixture physical-type change
+    # lands in both at once (r6 review).
+    return ts_guard(raw)
 
 
 def run_to_memory(df: DataFrame, mode: str = "complete") -> DataFrame:
@@ -87,7 +83,13 @@ def run_to_memory(df: DataFrame, mode: str = "complete") -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return df.sparkSession.table(name)
+    # Materialize into executor blocks and DROP the sink's temp view:
+    # without this every call leaked a never-dropped uuid-named memory
+    # sink holding its full result set in driver memory for the
+    # session lifetime (r6 review — 12 call sites, re-run per compare).
+    out = df.sparkSession.table(name).localCheckpoint()
+    df.sparkSession.catalog.dropTempView(name)
+    return out
 
 
 @gate_query(
@@ -274,11 +276,14 @@ def foreach_batch_sink(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
     """foreachBatch exactly-once-style sink: each micro-batch is written
     transactionally (per-epoch parquet dir) — the pattern for sinks
     without native streaming support. Returns the number of epochs."""
-    epochs: list[int] = []
+    epochs: set[int] = set()
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
-        epochs.append(epoch_id)
+        # a set, not a list: a replayed/retried micro-batch re-invokes
+        # write_batch with the SAME epoch id (that idempotent replay is
+        # the sink's whole design) and must not count twice (r6 review).
+        epochs.add(epoch_id)
 
     q = (
         events_stream(spark, sf_dir)
@@ -290,6 +295,30 @@ def foreach_batch_sink(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
     )
     q.awaitTermination()
     return len(epochs)
+
+
+def _funnel_fold(pdfs, first_signup, first_purchase):
+    """THE one per-event funnel fold shared by both stateful twins
+    (applyInPandasWithState and transformWithStateInPandas; r6 review:
+    two verbatim copies risked a boundary/conversion fix landing in
+    only one). Returns (first_signup_us, first_purchase_us, converted)
+    with the strict signup < purchase boundary and exact integer-µs
+    conversion from pandas ns."""
+    for pdf in pdfs:
+        for et, ts in zip(pdf["event_type"], pdf["ts"]):
+            usec = int(ts.value // 1000)  # pandas ns -> µs
+            if et == "signup" and (first_signup is None or usec < first_signup):
+                first_signup = usec
+            if et == "purchase" and (
+                first_purchase is None or usec < first_purchase
+            ):
+                first_purchase = usec
+    converted = (
+        first_signup is not None
+        and first_purchase is not None
+        and first_signup < first_purchase
+    )
+    return first_signup, first_purchase, converted
 
 
 def funnel_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -305,19 +334,10 @@ def funnel_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def update(key, pdfs, state: GroupState):
         first_signup, first_purchase = state.get if state.exists else (None, None)
-        for pdf in pdfs:
-            for et, ts in zip(pdf["event_type"], pdf["ts"]):
-                usec = int(ts.value // 1000)  # pandas ns -> µs
-                if et == "signup" and (first_signup is None or usec < first_signup):
-                    first_signup = usec
-                if et == "purchase" and (first_purchase is None or usec < first_purchase):
-                    first_purchase = usec
-        state.update((first_signup, first_purchase))
-        converted = (
-            first_signup is not None
-            and first_purchase is not None
-            and first_signup < first_purchase
+        first_signup, first_purchase, converted = _funnel_fold(
+            pdfs, first_signup, first_purchase
         )
+        state.update((first_signup, first_purchase))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
@@ -400,19 +420,10 @@ def funnel_tws_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 first_signup, first_purchase = self.state.get()
             else:
                 first_signup, first_purchase = None, None
-            for pdf in rows:
-                for et, ts in zip(pdf["event_type"], pdf["ts"]):
-                    usec = int(ts.value // 1000)
-                    if et == "signup" and (first_signup is None or usec < first_signup):
-                        first_signup = usec
-                    if et == "purchase" and (first_purchase is None or usec < first_purchase):
-                        first_purchase = usec
-            self.state.update((first_signup, first_purchase))
-            converted = (
-                first_signup is not None
-                and first_purchase is not None
-                and first_signup < first_purchase
+            first_signup, first_purchase, converted = _funnel_fold(
+                rows, first_signup, first_purchase
             )
+            self.state.update((first_signup, first_purchase))
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
