@@ -1,4 +1,4 @@
-"""Multimodal binary-column tests: plumbing is real, codecs are stubs."""
+"""Multimodal binary-column tests: plumbing AND codecs are real (P6/WAV)."""
 
 from __future__ import annotations
 
@@ -18,12 +18,32 @@ def test_assets_deterministic(spark):
     assert all(len(b) == 96 for _, b in one)  # 64-hex sha + 32-char prefix as utf8
 
 
-def test_decode_stub_values(spark):
-    from big_data_flight_spark.operators.multimodal import _decode_image_fake
+def test_decode_kernel_closed_form():
+    """The re-pointed decode kernel must reproduce the P6 pattern's
+    closed form (mean over all channel bytes, full-raster contrast,
+    container size including the ASCII header)."""
+    import pandas as pd
 
-    mean, contrast, n = _decode_image_fake(b"\x00\x10\x20")
-    assert (mean, contrast, n) == (16.0, 32.0, 3)
-    assert _decode_image_fake(b"") == (0.0, 0.0, 0)
+    from big_data_flight_spark.operators.multimodal import (
+        _synth_ppm,
+        decode_images,
+    )
+
+    src = pd.DataFrame({"doc_id": [3, 10, 24]})
+    out = next(decode_images(iter([_synth_ppm(iter([src])).__next__()])))
+    for _, r in out.iterrows():
+        d = int(r["doc_id"])
+        w, h, a = d % 7 + 4, d % 5 + 3, d % 13 + 1
+        allb = (
+            [(i * a) % 256 for i in range(w * h)]
+            + [(i + d) % 256 for i in range(w * h)]
+            + [(i * 3 + 7) % 256 for i in range(w * h)]
+        )
+        assert r["mean_byte"] == sum(allb) / (w * h * 3)
+        assert r["contrast"] == float(max(allb) - min(allb))
+        header = f"P6\n# synthetic asset {d}\n{w} {h}\n255\n"
+        assert r["n_bytes"] == len(header) + w * h * 3
+        assert r["decode_backend"] == "ppm"
 
 
 def test_real_decoder_raises_without_codec(spark):
@@ -38,9 +58,10 @@ def test_decode_image_runs_distributed(spark):
 
     out = mm_decode_image(spark, SF_SMOKE).toPandas()
     assert len(out) == 500
-    assert (out["decode_backend"] == "stub").all()
-    assert (out["n_bytes"] == 96).all()
-    assert out["mean_byte"].between(40, 120).all()  # ascii hex chars
+    assert (out["decode_backend"] == "ppm").all()
+    # container = header + w*h*3 raster; dims in [4,10]x[3,7]
+    assert (out["n_bytes"] > 28).all()
+    assert out["mean_byte"].between(0, 255).all()
 
 
 def test_frame_sampling_counts(spark):
@@ -48,7 +69,8 @@ def test_frame_sampling_counts(spark):
 
     out = mm_frame_sample(spark, SF_SMOKE).toPandas()
     per_doc = out.groupby("doc_id").size()
-    assert (per_doc == 2).all()  # 96 bytes -> 6 frames -> idx 0,3 kept
+    assert (per_doc == 4).all()  # 12 frames -> f = 0,3,6,9 kept
+    assert sorted(out[out.doc_id == out.doc_id.iloc[0]]["frame_idx"]) == [0, 3, 6, 9]
 
 
 def test_real_decoder_uses_codec_when_present(monkeypatch):
