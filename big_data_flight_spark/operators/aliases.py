@@ -1,4 +1,4 @@
-"""Driver-window rotation aliases (round 6 set).
+"""Driver-window rotation aliases (round 7 set).
 
 The driver's correctness gate samples only the 50 alphabetically-first
 gate names per round; rounds 1 and 2 both graded ``agg_*``…``fn_json``,
@@ -9,156 +9,147 @@ delegation: same builder object, same oracle SQL, registered under an
 ``a0_``-prefixed name that sorts before ``agg_`` so it lands inside
 the driver's alphabetical window.
 
-Round-6 rotation:
+Round-7 rotation (VERDICT r6 #1 — finish clearing the driver-
+verification debt):
 
-* RETIRED: all 50 round-5 aliases — every target went driver-green in
-  CORRECTNESS_r05.json (50/50), and every retired target stays
+* RETIRED: all 50 round-6 aliases — every target went driver-green in
+  CORRECTNESS_r06.json (50/50), and every retired target stays
   re-proved each round by the committed full-registry
   COMPARE_LOCAL.json artifact.
-* NEW, slots 1-36 (the queue recorded in the round-5 module
-  docstring): every gate born in round-5 sessions 3-7 that could not
-  be aliased then because the window was exactly full —
-  session 3-5: agg_kmv_set_ops, join_bloom_pruned, graph_bfs_layers,
-  agg_histogram_quantile, sink_zorder_layout, etl_incremental_agg,
-  text_bpe_merge_train, evt_gapfill_locf, etl_snapshot_diff,
-  etl_table_fingerprint, sample_reservoir_per_group;
-  session 6: sim_pq_adc, evt_ewma, stream_ewma, mm_image_hist_ppm,
-  text_bpe_encode, win_rolling_median,
-  sink_dynamic_partition_overwrite, join_asof_nearest,
-  graph_common_neighbors, evt_anomaly_mad, stream_checkpoint_recovery,
-  udf_cogrouped_map, scan_csv_malformed, stream_static_join,
-  text_bigram_lm, sink_nested_roundtrip, evt_ab_test;
-  session 7: agg_median_bisect, agg_heavy_hitters, text_lm_score,
-  sim_kmeans_lloyd, join_partition_pruned_runtime, mm_scene_cut_ppm,
-  udtf_table_args, scan_python_datasource.
-* NEW, slots 37-50 (risk-ranked picks from the remaining 56
-  never-driver-graded gates): evt_top_paths (this round's ADVICE
-  NULL-semantics fix — grade the fix), text_ngram_freq / tpch_q21 /
-  tpch_q8 (BENCH headline queries that have never had a correctness
-  row), fn_variant / fn_try_safe / fn_struct (semi-structured scalar
-  packs with engine-specific edge semantics), join_skew_salted /
-  join_null_keys / join_lateral_topk (the skew mitigation and the two
-  join edge-semantics gates), mm_decode_image, scan_orc, sort_zorder,
-  win_share_of_total.
+* NEW: the entire window is drawn from the 55 gates that have never
+  had a driver correctness row in rounds 1-6 (computed from the
+  CORRECTNESS_r0*.json artifacts, de-aliased). Priority inside the
+  55 follows the r6 module docstring's own queue:
+  - slots 1-3, the r6 ``_DEFERRED_TO_NEXT_ROTATION`` trio:
+    agg_bitmap_rolling_distinct, graph_k_core, udf_grouped_map_arrow
+    (two were never in ANY driver round; one never in a committed
+    artifact until this round's re-stamp);
+  - slots 4-13, the 10 picks displaced by r6's newborn gates:
+    fn_struct, fn_try_safe, fn_variant, join_null_keys,
+    join_skew_salted, join_lateral_topk, scan_orc, sort_zorder,
+    win_share_of_total, mm_decode_image (the last re-pointed at the
+    REAL P6 codec kernel this round — the driver grades the real
+    thing, per VERDICT r6 #3);
+  - slots 14-28, the 15-query TPC-H tail: q4, q6, q7, q10-q17, q19,
+    q20, q22, q21_threescan;
+  - slots 29-50, the text/sim/sample/scan/mm stragglers (including
+    the other three re-pointed codec gates mm_resize /
+    mm_frame_sample / mm_audio_features).
+* DEFERRED TO R8 (the 5 that don't fit a 50-slot window; chosen as
+  the lowest-risk tail — each is either trivial arithmetic or the
+  weaker twin of an already-driver-green gate): mm_metadata,
+  scan_binary_files, sample_hash_deterministic, text_minhash_mllib
+  (rows-only check by design — MLlib's hash family differs), and
+  text_pack_sequences_sharded (global-pack twin is in-window).
 
-Displacement order for brand-new round-6 gates (the r2/r3 lesson:
-defects hide in the newest gate, so a gate born this round takes a
-slot the round it ships): displace from the TAIL of the picks list —
-win_share_of_total, sort_zorder, scan_orc, mm_decode_image,
-join_null_keys, fn_struct first. Every displaced pick is 5-round
-local-green and rejoins the r7 queue, which (42 remaining debt gates)
-fits inside r7's window with slots to spare.
+After this rotation lands 50/50, cumulative driver coverage is
+247/251 pre-r7-newborns — r8's window trivially absorbs the 5
+deferred plus any r7-born gates.
+
+Displacement order for brand-new round-7 gates (the r2/r3 lesson: a
+gate born this round takes a slot the round it ships): displace from
+the TAIL of the straggler list — unpivot_stack, text_doc_token_stats,
+scan_text, text_token_regex, sample_weighted_systematic first. Every
+displaced pick joins the r8 queue ahead of the deferred five.
 
 Displacement math (window = 50 alphabetically-first names): the alias
 set below is exactly 50 names, all sorting before ``agg_``, so the
 window is exactly the alias set. Every non-alias name displaced from
-the window is green in CORRECTNESS_r05.json and re-verified each
+the window is green in a prior CORRECTNESS round or re-verified each
 round by COMPARE_LOCAL.json, so net driver-verified surface strictly
-grows (cumulative 147 distinct gates driver-green after r5; ≥197
+grows (cumulative 197 distinct gates driver-green after r6; ≥245
 after this rotation lands).
 """
 
 from __future__ import annotations
 
-from big_data_flight_spark.registry import _REGISTRY, GateQuery
+from big_data_flight_spark.registry import (
+    _REGISTRY,
+    GateQuery,
+    _load_all_operator_modules,
+)
 
 # alias -> existing gate name (family it finally gets driver-checked for)
 _ALIASES = {
-    # --- round-5 session-3/4/5 queue ---
-    "a0_agg_kmv_set_ops": "agg_kmv_set_ops",
-    "a0_join_bloom_pruned": "join_bloom_pruned",
-    "a0_graph_bfs_layers": "graph_bfs_layers",
-    "a0_agg_histogram_quantile": "agg_histogram_quantile",
-    "a0_sink_zorder_layout": "sink_zorder_layout",
-    "a0_etl_incremental_agg": "etl_incremental_agg",
-    "a0_text_bpe_merge_train": "text_bpe_merge_train",
-    "a0_evt_gapfill_locf": "evt_gapfill_locf",
-    "a0_etl_snapshot_diff": "etl_snapshot_diff",
-    "a0_etl_table_fingerprint": "etl_table_fingerprint",
-    "a0_sample_reservoir_per_group": "sample_reservoir_per_group",
-    # --- round-5 session-6 queue ---
-    "a0_sim_pq_adc": "sim_pq_adc",
-    "a0_evt_ewma": "evt_ewma",
-    "a0_stream_ewma": "stream_ewma",
-    "a0_mm_image_hist_ppm": "mm_image_hist_ppm",
-    "a0_text_bpe_encode": "text_bpe_encode",
-    "a0_win_rolling_median": "win_rolling_median",
-    "a0_sink_dynamic_partition_overwrite": "sink_dynamic_partition_overwrite",
-    "a0_join_asof_nearest": "join_asof_nearest",
-    "a0_graph_common_neighbors": "graph_common_neighbors",
-    "a0_evt_anomaly_mad": "evt_anomaly_mad",
-    "a0_stream_checkpoint_recovery": "stream_checkpoint_recovery",
-    "a0_udf_cogrouped_map": "udf_cogrouped_map",
-    "a0_scan_csv_malformed": "scan_csv_malformed",
-    "a0_stream_static_join": "stream_static_join",
-    "a0_text_bigram_lm": "text_bigram_lm",
-    "a0_sink_nested_roundtrip": "sink_nested_roundtrip",
-    "a0_evt_ab_test": "evt_ab_test",
-    # --- round-5 session-7 queue ---
-    "a0_agg_median_bisect": "agg_median_bisect",
-    "a0_agg_heavy_hitters": "agg_heavy_hitters",
-    "a0_text_lm_score": "text_lm_score",
-    "a0_sim_kmeans_lloyd": "sim_kmeans_lloyd",
-    "a0_join_partition_pruned_runtime": "join_partition_pruned_runtime",
-    "a0_mm_scene_cut_ppm": "mm_scene_cut_ppm",
-    "a0_udtf_table_args": "udtf_table_args",
-    "a0_scan_python_datasource": "scan_python_datasource",
-    # --- risk-ranked picks (displacement order: bottom-up) ---
-    "a0_evt_top_paths": "evt_top_paths",
-    "a0_text_ngram_freq": "text_ngram_freq",
-    "a0_tpch_q21": "tpch_q21",
-    "a0_tpch_q8": "tpch_q8",
+    # --- r6 deferred trio ---
+    "a0_agg_bitmap_rolling_distinct": "agg_bitmap_rolling_distinct",
+    "a0_graph_k_core": "graph_k_core",
+    "a0_udf_grouped_map_arrow": "udf_grouped_map_arrow",
+    # --- the 10 r6-displaced picks ---
+    "a0_fn_struct": "fn_struct",
+    "a0_fn_try_safe": "fn_try_safe",
+    "a0_fn_variant": "fn_variant",
+    "a0_join_null_keys": "join_null_keys",
+    "a0_join_skew_salted": "join_skew_salted",
+    "a0_join_lateral_topk": "join_lateral_topk",
+    "a0_scan_orc": "scan_orc",
+    "a0_sort_zorder": "sort_zorder",
+    "a0_win_share_of_total": "win_share_of_total",
+    "a0_mm_decode_image": "mm_decode_image",
+    # --- the TPC-H tail (15) ---
+    "a0_tpch_q4": "tpch_q4",
+    "a0_tpch_q6": "tpch_q6",
+    "a0_tpch_q7": "tpch_q7",
+    "a0_tpch_q10": "tpch_q10",
+    "a0_tpch_q11": "tpch_q11",
+    "a0_tpch_q12": "tpch_q12",
+    "a0_tpch_q13": "tpch_q13",
+    "a0_tpch_q14": "tpch_q14",
+    "a0_tpch_q15": "tpch_q15",
+    "a0_tpch_q16": "tpch_q16",
+    "a0_tpch_q17": "tpch_q17",
+    "a0_tpch_q19": "tpch_q19",
+    "a0_tpch_q20": "tpch_q20",
+    "a0_tpch_q22": "tpch_q22",
+    "a0_tpch_q21_threescan": "tpch_q21_threescan",
+    # --- text/sim/sample/scan/mm stragglers (22) ---
+    "a0_mm_audio_features": "mm_audio_features",
+    "a0_mm_frame_sample": "mm_frame_sample",
+    "a0_mm_resize": "mm_resize",
+    "a0_sample_weighted_systematic": "sample_weighted_systematic",
+    "a0_scan_text": "scan_text",
+    "a0_sim_centroid_assign": "sim_centroid_assign",
+    "a0_sim_knn_classify": "sim_knn_classify",
+    "a0_text_curation_pipeline": "text_curation_pipeline",
+    "a0_text_decontaminate": "text_decontaminate",
+    "a0_text_dedup_clusters": "text_dedup_clusters",
+    "a0_text_doc_token_stats": "text_doc_token_stats",
+    "a0_text_fingerprint": "text_fingerprint",
+    "a0_text_lang_id": "text_lang_id",
+    "a0_text_near_dedup_cosine": "text_near_dedup_cosine",
+    "a0_text_pack_sequences": "text_pack_sequences",
+    "a0_text_quality_score": "text_quality_score",
+    "a0_text_repetition_stats": "text_repetition_stats",
+    "a0_text_simhash_dedup": "text_simhash_dedup",
+    "a0_text_stratified_split": "text_stratified_split",
+    "a0_text_token_regex": "text_token_regex",
+    "a0_text_winnowing_fingerprints": "text_winnowing_fingerprints",
+    "a0_unpivot_stack": "unpivot_stack",
 }
 
-# Round-6 brand-new gates: aliased if (and only if) already registered,
+# Round-7 brand-new gates: aliased if (and only if) already registered,
 # so the rotation can land before the new gates do. Adding a name here
-# REQUIRES removing one from the tail of _ALIASES' picks section to
-# keep the window at exactly 50 (guarded by tests/test_entry.py).
-_NEW_GATE_ALIASES: dict[str, str] = {
-    # Round-6 newcomers (displaced per the order above: win_share_of_total
-    # and sort_zorder rejoin the r7 queue): the composed IVF-PQ ANN stack
-    # and the SemDeDup cluster-blocked semantic dedup.
-    "a0_sim_ivf_pq": "sim_ivf_pq",
-    "a0_sim_semdedup_clustered": "sim_semdedup_clustered",
-    # (second r6 batch; displaced scan_orc + mm_decode_image): URL
-    # parsing/canonicalization and the resample hop in the WAV codec.
-    "a0_fn_url": "fn_url",
-    "a0_mm_audio_resample_wav": "mm_audio_resample_wav",
-    # (third r6 batch; displaced join_null_keys): HITS hub/authority.
-    "a0_graph_hits": "graph_hits",
-    # (fourth r6 batch; displaced fn_struct): partition-TTL expiry.
-    "a0_sink_retention_expire": "sink_retention_expire",
-    # (fifth r6 batch; displaced fn_try_safe + join_lateral_topk —
-    # the documented 6-name displacement order is exhausted, so the
-    # two lowest-risk remaining picks went): BM25 lexical scoring and
-    # reciprocal-rank fusion, the two halves of hybrid retrieval.
-    "a0_text_bm25": "text_bm25",
-    "a0_sim_rrf_fusion": "sim_rrf_fusion",
-    # (sixth r6 batch; displaced join_skew_salted): conversion
-    # attribution.
-    "a0_evt_attribution": "evt_attribution",
-    # (seventh r6 batch; displaced fn_variant): watermarked sliding
-    # streaming window.
-    "a0_stream_sliding_window": "stream_sliding_window",
-}
+# REQUIRES removing one from the displacement tail of _ALIASES (order
+# in the module docstring) to keep the window at exactly 50 (guarded
+# by tests/test_entry.py).
+_NEW_GATE_ALIASES: dict[str, str] = {}
 
-# Gates born this round but NOT aliased (r5 late-session precedent —
-# the remaining window names are the ADVICE-fix gate and the three
-# never-graded bench headliners, all higher priority). They join the
-# r7 rotation queue FIRST, with the 10 displaced picks after them.
-# Every brand-new gate MUST appear either in _NEW_GATE_ALIASES or
-# here — enforced by tests/test_scale_patterns.py against the
-# committed tests/known_gates.txt ledger.
-_DEFERRED_TO_NEXT_ROTATION = (
-    "agg_bitmap_rolling_distinct",
-    "graph_k_core",
-    "udf_grouped_map_arrow",
-)
+# Gates born this round but NOT aliased — they join the r8 rotation
+# queue after the five deferred gates named in the docstring. Every
+# brand-new gate MUST appear either in _NEW_GATE_ALIASES or here —
+# enforced by tests/test_scale_patterns.py against the committed
+# tests/known_gates.txt ledger.
+_DEFERRED_TO_NEXT_ROTATION: tuple[str, ...] = ()
 
 
 def _register_aliases() -> None:
-    # Target modules are imported by _load_all_operator_modules before
-    # this module (import order in registry.py), so lookups are safe.
+    # Self-sufficient under a DIRECT import of this module (tests do
+    # that): load every operator module first so targets resolve no
+    # matter the import order. When the registry loader is already
+    # mid-way through importing us, the recursive import is a benign
+    # sys.modules no-op and the loader has imported all target modules
+    # before this one (import order in registry.py).
+    _load_all_operator_modules()
     for alias, target in _ALIASES.items():
         if alias in _REGISTRY:  # idempotent across re-imports
             continue
