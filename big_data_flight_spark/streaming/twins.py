@@ -648,6 +648,163 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ewma_fold(xs, s0=None):
+    """The one halving fold: s_i = floor((s_{i-1} + x_i) / 2), seeded
+    by s0 (None = empty prefix, first x starts the fold). Python's
+    // floors identically to both engines' floor((s + x) / 2.0) on
+    these |x| < 2^32 integers."""
+    s = s0
+    for x in xs:
+        s = x if s is None else (s + x) // 2
+    return s
+
+
+# EWMA state tuple layout (matches _EWMA_STATE_SCHEMA below):
+#   pre_n      — events already collapsed past the watermark horizon
+#   pre_max_ts — max ts among collapsed events (contract guard)
+#   pre_last_x — last collapsed x (serves last_value when suffix empty)
+#   s_pre      — fold over the collapsed prefix only (re-fold seed)
+#   ts_l/id_l/x_l — in-horizon suffix history, kept sorted
+#   s          — fold over ALL events (prefix + suffix)
+_EWMA_STATE_SCHEMA = (
+    "pre_n long, pre_max_ts long, pre_last_x long, s_pre long, "
+    "ts_us array<long>, event_id array<long>, x array<long>, s long"
+)
+
+
+def _ewma_empty():
+    """Fresh empty state — a FUNCTION, not a shared constant: the
+    fast path appends to the state lists in place, so a module-level
+    empty tuple would be silently mutated by its first user and
+    contaminate every later key in the same worker."""
+    return (0, None, None, None, [], [], [], None)
+
+
+def _ewma_advance(st, new, wm_us):
+    """Pure per-batch EWMA state transition with watermark-horizon
+    state collapse (VERDICT r6 #4 / the r5 ADVICE thread closed):
+
+    * In-order fast path: new events sorting after the suffix tail
+      fold incrementally onto the stored scalar — O(batch), no replay.
+    * Out-of-order arrival (only possible INSIDE the horizon — the
+      watermark contract makes older arrivals impossible, enforced
+      loudly below): merge into the suffix and re-fold the suffix
+      from s_pre. Exactness holds because the insertion point is
+      always after the collapsed prefix, whose fold is final.
+    * Collapse: suffix entries with ts < wm_us can never precede a
+      future arrival, so they fold into (pre_n, pre_max_ts,
+      pre_last_x, s_pre) and leave the arrays — state size is bounded
+      by the horizon's event count, not the stream's length.
+
+    The interior-insertion argument from r5 still stands: a ±1 floor
+    difference can persist through any number of halvings, so
+    replaying a truncated suffix WITHOUT the exact s_pre seed is
+    unsound; the collapse is exact precisely because s_pre is the
+    bit-exact fold of a prefix the watermark froze.
+
+    Args: st = state tuple (see layout above; lists may be mutated),
+    new = sorted [(ts_us, event_id, x_micro)], wm_us = watermark in
+    µs (0 = no watermark → never collapses). Returns (state', output)
+    with output = (n_events, last_value_micro, ewma_micro)."""
+    pre_n, pre_max_ts, pre_last_x, s_pre, ts_l, id_l, x_l, s = st
+    if new:
+        if pre_n and new[0][0] <= pre_max_ts:
+            raise ValueError(
+                f"watermark contract violated: arrival at ts={new[0][0]} "
+                f"<= collapsed horizon boundary {pre_max_ts}"
+            )
+        tail = (ts_l[-1], id_l[-1]) if ts_l else None
+        if tail is None or new[0][:2] > tail:
+            # In-order fast path: append + incremental fold.
+            for t, i, x in new:
+                ts_l.append(t)
+                id_l.append(i)
+                x_l.append(x)
+                s = x if s is None else (s + x) // 2
+        else:
+            # Out-of-order within the horizon: merge and re-fold the
+            # SUFFIX from the frozen prefix fold. The stored suffix is
+            # invariantly sorted — only the concatenation needs sorting.
+            merged = sorted(list(zip(ts_l, id_l, x_l)) + new)
+            ts_l = [r[0] for r in merged]
+            id_l = [r[1] for r in merged]
+            x_l = [r[2] for r in merged]
+            s = _ewma_fold(x_l, s_pre)
+    # Horizon collapse: everything older than the watermark is frozen.
+    cut = 0
+    while cut < len(ts_l) and ts_l[cut] < wm_us:
+        cut += 1
+    if cut:
+        s_pre = _ewma_fold(x_l[:cut], s_pre)
+        pre_n += cut
+        pre_max_ts = ts_l[cut - 1]
+        pre_last_x = x_l[cut - 1]
+        ts_l, id_l, x_l = ts_l[cut:], id_l[cut:], x_l[cut:]
+    n = pre_n + len(ts_l)
+    last_x = x_l[-1] if x_l else pre_last_x
+    return (pre_n, pre_max_ts, pre_last_x, s_pre, ts_l, id_l, x_l, s), (
+        n,
+        last_x,
+        s,
+    )
+
+
+def _make_ewma_update(diag: bool = False):
+    """applyInPandasWithState kernel around _ewma_advance. With a
+    watermark on the stream the kernel reads it and the state
+    collapses past the horizon; without one (the gate: exact
+    unbounded replay is what it proves) the probe raises, wm stays 0
+    and nothing collapses. diag=True adds a state_rows column (suffix
+    length) so tests can observe boundedness from the output."""
+    import math
+
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        if state.exists:
+            got = state.get
+            st = (
+                got[0],
+                got[1],
+                got[2],
+                got[3],
+                list(got[4]),
+                list(got[5]),
+                list(got[6]),
+                got[7],
+            )
+        else:
+            st = _ewma_empty()
+        new = []
+        for pdf in pdfs:
+            for ts, eid, v in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
+                new.append(
+                    (
+                        int(ts.value // 1000),  # pandas ns -> µs
+                        int(eid),
+                        int(math.floor(v * 1_000_000 + 0.5)),
+                    )
+                )
+        new.sort()
+        try:
+            wm_us = state.getCurrentWatermarkMs() * 1000
+        except Exception:
+            wm_us = 0
+        st, (n, last_x, s) = _ewma_advance(st, new, wm_us)
+        state.update(st)
+        row = {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "last_value_micro": [last_x],
+            "ewma_micro": [s],
+        }
+        if diag:
+            row["state_rows"] = [len(st[4])]
+        yield pd.DataFrame(row)
+
+    return update
+
+
 @gate_query(
     "stream_ewma",
     oracle=EWMA_ORACLE,
@@ -660,94 +817,32 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_i = floor((s_{i-1} + x_i) / 2) in integer micro-units, fold
     order (ts, event_id).
 
-    Exactness across arbitrary micro-batch splits: a batch may
-    deliver events in any order, so per-key state carries the seen
-    (ts_us, event_id, x) history KEPT SORTED by (ts, event_id), plus
-    the running fold s over that sorted history. The common case —
-    every new event sorts after the current tail — folds the new
-    events incrementally onto the stored scalar (O(batch) work, no
-    replay); only a genuinely out-of-order arrival triggers the full
-    re-fold of the merged history (exactness demands it: the integer
-    halving fold is not incrementally patchable at an interior
-    insertion point — a ±1 floor difference can persist through any
-    number of subsequent halvings, so truncated/suffix replays are
-    NOT safe). Each batch emits the fold-so-far (update mode); the
-    final answer per key is the row with the largest n_events
-    (monotone per batch), reduced by a max-of-ordering-struct after
-    the drain. The history itself must be retained only to serve
-    future out-of-order arrivals — in production a watermark bounds
-    how late those can be and the state collapses to the O(1) scalar
-    past the horizon; exact unbounded replay is what the gate proves.
-    Python's (s + x) // 2 floors identically to both engines'
-    floor((s + x) / 2.0) on these |x| < 2^32 integers."""
-    import math
-
-    import pandas as pd
-
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    def update(key, pdfs, state: GroupState):
-        if state.exists:
-            got = state.get
-            ts_l, id_l, x_l = list(got[0]), list(got[1]), list(got[2])
-            s = got[3]  # fold over the stored sorted history (None iff empty)
-        else:
-            ts_l, id_l, x_l, s = [], [], [], None
-        new = []
-        for pdf in pdfs:
-            for ts, eid, v in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
-                new.append(
-                    (
-                        int(ts.value // 1000),  # pandas ns -> µs
-                        int(eid),
-                        int(math.floor(v * 1_000_000 + 0.5)),
-                    )
-                )
-        new.sort()
-        tail = (ts_l[-1], id_l[-1]) if ts_l else None
-        if tail is None or (new and new[0][:2] > tail):
-            # In-order fast path: append + incremental fold.
-            for t, i, x in new:
-                ts_l.append(t)
-                id_l.append(i)
-                x_l.append(x)
-                s = x if s is None else (s + x) // 2
-        elif new:
-            # Out-of-order arrival: merge and re-fold the whole history
-            # (rare; see docstring for why a partial replay is unsafe).
-            # The stored history is invariantly sorted (both paths keep
-            # it so) — only the concatenation needs sorting.
-            merged = sorted(list(zip(ts_l, id_l, x_l)) + new)
-            ts_l = [r[0] for r in merged]
-            id_l = [r[1] for r in merged]
-            x_l = [r[2] for r in merged]
-            s = None
-            for x in x_l:
-                s = x if s is None else (s + x) // 2
-        state.update((ts_l, id_l, x_l, s))
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_events": [len(ts_l)],
-                "last_value_micro": [x_l[-1]],
-                "ewma_micro": [s],
-            }
-        )
+    Exactness across arbitrary micro-batch splits: see _ewma_advance
+    (the pure transition) — sorted in-horizon history + incremental
+    fold fast path + exact merge-and-refold on out-of-order arrivals.
+    This gate runs WITHOUT a watermark (wm = 0, nothing collapses):
+    exact unbounded replay is what it proves, since the fixture
+    replay gives no cross-batch late bound. The production path —
+    state bounded by the watermark horizon via the frozen-prefix
+    collapse — is the SAME kernel with a watermark on the stream,
+    exercised with deep per-user histories by
+    tests/test_streaming.py::test_ewma_watermark_collapse_*. Each
+    batch emits the fold-so-far (update mode); the final answer per
+    key is the row with the largest n_events (monotone per batch),
+    reduced by a max-of-ordering-struct after the drain."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     out = (
         events_stream(spark, sf_dir)
         .select("user_id", "ts", "event_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            update,
+            _make_ewma_update(),
             outputStructType=(
                 "user_id long, n_events long, "
                 "last_value_micro long, ewma_micro long"
             ),
-            stateStructType=(
-                "ts_us array<long>, event_id array<long>, x array<long>, "
-                "s long"
-            ),
+            stateStructType=_EWMA_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

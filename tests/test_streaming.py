@@ -180,3 +180,152 @@ def test_stream_stream_join_matches_batch(spark):
     }
     assert stream == batch
     assert len(stream) > 0  # fixture has same-user click->purchase pairs
+
+
+def test_ewma_watermark_collapse_pure():
+    """Deep per-user history through the pure transition with an
+    advancing watermark: the retained suffix stays bounded by the
+    horizon's event count while the fold stays bit-equal to a full
+    replay — including out-of-order arrivals INSIDE the horizon."""
+    from big_data_flight_spark.streaming.twins import (
+        _ewma_advance,
+        _ewma_empty,
+        _ewma_fold,
+    )
+
+    horizon_us = 10_000_000  # 10 s of event time
+    step_us = 1_000_000
+    st = _ewma_empty()
+    all_events = []
+    eid = 0
+    max_suffix = 0
+    out = None
+    for batch in range(200):  # 600 events total, horizon holds ~10
+        base = batch * 3 * step_us
+        new = []
+        for k in range(3):
+            eid += 1
+            new.append((base + k * step_us, eid, (eid * 37) % 5000 - 2500))
+        if batch % 5 == 2:
+            # out-of-order INSIDE the horizon: swap event order so the
+            # earliest lands behind the suffix tail of the prior batch
+            new[0], new[2] = (
+                (new[0][0] - step_us // 2, new[0][1], new[0][2]),
+                new[2],
+            )
+        new.sort()
+        all_events.extend(new)
+        wm_us = max(0, max(t for t, _, _ in all_events) - horizon_us)
+        st, out = _ewma_advance(st, new, wm_us)
+        max_suffix = max(max_suffix, len(st[4]))
+    # boundedness: suffix never held more than the horizon's events
+    # (3 events/batch * (10 s horizon / 3 s batch + 1 batch slack))
+    assert max_suffix <= 15, max_suffix
+    assert len(st[4]) <= 15
+    # exactness: final fold == full replay of the sorted history
+    ref = _ewma_fold([x for _, _, x in sorted(all_events)])
+    n, last_x, s = out
+    assert s == ref
+    assert n == len(all_events)
+    assert last_x == sorted(all_events)[-1][2]
+
+
+def test_ewma_watermark_contract_violation_is_loud():
+    """An arrival at-or-before the collapsed boundary must raise, not
+    silently mis-fold — the watermark makes it impossible; a bug in
+    the wiring must not become a wrong number."""
+    import pytest
+
+    from big_data_flight_spark.streaming.twins import _ewma_advance, _ewma_empty
+
+    st = _ewma_empty()
+    st, _ = _ewma_advance(st, [(1_000, 1, 10), (2_000, 2, 20)], 0)
+    st, _ = _ewma_advance(st, [(3_000, 3, 30)], 2_500)  # collapses ts<2500
+    assert st[0] == 2  # pre_n: two events frozen
+    with pytest.raises(ValueError, match="watermark contract"):
+        _ewma_advance(st, [(1_500, 4, 40)], 2_500)
+
+
+def test_ewma_watermark_collapse_in_real_stream(spark, tmp_path):
+    """The SAME kernel under a genuine watermarked stream: three
+    ts-ordered parquet files replayed one per micro-batch; the
+    diagnostic state_rows column must show the suffix shrinking below
+    the total event count once the watermark advances, and the final
+    fold must equal the batch replay."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from big_data_flight_spark.streaming.twins import (
+        _EWMA_STATE_SCHEMA,
+        _ewma_fold,
+        _make_ewma_update,
+    )
+
+    src = str(tmp_path / "ewma_src")
+    n_files, per_file = 3, 40
+    rows = []
+    for f in range(n_files):
+        for k in range(per_file):
+            i = f * per_file + k
+            rows.append(
+                {
+                    "user_id": 1,
+                    "ts": pd.Timestamp("2024-01-01", tz="UTC")
+                    + pd.Timedelta(seconds=10 * i),
+                    "event_id": i + 1,
+                    "value": float((i * 13) % 700) / 10.0,
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    import glob
+    import os
+    import time
+
+    t0 = time.time() - 600
+    for f in range(n_files):
+        spark.createDataFrame(
+            pdf.iloc[f * per_file : (f + 1) * per_file]
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f={f}")
+        # the file source orders micro-batches by modification time;
+        # pin strictly increasing mtimes so batch order == ts order
+        for part in glob.glob(f"{src}/f={f}/*.parquet"):
+            os.utime(part, (t0 + 60 * f, t0 + 60 * f))
+    schema = spark.read.option("basePath", src).parquet(src + "/f=*").drop("f").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f=*")
+        .withWatermark("ts", "60 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_ewma_update(diag=True),
+            outputStructType=(
+                "user_id long, n_events long, last_value_micro long, "
+                "ewma_micro long, state_rows long"
+            ),
+            stateStructType=_EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    out_rows = []
+    q = (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(lambda df, _eid: out_rows.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = max(out_rows, key=lambda r: r["n_events"])
+    assert final["n_events"] == n_files * per_file
+    ref = _ewma_fold(
+        [int(round(float((i * 13) % 700) / 10.0 * 1_000_000)) for i in range(120)]
+    )
+    assert final["ewma_micro"] == ref
+    # the collapse really ran: by the last batch the watermark (60 s
+    # behind max event time) froze everything older, so the suffix is
+    # far below the 120-event history (60 s / 10 s-per-event ≈ 6-7
+    # in-horizon events + the current batch).
+    assert final["state_rows"] < 60, final["state_rows"]
