@@ -142,15 +142,27 @@ def text_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document, DataFrame-native two-pass
-    (tf groupBy + df groupBy + broadcast join — df table is |vocab|
-    rows, always broadcastable). MLlib HashingTF+IDF would hash-bucket
-    terms (not oracle-reproducible); this form is exact."""
+    (tf groupBy + df groupBy + df-table join). MLlib HashingTF+IDF
+    would hash-bucket terms (not oracle-reproducible); this is exact.
+
+    Scale boundary (the io.fan_out conditional pattern): the df table
+    is |vocab| rows. At fixture/enterprise corpus sizes that's
+    broadcastable and the hint removes the tf-side shuffle; for an
+    open-vocabulary web corpus Heaps' law puts |vocab| in the
+    billions, so past the corpus-size threshold the code falls back
+    to the plain shuffle equi-join — tf and df are both already
+    keyed by token, so the join co-partitions on the same exchange
+    key and AQE may still broadcast if runtime stats allow. n_docs is
+    the one sanctioned driver-side scalar (CLAUDE.md whitelist)."""
     docs = table(spark, sf_dir, "documents")
     t = tokens(docs)
     tf = t.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = t.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.count()  # scalar; one tiny job — acceptable at any scale (it's a count of the corpus table)
-    scored = tf.join(F.broadcast(df), "token").select(
+    # ~1e6 docs ≈ tens-of-MB vocab (Heaps k·n^β, β≈0.5-0.6): past
+    # that, never force a broadcast the executors can't hold.
+    df_side = F.broadcast(df) if n_docs <= 1_000_000 else df
+    scored = tf.join(df_side, "token").select(
         "doc_id",
         "token",
         F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
