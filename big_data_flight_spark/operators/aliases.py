@@ -124,7 +124,6 @@ _ALIASES = {
     "a0_text_stratified_split": "text_stratified_split",
     "a0_text_token_regex": "text_token_regex",
     "a0_text_winnowing_fingerprints": "text_winnowing_fingerprints",
-    "a0_unpivot_stack": "unpivot_stack",
 }
 
 # Round-7 brand-new gates: aliased if (and only if) already registered,
@@ -132,7 +131,12 @@ _ALIASES = {
 # REQUIRES removing one from the displacement tail of _ALIASES (order
 # in the module docstring) to keep the window at exactly 50 (guarded
 # by tests/test_entry.py).
-_NEW_GATE_ALIASES: dict[str, str] = {}
+_NEW_GATE_ALIASES: dict[str, str] = {
+    # Round-7 newcomers (displaced per the docstring order:
+    # unpivot_stack rejoins the r8 queue): Spark-4 recursive-CTE BFS,
+    # the declarative twin of graph_bfs_layers.
+    "a0_sql_recursive_bfs": "sql_recursive_bfs",
+}
 
 # Gates born this round but NOT aliased — they join the r8 rotation
 # queue after the five deferred gates named in the docstring. Every

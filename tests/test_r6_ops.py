@@ -539,3 +539,26 @@ class TestBitmapRollingDistinct:
             "2024-01-02": (3, 2),
             "2024-01-09": (1, 1),
         }
+
+
+def test_sql_recursive_bfs_matches_dataframe_loop(spark):
+    """The declarative recursive-CTE BFS must produce the SAME layers
+    as the checkpointed DataFrame-loop twin (reached nodes only —
+    the loop gate additionally labels unreached nodes hop = -1)."""
+    from tests.conftest import SF_SMOKE
+
+    from big_data_flight_spark.operators.graph import (
+        graph_bfs_layers,
+        sql_recursive_bfs,
+    )
+
+    rec = {
+        r["hop"]: (r["n_nodes"], r["sum_node_id"], r["min_node"], r["max_node"])
+        for r in sql_recursive_bfs(spark, SF_SMOKE).collect()
+    }
+    loop = {
+        r["hop"]: (r["n_nodes"], r["sum_node_id"], r["min_node"], r["max_node"])
+        for r in graph_bfs_layers(spark, SF_SMOKE).collect()
+        if r["hop"] >= 0
+    }
+    assert rec == loop
