@@ -113,7 +113,6 @@ _ALIASES = {
     "a0_text_curation_pipeline": "text_curation_pipeline",
     "a0_text_decontaminate": "text_decontaminate",
     "a0_text_dedup_clusters": "text_dedup_clusters",
-    "a0_text_doc_token_stats": "text_doc_token_stats",
     "a0_text_fingerprint": "text_fingerprint",
     "a0_text_lang_id": "text_lang_id",
     "a0_text_near_dedup_cosine": "text_near_dedup_cosine",
@@ -133,9 +132,12 @@ _ALIASES = {
 # by tests/test_entry.py).
 _NEW_GATE_ALIASES: dict[str, str] = {
     # Round-7 newcomers (displaced per the docstring order:
-    # unpivot_stack rejoins the r8 queue): Spark-4 recursive-CTE BFS,
-    # the declarative twin of graph_bfs_layers.
+    # unpivot_stack and text_doc_token_stats rejoin the r8 queue):
+    # Spark-4 recursive-CTE BFS (declarative twin of graph_bfs_layers)
+    # and event-time-timer sessionization (the first gate exercising
+    # state timeouts).
     "a0_sql_recursive_bfs": "sql_recursive_bfs",
+    "a0_stream_session_timeout": "stream_session_timeout",
 }
 
 # Gates born this round but NOT aliased — they join the r8 rotation

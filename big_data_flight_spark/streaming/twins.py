@@ -930,3 +930,152 @@ def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_session_timeout — event-time state TIMERS (r7)
+# ---------------------------------------------------------------------------
+
+_SSTO_GAP_MS = 30 * 60 * 1000    # 30 min inactivity closes a session
+_SSTO_DELAY_MS = 10 * 60 * 1000  # watermark delay
+
+
+def _session_timeout_update(key, pdfs, state):
+    """applyInPandasWithState kernel: per-user sessionization where the
+    trailing open session is closed by an EVENT-TIME TIMER — the state
+    expiry mechanism every other stateful gate leaves unused
+    (NoTimeout). Interior sessions close inline the moment the event
+    opening the next session arrives; the last session closes when the
+    watermark strictly passes last_event_ms + gap (boundary semantics
+    measured, see the gate docstring). State per user is O(1): the
+    open session's (n, first_us, last_us)."""
+    import pandas as pd
+
+    if state.hasTimedOut:
+        n, first_us, last_us = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "first_us": [first_us],
+                "last_us": [last_us],
+            }
+        )
+        return
+    new = []
+    for pdf in pdfs:
+        for ts in pdf["ts"]:
+            new.append(int(ts.value // 1000))  # pandas ns -> µs
+    new.sort()
+    if state.exists:
+        n, first_us, last_us = state.get
+    else:
+        n, first_us, last_us = 0, None, None
+    if new and last_us is not None and new[0] < last_us:
+        # Single-data-batch contract (the fixture source is one file):
+        # cross-batch disorder would corrupt session boundaries, so it
+        # must fail loudly, never mis-sessionize. An exact multi-batch
+        # form would buffer the in-horizon suffix like stream_ewma.
+        raise ValueError(
+            f"user {key[0]}: arrival at {new[0]} before open-session "
+            f"tail {last_us} — single-batch delivery contract violated"
+        )
+    closed = []
+    for us in new:
+        if last_us is not None and us - last_us > _SSTO_GAP_MS * 1000:
+            closed.append((n, first_us, last_us))
+            n, first_us = 0, None
+        if first_us is None:
+            first_us = us
+        n += 1
+        last_us = us
+    state.update((n, first_us, last_us))
+    # timer in ms; fires on the no-data batch once wm_ms > this value
+    state.setTimeoutTimestamp(last_us // 1000 + _SSTO_GAP_MS)
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(closed),
+                "n_events": [c[0] for c in closed],
+                "first_us": [c[1] for c in closed],
+                "last_us": [c[2] for c in closed],
+            }
+        )
+
+
+@gate_query(
+    "stream_session_timeout",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT user_id, epoch_us(ts) AS us FROM events
+    ),
+    marked AS (
+      SELECT user_id, us,
+             CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                       > {_SSTO_GAP_MS * 1000} THEN 1 ELSE 0 END AS brk
+      FROM e
+    ),
+    sess AS (
+      SELECT user_id, us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    agg AS (
+      SELECT user_id, sid,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(MIN(us) AS BIGINT) AS first_us,
+             CAST(MAX(us) AS BIGINT) AS last_us,
+             MAX(sid) OVER (PARTITION BY user_id) AS max_sid
+      FROM sess GROUP BY user_id, sid
+    ),
+    wm AS (SELECT MAX(us) // 1000 - {_SSTO_DELAY_MS} AS wm_ms FROM e)
+    SELECT user_id, n_events, first_us, last_us
+    FROM agg, wm
+    WHERE sid < max_sid
+       OR last_us // 1000 + {_SSTO_GAP_MS} < wm_ms
+    """,
+    tags=("streaming",),
+)
+def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with EVENT-TIME TIMER expiry — the one stateful
+    mechanism the streaming family had never exercised (every other
+    gate runs NoTimeout): the trailing session of each user is closed
+    by ``state.setTimeoutTimestamp`` + ``state.hasTimedOut`` when the
+    watermark passes its inactivity deadline on the post-data no-data
+    batch, exactly how a production pipeline flushes idle per-key
+    state. Interior sessions close inline.
+
+    STRONG oracle via measured timer boundary semantics: a timer
+    fires iff floor(last_us/1000) + gap_ms < floor(max_us/1000) -
+    delay_ms — STRICT less-than against the µs→ms-FLOORED watermark
+    (both probed empirically at ±1 ms in
+    tests/test_streaming.py::test_session_timeout_boundary_semantics;
+    an equality or a rounded watermark flips specific rows). The
+    oracle reproduces: every non-last session per user, plus the last
+    one under that exact integer condition. All-integer output.
+
+    Scale: state per user is the O(1) open-session triple — the timer
+    IS the state bound (idle keys leave the store); payload rows never
+    buffer. Single-data-batch delivery is asserted loudly in the
+    kernel; the exact multi-batch form would buffer the in-horizon
+    suffix the way stream_ewma does."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", f"{_SSTO_DELAY_MS} milliseconds")
+        .select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_timeout_update,
+            outputStructType=(
+                "user_id long, n_events long, first_us long, last_us long"
+            ),
+            stateStructType="n long, first_us long, last_us long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return run_to_memory(out, mode="append")

@@ -329,3 +329,116 @@ def test_ewma_watermark_collapse_in_real_stream(spark, tmp_path):
     # far below the 120-event history (60 s / 10 s-per-event ≈ 6-7
     # in-horizon events + the current batch).
     assert final["state_rows"] < 60, final["state_rows"]
+
+
+def test_session_timeout_boundary_semantics(spark, tmp_path):
+    """Pins the measured event-time-timer boundary the
+    stream_session_timeout oracle depends on: a timer fires iff
+    timeout_ms < floor(max_event_us/1000) - delay_ms — STRICT
+    less-than against a µs→ms-FLOORED watermark. Three users sit at
+    -1/0/+1 ms around the threshold and the max-event carries a
+    999 µs sub-ms tail that a rounding watermark would surface."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_ms, delay_ms = 10_000, 5_000
+    # max event at 100_000 ms + 999 µs -> wm = floor -> 95_000 ms.
+    # timeouts: u1 94_999 (< wm: fires), u2 95_000 (== wm: must NOT),
+    # u3 95_001 (> wm: must not).
+    rows = [(1, 84_999_000), (2, 85_000_000), (3, 85_001_000), (99, 100_000_999)]
+    pdf = pd.DataFrame(
+        {
+            "user_id": [u for u, _ in rows],
+            "ts": [pd.Timestamp(us * 1_000, tz="UTC") for _, us in rows],
+        }
+    )
+    src = str(tmp_path / "boundary_src")
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            (last_ms,) = state.get
+            state.remove()
+            yield pd.DataFrame({"user_id": [key[0]], "last_ms": [last_ms]})
+            return
+        last = None
+        for p in pdfs:
+            for ts in p["ts"]:
+                last = int(ts.value // 1_000_000)
+        state.update((last,))
+        state.setTimeoutTimestamp(last + gap_ms)
+        return
+        yield
+
+    out = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .withWatermark("ts", f"{delay_ms} milliseconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, last_ms long",
+            stateStructType="last_ms long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    got = []
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _e: got.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(r["user_id"] for r in got) == [1], got
+
+
+def test_session_timeout_gate_closes_inline_and_by_timer(spark):
+    """The gate must emit BOTH close paths: every non-final session
+    (inline) and qualifying final sessions (timer) — and nothing
+    else. Cross-checked against batch sessionization semantics."""
+    from tests.conftest import SF_SMOKE
+
+    from big_data_flight_spark.io import table
+    from big_data_flight_spark.streaming.twins import (
+        _SSTO_DELAY_MS,
+        _SSTO_GAP_MS,
+        stream_session_timeout,
+    )
+
+    got = {
+        (r["user_id"], r["first_us"]): (r["n_events"], r["last_us"])
+        for r in stream_session_timeout(spark, SF_SMOKE).collect()
+    }
+    ev = (
+        table(spark, SF_SMOKE, "events")
+        .selectExpr("user_id", "unix_micros(ts) AS us")
+        .collect()
+    )
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r["us"])
+    want = {}
+    max_us = max(us for uss in by_user.values() for us in uss)
+    wm_ms = max_us // 1000 - _SSTO_DELAY_MS
+    for u, uss in by_user.items():
+        uss.sort()
+        sessions = []
+        cur = [uss[0]]
+        for us in uss[1:]:
+            if us - cur[-1] > _SSTO_GAP_MS * 1000:
+                sessions.append(cur)
+                cur = [us]
+            else:
+                cur.append(us)
+        sessions.append(cur)
+        for i, s in enumerate(sessions):
+            is_last = i == len(sessions) - 1
+            if not is_last or s[-1] // 1000 + _SSTO_GAP_MS < wm_ms:
+                want[(u, s[0])] = (len(s), s[-1])
+    assert got == want
