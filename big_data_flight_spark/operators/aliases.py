@@ -107,7 +107,6 @@ _ALIASES = {
     "a0_mm_frame_sample": "mm_frame_sample",
     "a0_mm_resize": "mm_resize",
     "a0_sample_weighted_systematic": "sample_weighted_systematic",
-    "a0_scan_text": "scan_text",
     "a0_sim_centroid_assign": "sim_centroid_assign",
     "a0_sim_knn_classify": "sim_knn_classify",
     "a0_text_curation_pipeline": "text_curation_pipeline",
@@ -132,12 +131,15 @@ _ALIASES = {
 # by tests/test_entry.py).
 _NEW_GATE_ALIASES: dict[str, str] = {
     # Round-7 newcomers (displaced per the docstring order:
-    # unpivot_stack and text_doc_token_stats rejoin the r8 queue):
-    # Spark-4 recursive-CTE BFS (declarative twin of graph_bfs_layers)
-    # and event-time-timer sessionization (the first gate exercising
-    # state timeouts).
+    # unpivot_stack, text_doc_token_stats and scan_text rejoin the r8
+    # queue): Spark-4 recursive-CTE BFS (declarative twin of
+    # graph_bfs_layers), event-time-timer sessionization (the first
+    # gate exercising state timeouts), and the Python DataSource
+    # WRITER (two-phase commit; completes the scan_python_datasource
+    # pair).
     "a0_sql_recursive_bfs": "sql_recursive_bfs",
     "a0_stream_session_timeout": "stream_session_timeout",
+    "a0_sink_python_datasource": "sink_python_datasource",
 }
 
 # Gates born this round but NOT aliased — they join the r8 rotation

@@ -1175,3 +1175,118 @@ def sink_retention_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sink_python_datasource — the WRITE side of the Spark 4 Python
+# DataSource SDK (r7; the read side is scan_python_datasource above)
+# ---------------------------------------------------------------------------
+
+
+def _register_flightsink(spark: SparkSession) -> None:
+    """Custom Python data-source WRITER with a real two-phase commit:
+    each task writes its rows to a `.tmp` file and returns the name in
+    its WriterCommitMessage; the DRIVER-side commit() publishes every
+    temp file by renaming it to its final `.csv` name (and abort()
+    deletes temps). The read-back path lists only final `.csv` files,
+    so a row can only be seen if BOTH phases ran — the same
+    visibility contract a real object-store committer provides."""
+    import uuid as _uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class _Msg(WriterCommitMessage):
+        def __init__(self, tmp_name):
+            self.tmp_name = tmp_name
+
+    class _FlightSinkWriter(DataSourceWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+            # test hook: fail the task that sees this key, AFTER it
+            # already wrote some temp rows — proves abort() makes
+            # partial task output invisible (the 2PC contract).
+            self.fail_on = int(options.get("fail_on_key", -1))
+
+        def write(self, it):
+            os.makedirs(self.path, exist_ok=True)
+            tmp = os.path.join(self.path, f"task-{_uuid.uuid4().hex}.tmp")
+            n = 0
+            with open(tmp, "w") as fh:
+                for row in it:
+                    if row[0] == self.fail_on:
+                        raise RuntimeError(f"injected failure at key {row[0]}")
+                    fh.write(f"{row[0]},{row[1]}\n")
+                    n += 1
+            if n == 0:  # empty task: nothing to publish
+                os.remove(tmp)
+                return _Msg(None)
+            return _Msg(tmp)
+
+        def commit(self, messages):
+            for m in messages:
+                if m.tmp_name is not None:
+                    os.rename(m.tmp_name, m.tmp_name[: -len(".tmp")] + ".csv")
+
+        def abort(self, messages):
+            for m in messages:
+                if m.tmp_name is not None and os.path.exists(m.tmp_name):
+                    os.remove(m.tmp_name)
+
+    class FlightSinkDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "flightsink"
+
+        def writer(self, schema, overwrite):
+            return _FlightSinkWriter(self.options)
+
+    spark.dataSource.register(FlightSinkDataSource)
+
+
+@gate_query(
+    "sink_python_datasource",
+    oracle="""
+    SELECT o_custkey % 10 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders
+    WHERE o_orderkey < 4000
+    GROUP BY o_custkey % 10
+    """,
+    tags=("sink", "udf"),
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through a custom PYTHON DATA SOURCE WRITER (the
+    Spark-4 connector SDK's write side, completing the pair with
+    scan_python_datasource): an orders slice is written through
+    format("flightsink") — per-task temp files, WriterCommitMessages,
+    driver-side commit that RENAMES temps to their final names — then
+    read back from the committed files only and aggregated. A writer
+    that skipped commit, dropped a task's message, or published
+    before commit changes the read-back set; the oracle aggregates
+    the same slice straight from the source table, so a hash match
+    proves the whole write→commit→read chain lossless. All-integer
+    output. Scale posture: the commit protocol is O(tasks) driver
+    metadata work (rename-only publish), the shape object-store
+    committers use; payload bytes stay in executor tasks."""
+    _register_flightsink(spark)
+    out = os.path.join(_TMP, "pyds_sink")
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    src = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 4000)
+        .select("o_orderkey", "o_custkey")
+    )
+    src.write.format("flightsink").mode("append").option("path", out).save()
+    back = spark.read.schema("o_orderkey long, o_custkey long").csv(
+        os.path.join(out, "*.csv")
+    )
+    return back.groupBy((F.col("o_custkey") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+    )

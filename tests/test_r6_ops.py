@@ -562,3 +562,65 @@ def test_sql_recursive_bfs_matches_dataframe_loop(spark):
         if r["hop"] >= 0
     }
     assert rec == loop
+
+
+def test_sink_python_datasource_commit_publishes_everything(spark, tmp_path):
+    """After a successful save() every task file is committed: final
+    .csv files only, zero .tmp leftovers, rows equal the source."""
+    import glob
+    import os
+
+    from tests.conftest import SF_SMOKE
+
+    from big_data_flight_spark.io import table
+    from big_data_flight_spark.sources.connectors import _register_flightsink
+    from pyspark.sql import functions as F
+
+    _register_flightsink(spark)
+    out = str(tmp_path / "sink_ok")
+    src = (
+        table(spark, SF_SMOKE, "orders")
+        .filter(F.col("o_orderkey") < 500)
+        .select("o_orderkey", "o_custkey")
+    )
+    n_src = src.count()
+    src.write.format("flightsink").mode("append").option("path", out).save()
+    assert glob.glob(os.path.join(out, "*.tmp")) == []
+    finals = glob.glob(os.path.join(out, "*.csv"))
+    assert finals
+    n_rows = sum(1 for f in finals for _ in open(f))
+    assert n_rows == n_src
+
+
+def test_sink_python_datasource_abort_leaves_nothing_visible(spark, tmp_path):
+    """A failing task must abort the job with NO published files —
+    partial temp output never becomes visible (the 2PC contract a
+    real object-store committer provides)."""
+    import glob
+    import os
+
+    import pytest
+
+    from tests.conftest import SF_SMOKE
+
+    from big_data_flight_spark.io import table
+    from big_data_flight_spark.sources.connectors import _register_flightsink
+    from pyspark.sql import functions as F
+
+    _register_flightsink(spark)
+    out = str(tmp_path / "sink_fail")
+    src = (
+        table(spark, SF_SMOKE, "orders")
+        .filter(F.col("o_orderkey") < 500)
+        .select("o_orderkey", "o_custkey")
+    )
+    some_key = src.orderBy(F.col("o_orderkey").desc()).limit(1).collect()[0][0]
+    with pytest.raises(Exception):
+        (
+            src.write.format("flightsink")
+            .mode("append")
+            .option("path", out)
+            .option("fail_on_key", str(some_key))
+            .save()
+        )
+    assert glob.glob(os.path.join(out, "*.csv")) == []
