@@ -120,7 +120,6 @@ _ALIASES = {
     "a0_text_repetition_stats": "text_repetition_stats",
     "a0_text_simhash_dedup": "text_simhash_dedup",
     "a0_text_stratified_split": "text_stratified_split",
-    "a0_text_token_regex": "text_token_regex",
     "a0_text_winnowing_fingerprints": "text_winnowing_fingerprints",
 }
 
@@ -140,6 +139,9 @@ _NEW_GATE_ALIASES: dict[str, str] = {
     "a0_sql_recursive_bfs": "sql_recursive_bfs",
     "a0_stream_session_timeout": "stream_session_timeout",
     "a0_sink_python_datasource": "sink_python_datasource",
+    # (fourth r7 newcomer; displaced text_token_regex): state-store
+    # restore across restart — the stateful half of restartability.
+    "a0_stream_state_restore": "stream_state_restore",
 }
 
 # Gates born this round but NOT aliased — they join the r8 rotation

@@ -1079,3 +1079,88 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(out, mode="append")
+
+
+@gate_query(
+    "stream_state_restore",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming",),
+)
+def stream_state_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-aggregation STATE restore across a query restart —
+    the second half of production restartability next to
+    stream_checkpoint_recovery (which proves the OFFSET log makes a
+    restart a no-op): here the input genuinely grows between runs, so
+    run 2 must (a) process only the new file, proven from progress
+    metrics, and (b) resume the running per-key aggregate from the
+    recovered STATE STORE, not from zero. The fixture is split in two
+    halves by event_id parity staged as two files; run 1 sees only
+    half A, the second file lands, run 2 (same checkpoint) drains the
+    remainder in complete mode — its final emission equals the
+    whole-table aggregate iff the state store restored A's counts
+    under B's processing. A state-recovery bug shows up as only-B
+    counts (or doubled-A on an offset bug — the sibling gate's axis),
+    and either flips n and sum_id for every key. Scale: this is the
+    HDFS/RocksDB state-store recovery path every long-running
+    aggregation relies on when executors are preempted."""
+    import shutil as _shutil
+
+    from big_data_flight_spark.sources.connectors import _TMP
+
+    root = os.path.join(_TMP, "state_restore")
+    _shutil.rmtree(root, ignore_errors=True)
+    src_dir = os.path.join(root, "src")
+    ev = ts_guard(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).select("event_id", "event_type", "ts")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(src_dir, "half=a")
+    )
+    schema = ev.schema
+
+    def drain(run: int) -> tuple[int, DataFrame]:
+        agg = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("event_id").cast("long").alias("sum_id"),
+            )
+        )
+        name = f"restore_{os.getpid()}_{run}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(root, "_checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = sum(p.numInputRows for p in q.recentProgress)
+        out = spark.table(name).localCheckpoint()
+        spark.catalog.dropTempView(name)
+        return rows, out
+
+    n_a, _ = drain(1)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(src_dir, "half=b")
+    )
+    n_b, final = drain(2)
+    n_half_a = ev.filter(F.col("event_id") % 2 == 0).count()
+    if n_a != n_half_a or n_b != ev.count() - n_half_a:
+        raise AssertionError(
+            f"restart processed wrong row counts: run1={n_a} (want "
+            f"{n_half_a}), run2={n_b} (want {ev.count() - n_half_a}) — "
+            "offset recovery broken, counts below would mask which half"
+        )
+    return final
