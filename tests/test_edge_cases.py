@@ -241,3 +241,32 @@ def test_flagship_layout_invariant(spark, tmp_path):
     assert sorted(map(tuple, sorted(single, key=key))) == sorted(
         map(tuple, sorted(multi, key=key))
     )
+
+
+def test_observe_metrics_ride_the_main_query(spark):
+    """df.observe (CollectMetrics): pipeline observability metrics
+    must come for free on the main query's single pass and agree with
+    a separately computed aggregate — the pattern that lets a 100 TB
+    job validate row counts / null rates without a second scan."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from big_data_flight_spark.io import table
+    from tests.conftest import SF_SMOKE
+
+    ev = table(spark, SF_SMOKE, "events")
+    obs = Observation("dq")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("event_id")).alias("sum_id"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("n_null_value"),
+    )
+    main = observed.groupBy("event_type").count().collect()
+    ref = ev.agg(
+        F.count(F.lit(1)), F.sum("event_id"),
+        F.count(F.when(F.col("value").isNull(), 1)),
+    ).collect()[0]
+    assert obs.get["n_rows"] == ref[0] == sum(r["count"] for r in main)
+    assert obs.get["sum_id"] == ref[1]
+    assert obs.get["n_null_value"] == ref[2]
