@@ -445,6 +445,21 @@ SNAPSHOT = {
         "!CartesianProduct",
         "HashAggregate",
     ],
+    # r7. Recursive-CTE BFS: the plan must actually contain Spark's
+    # recursive execution node (UnionLoop + its back-reference) over
+    # the checkpointed edge view (surfacing as LogicalRDD inside the
+    # loop's logical subtree) — a plan without UnionLoop would mean
+    # Catalyst unrolled or rewrote the recursion.
+    "sql_recursive_bfs": ["UnionLoop", "UnionLoopRef", "LogicalRDD"],
+    # r7. Re-pointed codec gates: same narrow-Arrow contract as their
+    # *_ppm/*_wav siblings — containers live and die between
+    # MapInPandas stages, zero Exchange. frame_sample additionally
+    # keeps its explode (Generate) BEFORE the synth stage and its
+    # sampling filter between the two Python stages.
+    "mm_decode_image": ["MapInPandas", "!Exchange"],
+    "mm_resize": ["MapInPandas", "!Exchange"],
+    "mm_audio_features": ["MapInPandas", "!Exchange"],
+    "mm_frame_sample": ["Generate", "MapInPandas", "!Exchange"],
 }
 
 
