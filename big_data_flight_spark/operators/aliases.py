@@ -42,9 +42,15 @@ verification debt):
   (rows-only check by design — MLlib's hash family differs), and
   text_pack_sequences_sharded (global-pack twin is in-window).
 
-After this rotation lands 50/50, cumulative driver coverage is
-247/251 pre-r7-newborns — r8's window trivially absorbs the 5
-deferred plus any r7-born gates.
+FINAL R7 WINDOW STATE: the round then shipped five brand-new gates
+(sql_recursive_bfs, stream_session_timeout, sink_python_datasource,
+stream_state_restore, text_cdc_chunk_dedup — see _NEW_GATE_ALIASES), each taking a slot
+per the displacement order below, so unpivot_stack,
+text_doc_token_stats, scan_text, text_token_regex and
+sample_weighted_systematic also rejoin the r8 queue. R8 debt =
+exactly those 5 displaced + the 5 deferred = 10
+never-driver-graded gates; everything else in the registry has a
+driver row once this rotation lands 50/50.
 
 Displacement order for brand-new round-7 gates (the r2/r3 lesson: a
 gate born this round takes a slot the round it ships): displace from
@@ -106,7 +112,6 @@ _ALIASES = {
     "a0_mm_audio_features": "mm_audio_features",
     "a0_mm_frame_sample": "mm_frame_sample",
     "a0_mm_resize": "mm_resize",
-    "a0_sample_weighted_systematic": "sample_weighted_systematic",
     "a0_sim_centroid_assign": "sim_centroid_assign",
     "a0_sim_knn_classify": "sim_knn_classify",
     "a0_text_curation_pipeline": "text_curation_pipeline",
@@ -142,6 +147,9 @@ _NEW_GATE_ALIASES: dict[str, str] = {
     # (fourth r7 newcomer; displaced text_token_regex): state-store
     # restore across restart — the stateful half of restartability.
     "a0_stream_state_restore": "stream_state_restore",
+    # (fifth r7 newcomer; displaced sample_weighted_systematic):
+    # content-defined chunking dedup, the tenth dedup modality.
+    "a0_text_cdc_chunk_dedup": "text_cdc_chunk_dedup",
 }
 
 # Gates born this round but NOT aliased — they join the r8 rotation

@@ -2537,3 +2537,146 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bm25_d6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_cdc_chunk_dedup — content-defined chunking dedup (r7; the tenth
+# dedup modality: rsync/LBFS/FastCDC-style chunk-level dedup)
+# ---------------------------------------------------------------------------
+
+_CDC_MOD = 64          # boundary condition h % 64 == 0 -> ~64-char chunks
+_CDC_P3, _CDC_P2, _CDC_P1 = 31 ** 3, 31 ** 2, 31  # 4-gram polynomial
+
+
+def _cdc_chunks(batches):
+    """mapInPandas kernel: text in → (doc_id, chunk md5, chunk length)
+    out. Boundary after character position i (1-based, i >= 4) iff the
+    4-gram polynomial over CODE POINTS (c[i-3]*31^3 + c[i-2]*31^2 +
+    c[i-1]*31 + c[i]) % 64 == 0 — per-position independent, so the SQL
+    oracle replays it verbatim with ascii(substring(...)). Code points
+    via utf-32 decode (matches DuckDB's per-CHARACTER ascii() even if
+    a future fixture goes non-ASCII). Only 32-char hashes + integer
+    lengths leave the kernel — chunk text never crosses a shuffle."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        rows = {"doc_id": [], "ch": [], "clen": []}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            n = len(text)
+            if n == 0:
+                continue
+            c = np.frombuffer(text.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+            if n >= 4:
+                h = (
+                    c[:-3] * _CDC_P3 + c[1:-2] * _CDC_P2 + c[2:-1] * _CDC_P1 + c[3:]
+                ) % _CDC_MOD
+                bounds = [int(k) + 4 for k in np.nonzero(h == 0)[0]]
+            else:
+                bounds = []
+            if not bounds or bounds[-1] != n:
+                bounds.append(n)
+            s = 0
+            for e in bounds:
+                chunk = text[s:e]
+                rows["doc_id"].append(doc_id)
+                rows["ch"].append(hashlib.md5(chunk.encode("utf-8")).hexdigest())
+                rows["clen"].append(e - s)
+                s = e
+        yield pd.DataFrame(rows)
+
+
+@gate_query(
+    "text_cdc_chunk_dedup",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, i
+      FROM documents, LATERAL unnest(range(4, length(text) + 1)) t(i)
+      WHERE (ascii(substring(text, CAST(i - 3 AS INT), 1)) * {_CDC_P3}
+           + ascii(substring(text, CAST(i - 2 AS INT), 1)) * {_CDC_P2}
+           + ascii(substring(text, CAST(i - 1 AS INT), 1)) * {_CDC_P1}
+           + ascii(substring(text, CAST(i AS INT), 1))) % {_CDC_MOD} = 0
+    ),
+    bounds AS (
+      SELECT DISTINCT doc_id, i FROM (
+        SELECT doc_id, CAST(i AS BIGINT) AS i FROM b
+        UNION ALL
+        SELECT doc_id, CAST(length(text) AS BIGINT)
+        FROM documents WHERE length(text) > 0
+      )
+    ),
+    spans AS (
+      SELECT doc_id,
+             COALESCE(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS s,
+             i AS e
+      FROM bounds
+    ),
+    chunks AS MATERIALIZED (
+      SELECT sp.doc_id,
+             md5(substring(d.text, CAST(sp.s + 1 AS INT), CAST(sp.e - sp.s AS INT)))
+               AS ch,
+             sp.e - sp.s AS clen
+      FROM spans sp JOIN documents d USING (doc_id)
+      WHERE sp.e > sp.s
+    ),
+    freq AS (
+      SELECT ch, COUNT(DISTINCT doc_id) AS ndocs FROM chunks GROUP BY ch
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(c.clen) AS BIGINT) AS total_chunk_chars,
+           CAST(SUM(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks,
+           CAST(SUM(CASE WHEN f.ndocs > 1 THEN c.clen ELSE 0 END) AS BIGINT)
+             AS shared_chars
+    FROM chunks c JOIN freq f USING (ch)
+    GROUP BY c.doc_id
+    """,
+    tags=("text", "dedup", "udf"),
+)
+def text_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING dedup (rsync / LBFS / FastCDC family)
+    — the tenth dedup modality: boundaries are a deterministic
+    function of local content (4-gram polynomial fingerprint hitting
+    0 mod {_CDC_MOD}), so shared passages chunk IDENTICALLY in every
+    document regardless of where they sit — insert one sentence at
+    the front of a copied document and byte-offset chunking
+    misaligns every block, while CDC boundaries downstream of the
+    edit are unchanged. Per doc: chunk count, chars (must equal
+    doc length — a built-in partition-of-the-text consistency
+    check), and how many chunks/chars are shared with ANY other
+    document. Exact duplicates share every chunk; partial overlaps
+    surface as intermediate shared_chars.
+
+    Strong oracle: the boundary predicate is per-position
+    independent (a windowed polynomial, the Rabin-fingerprint shape
+    without the rolling-update optimization), so DuckDB replays it
+    character-by-character and md5-hashes the same spans.
+
+    Scale: chunking is embarrassingly parallel in one Arrow pass;
+    only (hash, len) pairs reach the shuffle — the chunk-frequency
+    groupBy and hash join carry 32-char digests however large the
+    documents, exactly like mm_dedup_assets' payload rule. In a
+    production CDC a min/max chunk-size clamp bounds the pathological
+    all-boundaries/no-boundaries tails; at ~{_CDC_MOD}-char expected
+    chunks the fixture corpus needs no clamp (documented boundary)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = fan_out(d).mapInPandas(_cdc_chunks, "doc_id long, ch string, clen long")
+    chunks = chunks.localCheckpoint()  # two consumers: freq + per-doc rollup
+    freq = chunks.groupBy("ch").agg(F.countDistinct("doc_id").alias("ndocs"))
+    return (
+        chunks.join(freq, "ch")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("clen").cast("long").alias("total_chunk_chars"),
+            F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_chunks"),
+            F.sum(F.when(F.col("ndocs") > 1, F.col("clen")).otherwise(0))
+            .cast("long")
+            .alias("shared_chars"),
+        )
+    )

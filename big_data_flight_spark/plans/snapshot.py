@@ -460,6 +460,16 @@ SNAPSHOT = {
     "mm_resize": ["MapInPandas", "!Exchange"],
     "mm_audio_features": ["MapInPandas", "!Exchange"],
     "mm_frame_sample": ["Generate", "MapInPandas", "!Exchange"],
+    # r7. CDC chunk dedup: the final plan reads the checkpointed
+    # (hash, len) chunk table (ExistingRDD — chunking runs once for
+    # its two consumers), joins chunk frequencies by equi-join, and
+    # never sees a nested loop or the chunk text.
+    "text_cdc_chunk_dedup": [
+        "ExistingRDD",
+        "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin",
+        "!BroadcastNestedLoopJoin",
+        "HashAggregate",
+    ],
 }
 
 

@@ -624,3 +624,74 @@ def test_sink_python_datasource_abort_leaves_nothing_visible(spark, tmp_path):
             .save()
         )
     assert glob.glob(os.path.join(out, "*.csv")) == []
+
+
+def test_cdc_chunking_survives_prefix_insertion():
+    """THE content-defined-chunking property: prepending text shifts
+    every byte offset, but boundaries are a function of local content,
+    so all chunks after the first post-edit boundary are identical —
+    byte-offset chunking would share nothing."""
+    import pandas as pd
+
+    from big_data_flight_spark.operators.text import _cdc_chunks
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through fields of synthetic fixture text until boundaries appear "
+        "every so often in this long enough paragraph for several chunks "
+        "to form with the default modulus and polynomial constants here"
+    ) * 3
+    edited = "INSERTED PREFIX SENTENCE. " + base
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": [base, edited]})
+    out = next(_cdc_chunks(iter([pdf])))
+    a = list(out[out.doc_id == 1]["ch"])
+    b = list(out[out.doc_id == 2]["ch"])
+    assert len(a) >= 4, "fixture text must produce several chunks"
+    shared = set(a) & set(b)
+    # every chunk of the original past the first boundary must survive
+    assert set(a[1:]) <= set(b), (len(a), len(b), len(shared))
+    # and the partition-of-text invariant holds for both docs
+    for doc_id, text in ((1, base), (2, edited)):
+        assert out[out.doc_id == doc_id]["clen"].sum() == len(text)
+
+
+def test_cdc_exact_duplicates_share_everything(spark):
+    """Exact-duplicate documents (present in the fixture) must share
+    100% of their chunks: shared_chars == total_chunk_chars."""
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_SMOKE
+
+    from big_data_flight_spark.io import table
+    from big_data_flight_spark.operators.text import text_cdc_chunk_dedup
+
+    dup_hashes = (
+        table(spark, SF_SMOKE, "documents")
+        .groupBy(F.md5(F.lower(F.trim("text"))).alias("h"))
+        .agg(F.count("*").alias("n"), F.collect_list("doc_id").alias("ids"))
+        .filter((F.col("n") > 1) & (F.length(F.trim(F.concat_ws("", "ids"))) > 0))
+        .collect()
+    )
+    exact_dup_ids = {i for r in dup_hashes for i in r["ids"]}
+    if not exact_dup_ids:
+        return  # fixture regenerated without duplicates: nothing to pin
+    out = {
+        r["doc_id"]: r
+        for r in text_cdc_chunk_dedup(spark, SF_SMOKE).collect()
+    }
+    # md5(lower(trim)) groups may include case-variants; only byte-exact
+    # duplicate TEXTS share all chunks — check via text equality groups.
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, SF_SMOKE, "documents").collect()
+    }
+    by_text = {}
+    for i, t in texts.items():
+        by_text.setdefault(t, []).append(i)
+    checked = 0
+    for t, ids in by_text.items():
+        if len(ids) > 1 and t:
+            for i in ids:
+                assert out[i]["shared_chars"] == out[i]["total_chunk_chars"], i
+                checked += 1
+    assert checked > 0, "expected byte-exact duplicate docs in fixture"
