@@ -157,7 +157,11 @@ _NEW_GATE_ALIASES: dict[str, str] = {
 # brand-new gate MUST appear either in _NEW_GATE_ALIASES or here —
 # enforced by tests/test_scale_patterns.py against the committed
 # tests/known_gates.txt ledger.
-_DEFERRED_TO_NEXT_ROTATION: tuple[str, ...] = ()
+_DEFERRED_TO_NEXT_ROTATION: tuple[str, ...] = (
+    # Born after the 5-name displacement order was exhausted (the
+    # r6-deferred-trio precedent): graded in r8's window first.
+    "join_range_banded",
+)
 
 
 def _register_aliases() -> None:

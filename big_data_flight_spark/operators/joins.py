@@ -884,3 +884,94 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("fwd_id").isNotNull(), F.lit("fwd"))
         .alias("direction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# join_range_banded — NO-equi-key interval join via band bucketing (r7)
+# ---------------------------------------------------------------------------
+
+_RB_BAND_US = 600_000_000   # 10-minute bands
+_RB_RADIUS_US = 300_000_000  # ±5-minute correlation window (< band width)
+_RB_PROBE_MOD = 100          # probe side: every 100th signup
+
+
+@gate_query(
+    "join_range_banded",
+    oracle=f"""
+    SELECT p.event_id AS probe_id,
+           CAST(COUNT(*) AS BIGINT) AS n_nearby,
+           CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_purchases
+    FROM (SELECT event_id, ts FROM events
+          WHERE event_type = 'signup' AND event_id % {_RB_PROBE_MOD} = 0) p
+    JOIN events e
+      ON abs(epoch_us(e.ts) - epoch_us(p.ts)) <= {_RB_RADIUS_US}
+     AND e.event_id <> p.event_id
+    GROUP BY p.event_id
+    """,
+    tags=("join", "event"),
+)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join with NO equi-key, executed the banded way — the
+    scale path join_range_interval's docstring names but (until r7)
+    nothing executed: cross-USER temporal correlation, "all events
+    within ±5 minutes of each probe signup, any user". The naive form
+    is a pure theta join (O(|probes|·|events|) nested loop); the
+    banded form maps every event to a 10-minute band
+    floor(ts_us/band), EXPLODES each probe to its three candidate
+    bands {{b-1, b, b+1}} (radius < band width bounds the reach), hash
+    equi-joins on the band key, and refines with the exact integer-µs
+    predicate. Each (probe, event) pair meets in exactly one band —
+    the event's own — so no dedup pass is needed. The oracle is the
+    DIRECT theta form, so a hash match proves the banded plan
+    semantically equal to the naive one. All-integer output and
+    predicate arithmetic (unix_micros both engines).
+
+    Scale: band cardinality = timespan/10min, so both sides
+    hash-partition evenly by time; the 3× probe fan-out is the whole
+    cost of turning a quadratic nested loop into a shuffle join —
+    the standard trick for range joins that lack an equi-key (same
+    family as the shingle/band blocking in the dedup gates)."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    probes = (
+        e.filter(
+            (F.col("event_type") == "signup")
+            & (F.col("event_id") % _RB_PROBE_MOD == 0)
+        )
+        .select(
+            F.col("event_id").alias("probe_id"),
+            F.col("us").alias("p_us"),
+            F.floor(F.col("us") / _RB_BAND_US).cast("long").alias("b"),
+        )
+        .select(
+            "probe_id",
+            "p_us",
+            F.explode(
+                F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1)
+            ).alias("band"),
+        )
+    )
+    targets = e.select(
+        "event_id",
+        "event_type",
+        "us",
+        F.floor(F.col("us") / _RB_BAND_US).cast("long").alias("band"),
+    )
+    return (
+        probes.join(targets, "band")
+        .filter(
+            (F.abs(F.col("us") - F.col("p_us")) <= _RB_RADIUS_US)
+            & (F.col("event_id") != F.col("probe_id"))
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_nearby"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purchases"),
+        )
+    )

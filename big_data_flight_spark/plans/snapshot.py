@@ -470,6 +470,16 @@ SNAPSHOT = {
         "!BroadcastNestedLoopJoin",
         "HashAggregate",
     ],
+    # r7. Banded no-equi-key range join: candidates must come from the
+    # band-bucket equi-join, never the naive theta nested loop the
+    # oracle uses — that asymmetry is the gate's entire point.
+    "join_range_banded": [
+        "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin",
+        "!BroadcastNestedLoopJoin",
+        "!CartesianProduct",
+        "Generate",
+        "HashAggregate",
+    ],
 }
 
 
