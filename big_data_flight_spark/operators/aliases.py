@@ -161,6 +161,7 @@ _DEFERRED_TO_NEXT_ROTATION: tuple[str, ...] = (
     # Born after the 5-name displacement order was exhausted (the
     # r6-deferred-trio precedent): graded in r8's window first.
     "join_range_banded",
+    "stream_ewma_bounded",
 )
 
 

@@ -1164,3 +1164,104 @@ def stream_state_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "offset recovery broken, counts below would mask which half"
         )
     return final
+
+
+@gate_query(
+    "stream_ewma_bounded",
+    oracle=EWMA_ORACLE,
+    tags=("streaming",),
+)
+def stream_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark-horizon EWMA — the PRODUCTION form of
+    stream_ewma, driver-gated end to end (closes the loop on VERDICT
+    r6 #4: the collapse no longer lives only in unit tests): the
+    fixture is staged as four ts-range files with pinned increasing
+    mtimes, replayed one file per micro-batch under a 1-hour
+    watermark, so the watermark genuinely advances between batches
+    and the SAME kernel (_make_ewma_update) folds history older than
+    the horizon into the frozen-prefix scalars while the fold stays
+    bit-exact — the oracle is the identical EWMA_ORACLE over all
+    events. Output is invariant to WHERE the collapse boundary lands
+    (s is the fold over everything; collapse only re-organizes
+    state), so the µs→ms watermark arithmetic has zero parity
+    surface. A driver-side self-audit asserts the state really
+    collapsed (max retained suffix ≪ max per-user history) and that
+    ts-range staging dropped nothing. Nothing is late by
+    construction: file k+1's (ts, event_id) min follows file k's
+    max, so arrivals are never behind the watermark."""
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+
+    from pyspark.sql import Window as _W
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from big_data_flight_spark.sources.connectors import _TMP
+
+    root = os.path.join(_TMP, "ewma_bounded")
+    _shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    ev = ts_guard(spark.read.parquet(f"{sf_dir}/events.parquet")).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    k_files = 4
+    staged = ev.withColumn(
+        "f", F.ntile(k_files).over(_W.orderBy("ts", "event_id"))
+    )
+    t0 = _time.time() - 3600
+    for k in range(1, k_files + 1):
+        out_dir = os.path.join(src, f"f={k}")
+        staged.filter(F.col("f") == k).drop("f").coalesce(1).write.parquet(out_dir)
+        for part in _glob.glob(os.path.join(out_dir, "*.parquet")):
+            os.utime(part, (t0 + 60 * k, t0 + 60 * k))
+    out = (
+        spark.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_ewma_update(diag=True),
+            outputStructType=(
+                "user_id long, n_events long, "
+                "last_value_micro long, ewma_micro long, state_rows long"
+            ),
+            stateStructType=_EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    drained = run_to_memory(out, mode="update")
+    final = (
+        drained.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("n_events", "last_value_micro", "ewma_micro", "state_rows")
+            ).alias("b")
+        )
+        .select(
+            "user_id",
+            F.col("b.n_events").alias("n_events"),
+            F.col("b.last_value_micro").alias("last_value_micro"),
+            F.col("b.ewma_micro").alias("ewma_micro"),
+            F.col("b.state_rows").alias("state_rows"),
+        )
+        .localCheckpoint()
+    )
+    # Self-audit scalars (sanctioned class): the collapse must have
+    # actually bounded state, and staging must have dropped nothing.
+    audit = final.agg(
+        F.max("state_rows"), F.max("n_events"), F.sum("n_events")
+    ).collect()[0]
+    if audit[2] != ev.count():
+        raise AssertionError(
+            f"ts-range staging lost events: folded {audit[2]} of {ev.count()}"
+        )
+    if audit[0] >= audit[1]:
+        raise AssertionError(
+            f"horizon collapse never ran: max retained suffix {audit[0]} "
+            f">= max history {audit[1]}"
+        )
+    return final.drop("state_rows")
