@@ -162,6 +162,8 @@ _DEFERRED_TO_NEXT_ROTATION: tuple[str, ...] = (
     # r6-deferred-trio precedent): graded in r8's window first.
     "join_range_banded",
     "stream_ewma_bounded",
+    "evt_path_regex",
+    "text_split_leakage_audit",
 )
 
 

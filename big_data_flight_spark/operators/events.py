@@ -1234,3 +1234,83 @@ def evt_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_conversions"))
     )
+
+
+# ---------------------------------------------------------------------------
+# evt_path_regex — regex pattern matching over full behavioral journeys (r7)
+# ---------------------------------------------------------------------------
+
+# One initial per event type; the CASE is inlined verbatim into the
+# oracle so the alphabet cannot drift between engines.
+_PR_CASE_SQL = (
+    "CASE event_type WHEN 'signup' THEN 's' WHEN 'click' THEN 'c' "
+    "WHEN 'purchase' THEN 'p' WHEN 'view' THEN 'v' WHEN 'error' THEN 'e' "
+    "ELSE 'x' END"
+)
+
+
+@gate_query(
+    "evt_path_regex",
+    oracle=f"""
+    WITH j AS (
+      SELECT user_id,
+             string_agg({_PR_CASE_SQL}, '' ORDER BY ts, event_id) AS journey,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, journey, n_events,
+           regexp_matches(journey, 's.*p') AS converted_after_signup,
+           CAST(len(regexp_extract_all(journey, 'cp')) AS BIGINT)
+             AS n_click_to_purchase,
+           CAST(len(regexp_extract_all(journey, 'ee+')) AS BIGINT)
+             AS n_error_bursts
+    FROM j
+    """,
+    tags=("event",),
+)
+def evt_path_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style behavioral pattern matching, DataFrame-
+    native (r7): each user's whole event history becomes an ordered
+    initial string (the agg_collect string-render convention — sorted
+    struct collect, so the journey is total-ordered on (ts,
+    event_id)), and variable-length questions that evt_top_paths'
+    fixed 3-step windows cannot express become REGEXES over it: "did
+    a signup eventually convert" (s.*p), immediate click→purchase
+    adjacencies, runs of consecutive errors (ee+). The regex subset
+    used (literals, ., .*, +) has identical semantics in Java regex
+    and RE2/DuckDB, and both engines count non-overlapping left-to-
+    right matches — the same portability contract replace() relies on
+    in the BPE gate. Scale: one user-keyed shuffle; per-user state is
+    one |history|-char string (journeys are session-scale — for
+    unbounded histories cap or sessionize first, the tokenize
+    collect_set precedent)."""
+    e = table(spark, sf_dir, "events")
+    chr_col = F.expr(_PR_CASE_SQL)
+    j = (
+        e.select("user_id", "ts", "event_id", chr_col.alias("ch"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "ch"))
+                    ),
+                    lambda s: s["ch"],
+                ),
+                "",
+            ).alias("journey"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    return j.select(
+        "user_id",
+        "journey",
+        "n_events",
+        F.col("journey").rlike("s.*p").alias("converted_after_signup"),
+        F.regexp_count("journey", F.lit("cp")).cast("long").alias(
+            "n_click_to_purchase"
+        ),
+        F.regexp_count("journey", F.lit("ee+")).cast("long").alias(
+            "n_error_bursts"
+        ),
+    )

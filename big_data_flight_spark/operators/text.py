@@ -2680,3 +2680,108 @@ def text_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("shared_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_split_leakage_audit — eval-contamination audit across a split (r7)
+# ---------------------------------------------------------------------------
+
+
+@gate_query(
+    "text_split_leakage_audit",
+    oracle="""
+    WITH ordered AS (
+      SELECT doc_id, lang, text,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, text,
+             CASE WHEN rn <= ceil(n_lang * 0.9) THEN 'train' ELSE 'val' END
+               AS split
+      FROM ordered
+    ),
+    h AS (
+      SELECT split, md5(substring(lower(text), 1, 40)) AS ch FROM s
+    ),
+    g AS (
+      SELECT ch,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) FILTER (split = 'train') AS BIGINT) AS n_train_docs,
+             CAST(COUNT(*) FILTER (split = 'val') AS BIGINT) AS n_val_docs
+      FROM h GROUP BY ch
+    )
+    SELECT CAST(SUM(n_train_docs) AS BIGINT) AS n_train,
+           CAST(SUM(n_val_docs) AS BIGINT) AS n_val,
+           CAST(COUNT(*) FILTER (n_docs > 1) AS BIGINT) AS n_dup_groups,
+           CAST(COUNT(*) FILTER (n_train_docs > 0 AND n_val_docs > 0)
+             AS BIGINT) AS n_leaked_groups,
+           CAST(COALESCE(SUM(CASE WHEN n_train_docs > 0 AND n_val_docs > 0
+                                  THEN n_docs END), 0) AS BIGINT)
+             AS n_leaked_docs
+    FROM g
+    """,
+    tags=("text", "dedup", "sampling"),
+)
+def text_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVAL-CONTAMINATION audit — the check every train/val split must
+    pass before an eval number is trusted: compose the deterministic
+    stratified split (text_stratified_split's hash-quota logic,
+    inlined from the same expressions) with near-dup groups keyed on
+    the 40-char OPENING PREFIX (boilerplate/template sharing — the
+    classic leakage vector), and report the groups that SPAN the
+    boundary — a doc whose template-mate sits in train inflates its
+    val copy's eval. The prefix key is deliberate: the current
+    fixtures contain ZERO byte-exact duplicate texts (verified — an
+    exact content-hash key would make this audit vacuous), but 20+
+    prefix groups genuinely straddle documents, and the hash-ordered
+    split is blind to content, so the gate exercises a real non-zero
+    leak path: n_leaked_groups > 0 is the expected, detected state.
+    The production follow-up is keeper-split assignment (move whole
+    groups to one side — a one-line change on the same group table);
+    the full near-dup escalation swaps this key for
+    text_near_dedup_jaccard's shingle/MinHash candidate machinery. Scale: split is a per-language window over
+    hash order, groups shuffle 32-byte digests only."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    s = d.select(
+        "doc_id",
+        "text",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n_lang"),
+    ).select(
+        "text",
+        F.when(
+            F.col("rn") <= F.ceil(F.col("n_lang") * 0.9), F.lit("train")
+        ).otherwise(F.lit("val")).alias("split"),
+    )
+    g = (
+        s.select("split", F.md5(F.substring(F.lower(F.col("text")), 1, 40)).alias("ch"))
+        .groupBy("ch")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+                "n_train_docs"
+            ),
+            F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias(
+                "n_val_docs"
+            ),
+        )
+    )
+    leaked = (F.col("n_train_docs") > 0) & (F.col("n_val_docs") > 0)
+    return g.agg(
+        F.sum("n_train_docs").cast("long").alias("n_train"),
+        F.sum("n_val_docs").cast("long").alias("n_val"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_groups"),
+        F.sum(F.when(leaked, 1).otherwise(0)).cast("long").alias("n_leaked_groups"),
+        F.coalesce(F.sum(F.when(leaked, F.col("n_docs"))), F.lit(0))
+        .cast("long")
+        .alias("n_leaked_docs"),
+    )

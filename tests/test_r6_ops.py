@@ -695,3 +695,47 @@ def test_cdc_exact_duplicates_share_everything(spark):
                 assert out[i]["shared_chars"] == out[i]["total_chunk_chars"], i
                 checked += 1
     assert checked > 0, "expected byte-exact duplicate docs in fixture"
+
+
+def test_split_leakage_audit_detects_real_leaks(spark):
+    """The audit's leak path must be EXERCISED, not vacuous: the
+    fixture's prefix-template groups straddle the hash split, so
+    n_leaked_groups > 0 and every leaked group contributes >= 2 docs."""
+    from tests.conftest import SF_SMOKE
+
+    from big_data_flight_spark.operators.text import text_split_leakage_audit
+
+    r = text_split_leakage_audit(spark, SF_SMOKE).collect()[0]
+    assert r["n_train"] + r["n_val"] == 500
+    assert r["n_dup_groups"] > 0
+    assert r["n_leaked_groups"] > 0
+    assert r["n_leaked_docs"] >= 2 * r["n_leaked_groups"]
+
+
+def test_path_regex_journeys_are_total_ordered(spark):
+    """The journey string must be the (ts, event_id)-ordered initial
+    sequence — cross-checked per user against a direct sorted
+    collect; regex counts must match a pure-Python re count."""
+    import re
+
+    from tests.conftest import SF_SMOKE
+
+    from big_data_flight_spark.io import table
+    from big_data_flight_spark.operators.events import evt_path_regex
+
+    out = {r["user_id"]: r for r in evt_path_regex(spark, SF_SMOKE).collect()}
+    ev = table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    ini = {"signup": "s", "click": "c", "purchase": "p", "view": "v", "error": "e"}
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], ini.get(r["event_type"], "x"))
+        )
+    for u, rows in by_user.items():
+        want = "".join(ch for _, _, ch in sorted(rows))
+        assert out[u]["journey"] == want, u
+        assert out[u]["converted_after_signup"] == bool(re.search("s.*p", want))
+        assert out[u]["n_click_to_purchase"] == len(re.findall("cp", want))
+        assert out[u]["n_error_bursts"] == len(re.findall("ee+", want))
