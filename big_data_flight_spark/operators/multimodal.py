@@ -132,7 +132,8 @@ def _decode_image_real(payload: bytes, meta: dict) -> tuple[float, float, int]:
     oracle="""
     WITH hashed AS (
       SELECT doc_id,
-             md5(sha256(text) || substring(sha256(text), 1, 32)) AS asset_md5
+             md5(sha256(substring(text, 1, 40))
+                 || substring(sha256(substring(text, 1, 40)), 1, 32)) AS asset_md5
       FROM documents
     )
     SELECT asset_md5, CAST(COUNT(*) AS BIGINT) AS n_copies,
@@ -150,9 +151,20 @@ def mm_dedup_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads — at 100 TB of images the exchange volume is |assets| ×
     32 bytes regardless of asset size. Oracle reconstructs the same
     digest over the synthesized payload bytes (hex digests are
-    byte-identical across engines)."""
-    assets = with_assets(table(spark, sf_dir, "documents"))
-    hashed = assets.select("doc_id", F.md5(F.col("image_bin")).alias("asset_md5"))
+    byte-identical across engines).
+
+    r7 re-key: the regenerated fixtures contain ZERO byte-exact
+    duplicate texts, which left the old full-text-derived payload
+    with an always-empty HAVING — a vacuous dedup gate. The asset is
+    now synthesized from the document's 40-char OPENING TEMPLATE
+    (same shape as with_assets' payload), modeling the realistic
+    duplicate-asset case — shared logos/headers across distinct pages
+    — and the duplicate path is genuinely exercised again (20+ groups
+    at every fixture scale, non-emptiness test-pinned)."""
+    docs = table(spark, sf_dir, "documents")
+    h = F.sha2(F.substring(F.col("text"), 1, 40), 256)
+    payload = F.encode(F.concat(h, F.substring(h, 1, 32)), "utf-8")
+    hashed = docs.select("doc_id", F.md5(payload).alias("asset_md5"))
     return (
         hashed.groupBy("asset_md5")
         .agg(

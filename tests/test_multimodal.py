@@ -246,3 +246,14 @@ def test_wav_window_features_match_closed_form():
             (seg[i - 1] < 0) != (seg[i] < 0) for i in range(1, 40)
         )
         assert r["peak_abs"] == max(abs(v) for v in seg)
+
+
+def test_dedup_assets_duplicate_path_is_exercised(spark):
+    """The HAVING > 1 path must be non-vacuous on the current fixture
+    (the r7 re-key onto template-prefix payloads): duplicate groups
+    exist and every group counts at least two copies."""
+    from big_data_flight_spark.operators.multimodal import mm_dedup_assets
+
+    rows = mm_dedup_assets(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    assert all(r["n_copies"] >= 2 for r in rows)
