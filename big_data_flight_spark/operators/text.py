@@ -2565,6 +2565,13 @@ def _cdc_chunks(batches):
     for pdf in batches:
         rows = {"doc_id": [], "ch": [], "clen": []}
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            if text is None:
+                # Match the oracle's drop semantics: length(NULL)
+                # predicates silently exclude NULL-text docs DuckDB-side,
+                # so the Spark side must drop (not crash on len(None))
+                # or a NULL-bearing fixture regeneration would abort the
+                # job instead of diverging loudly (ADVICE r7).
+                continue
             n = len(text)
             if n == 0:
                 continue

@@ -732,23 +732,41 @@ def tpch_q21_threescan(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT cntry, CAST(COUNT(*) AS BIGINT) AS numcust,
            {DSUM("c_acctbal", "totacctbal")}
     FROM eligible
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    )
     GROUP BY cntry
     """,
     tags=("tpch",),
 )
 def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q22 global-sales-opportunity: rich-but-inactive customers per
+    """Q22 global-sales-opportunity: rich-but-INACTIVE customers per
     country. Uncorrelated decimal-exact AVG threshold (broadcast 1-row
     frame, not a collect), NOT EXISTS → left-anti against orders.
-    Adapted: phone-prefix country codes (column absent) → nationkey."""
+    Adapted: phone-prefix country codes (column absent) → nationkey.
+
+    Re-parameterized r8 (VERDICT r7 #1 — vacuity): the fixtures give
+    EVERY customer at least one order at sf0.01 (measured), so the
+    original unqualified NOT EXISTS returned 0 rows at both SFs and
+    the green driver row proved only that two empty sets match.
+    'Inactive' is now 'no order placed on/after 2000-01-01' (orders
+    span 1995..2001-08) — same anti-join + uncorrelated-threshold
+    shape, 29/375 pre-threshold candidates at sf0.01/sf0.1.
+    Non-vacuity pinned by tests/test_r8_ops.py and the registry-wide
+    guard."""
     c = table(spark, sf_dir, "customer").filter(
         F.col("c_nationkey").isin(1, 5, 9, 13, 17, 21, 24)
     )
     thr = c.filter(F.col("c_acctbal") > 0.0).agg(
         davg("c_acctbal", "thr")
     )
-    o = table(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
     eligible = (
         c.join(F.broadcast(thr))
         .filter(F.col("c_acctbal") > F.col("thr"))
@@ -981,8 +999,8 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped AS (
       SELECT l_suppkey,
              CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-                            AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-                           THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_1996,
+                            AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+                           THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_period,
              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_total
       FROM lineitem JOIN small_parts ON l_partkey = p_partkey
       GROUP BY l_suppkey
@@ -991,7 +1009,7 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM supplier
     JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
     WHERE s_suppkey IN (
-      SELECT l_suppkey FROM shipped WHERE qty_1996 * 2 > qty_total
+      SELECT l_suppkey FROM shipped WHERE qty_period * 5 > qty_total * 2
     )
     ORDER BY s_name
     """,
@@ -999,25 +1017,36 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q20 potential excess inventory: NATION_3 suppliers who shipped
-    more than half their all-time volume of 'small%' parts during 1996.
-    Adapted (no partsupp): ps_availqty > 0.5×shipped → the 1996 share
-    of lifetime shipped quantity, same nested-aggregate-semi-join
-    shape. Quantity sums are exact BIGINT (l_quantity integral —
-    FIXTURES.md invariant) and the threshold is integer-only
-    (qty×2 > total), so no float boundary exists. IN → left-semi."""
+    more than 40% of their all-time volume of 'small%' parts during
+    1996-1998. Adapted (no partsupp): ps_availqty > 0.5×shipped → the
+    period share of lifetime shipped quantity, same
+    nested-aggregate-semi-join shape. Quantity sums are exact BIGINT
+    (l_quantity integral — FIXTURES.md invariant) and the threshold is
+    integer-only (qty_period×5 > qty_total×2), so no float boundary
+    exists. IN → left-semi.
+
+    Re-parameterized r8 (VERDICT r7 #1 — vacuity): the original
+    one-year window + >1/2 threshold returned 0 rows at BOTH sf0.01
+    and sf0.1 (max observed share 0.16/0.24 — a single year of a
+    6.6-year uniform date range can't reach 50%), so its green driver
+    row only proved two empty sets match. Measured fixture shares:
+    the 1996-1998 window spans shares 0.37-0.44 (sf0.01) / 0.27-0.54
+    (sf0.1); the >2/5 cut yields 2 rows at sf0.01 and 25 at sf0.1.
+    Non-vacuity is pinned by tests/test_r8_ops.py and the
+    registry-wide guard."""
     p = table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
     li = table(spark, sf_dir, "lineitem")
-    in_1996 = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")) & (
-        F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
+    in_period = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp")
     )
     shipped = (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(
-            F.sum(F.when(in_1996, F.col("l_quantity").cast("bigint")).otherwise(0)).alias("qty_1996"),
+            F.sum(F.when(in_period, F.col("l_quantity").cast("bigint")).otherwise(0)).alias("qty_period"),
             F.sum(F.col("l_quantity").cast("bigint")).alias("qty_total"),
         )
-        .filter(F.col("qty_1996") * 2 > F.col("qty_total"))
+        .filter(F.col("qty_period") * 5 > F.col("qty_total") * 2)
         .select("l_suppkey")
     )
     s = table(spark, sf_dir, "supplier")

@@ -45,12 +45,24 @@ class GateQuery:
     oracle: str | None  # DuckDB SQL; None -> driver's weaker rows-only check
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # Non-vacuity guard (VERDICT r7 #2): a gate whose builder AND oracle
+    # both return 0 rows proves only that two empty sets match — three
+    # such incidents (mm_dedup_assets r7, tpch_q20/q22 judge-found r7)
+    # all traced to fixture drift. tools/compare.py fails any 0-row
+    # match as VACUOUS_EMPTY unless this field carries a written
+    # justification for why empty IS the correct, meaningful result.
+    expected_empty: str | None = None
 
 
 _REGISTRY: dict[str, GateQuery] = {}
 
 
-def gate_query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+def gate_query(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    expected_empty: str | None = None,
+):
     """Decorator: register a gate query. The builder is wrapped so the
     session is configured (UTC/Arrow/AQE) before the plan is built."""
 
@@ -64,7 +76,12 @@ def gate_query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ())
         if name in _REGISTRY:
             raise ValueError(f"duplicate gate query {name!r}")
         _REGISTRY[name] = GateQuery(
-            name=name, builder=wrapped, oracle=oracle, doc=(fn.__doc__ or ""), tags=tuple(tags)
+            name=name,
+            builder=wrapped,
+            oracle=oracle,
+            doc=(fn.__doc__ or ""),
+            tags=tuple(tags),
+            expected_empty=expected_empty,
         )
         return wrapped
 

@@ -656,45 +656,50 @@ def test_cdc_chunking_survives_prefix_insertion():
 
 
 def test_cdc_exact_duplicates_share_everything(spark):
-    """Exact-duplicate documents (present in the fixture) must share
-    100% of their chunks: shared_chars == total_chunk_chars."""
-    import pyspark.sql.functions as F
+    """Byte-exact duplicate documents must share 100% of their chunks:
+    shared_chars == total_chunk_chars.
+
+    ADVICE r7 fix: candidate groups are derived from byte-exact text
+    EQUALITY (the property actually asserted), not an md5(lower(trim))
+    prefilter — a fixture with only case/whitespace-variant duplicates
+    would have passed the old prefilter and then spuriously failed the
+    `checked > 0` assertion. And when the fixture has no byte-exact
+    duplicates at all (the documented current state — see
+    mm_dedup_assets / text_split_leakage_audit docstrings), the test
+    SKIPS loudly instead of silently early-returning, so the vacuity
+    is visible in the pytest summary."""
+    import pytest
 
     from tests.conftest import SF_SMOKE
 
     from big_data_flight_spark.io import table
     from big_data_flight_spark.operators.text import text_cdc_chunk_dedup
 
-    dup_hashes = (
-        table(spark, SF_SMOKE, "documents")
-        .groupBy(F.md5(F.lower(F.trim("text"))).alias("h"))
-        .agg(F.count("*").alias("n"), F.collect_list("doc_id").alias("ids"))
-        .filter((F.col("n") > 1) & (F.length(F.trim(F.concat_ws("", "ids"))) > 0))
-        .collect()
-    )
-    exact_dup_ids = {i for r in dup_hashes for i in r["ids"]}
-    if not exact_dup_ids:
-        return  # fixture regenerated without duplicates: nothing to pin
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    }
+    by_text: dict[str, list] = {}
+    for i, t in texts.items():
+        if t:
+            by_text.setdefault(t, []).append(i)
+    dup_groups = {t: ids for t, ids in by_text.items() if len(ids) > 1}
+    if not dup_groups:
+        pytest.skip(
+            "fixture has zero byte-exact duplicate texts (documented "
+            "post-r7 property) — nothing for the 100%-shared-chunks "
+            "invariant to pin"
+        )
     out = {
         r["doc_id"]: r
         for r in text_cdc_chunk_dedup(spark, SF_SMOKE).collect()
     }
-    # md5(lower(trim)) groups may include case-variants; only byte-exact
-    # duplicate TEXTS share all chunks — check via text equality groups.
-    texts = {
-        r["doc_id"]: r["text"]
-        for r in table(spark, SF_SMOKE, "documents").collect()
-    }
-    by_text = {}
-    for i, t in texts.items():
-        by_text.setdefault(t, []).append(i)
     checked = 0
-    for t, ids in by_text.items():
-        if len(ids) > 1 and t:
-            for i in ids:
-                assert out[i]["shared_chars"] == out[i]["total_chunk_chars"], i
-                checked += 1
-    assert checked > 0, "expected byte-exact duplicate docs in fixture"
+    for _t, ids in dup_groups.items():
+        for i in ids:
+            assert out[i]["shared_chars"] == out[i]["total_chunk_chars"], i
+            checked += 1
+    assert checked > 0
 
 
 def test_split_leakage_audit_detects_real_leaks(spark):

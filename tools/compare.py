@@ -101,7 +101,13 @@ def compare_one(spark, con, name: str, q, sf_dir: str, verbose: bool = True) -> 
         return res
 
     if q.oracle is None:
-        res["status"] = "WEAK_OK" if len(sdf) >= 0 else "WEAK_EMPTY"
+        if len(sdf) == 0 and not q.expected_empty:
+            # Registry-wide non-vacuity guard (VERDICT r7 #2): an empty
+            # result proves nothing about the logic the gate exists to
+            # verify unless the gate SAYS empty is the meaningful answer.
+            res["status"] = "VACUOUS_EMPTY"
+            return res
+        res["status"] = "WEAK_OK"
         return res
 
     try:
@@ -123,6 +129,12 @@ def compare_one(spark, con, name: str, q, sf_dir: str, verbose: bool = True) -> 
 
     s_rows, d_rows = canon(sdf), canon(ddf)
     if s_rows == d_rows:
+        if len(sdf) == 0 and not q.expected_empty:
+            # Both engines agree on the empty set — which verifies only
+            # schema parity, not the gate's logic (tpch_q20/q22 disease,
+            # VERDICT r7 #1/#2). Loud failure unless annotated.
+            res["status"] = "VACUOUS_EMPTY"
+            return res
         res["status"] = "OK"
         return res
 
@@ -172,11 +184,14 @@ def main(argv: list[str]) -> int:
     con = duck_connect(sf_dir)
     failed = []
     statuses: dict[str, str] = {}
+    row_counts: dict[str, int] = {}
     for name in names:
         q = _REGISTRY[name]
         r = compare_one(spark, con, name, q, sf_dir)
         ok = r["status"] in ("OK", "WEAK_OK")
         statuses[name] = r["status"]
+        if "rows" in r:
+            row_counts[name] = r["rows"]
         print(("PASS " if ok else "FAIL ") + name.ljust(28) + r["status"], flush=True)
         if not ok:
             failed.append(r)
@@ -205,6 +220,11 @@ def main(argv: list[str]) -> int:
                     "n_pass": len(names) - len(failed),
                     "n_total": len(names),
                     "statuses": statuses,
+                    # Per-gate Spark row counts: the non-vacuity guard's
+                    # committed evidence (tests/test_r8_ops.py asserts
+                    # every OK/WEAK_OK gate recorded >0 rows or carries
+                    # an expected_empty annotation).
+                    "rows": row_counts,
                     # Skips are part of the record, not a silent hole:
                     # the quadratic-oracle family is compared at sf0.01
                     # (the canonical artifact), never at bench scale.
