@@ -27,9 +27,12 @@ then spend the spare slots where re-grading buys the most):
   sample_weighted_systematic / scan_text / text_doc_token_stats /
   text_token_regex / unpivot_stack, and the 5 long-deferred low-risk
   tails mm_metadata / scan_binary_files / sample_hash_deterministic /
-  text_minhash_mllib (rows-only check BY DESIGN — MLlib's hash family
-  differs from our pinned-coefficient implementation, so its driver
-  row is the weaker rows+schema evidence; the exact-Jaccard gate
+  text_minhash_mllib (deterministic-AUDIT oracle, not a pair-set
+  hash-match: MLlib's hash family is JVM-seeded and not
+  oracle-reproducible, so the gate exposes only the DuckDB-recomputable
+  exact-Jaccard truth-pair count plus recall/containment booleans —
+  the driver row proves THOSE values, and the in-gate docstring
+  states exactly what is and is not checked; the exact-Jaccard gate
   text_near_dedup_jaccard, also in this window, is the semantics
   anchor) / text_pack_sequences_sharded. Once this window lands
   green, cumulative driver coverage is 260/260.
@@ -139,8 +142,6 @@ _ALIASES = {
     "a0_udf_scalar_arrow": "udf_scalar_arrow",
     "a0_evt_cooccurrence_pmi": "evt_cooccurrence_pmi",
     "a0_etl_scd2_intervals": "etl_scd2_intervals",
-    "a0_etl_merge_upsert": "etl_merge_upsert",
-    "a0_etl_cdc_latest_snapshot": "etl_cdc_latest_snapshot",
 }
 
 # Round-8 brand-new gates: aliased if (and only if) already registered,
@@ -154,6 +155,12 @@ _NEW_GATE_ALIASES: dict[str, str] = {
     # split-leakage modality — the simhash-pair composition
     # (VERDICT r7 #6).
     "a0_text_split_leakage_simhash": "text_split_leakage_simhash",
+    # Further r8 newcomers (displaced etl_cdc_latest_snapshot and
+    # etl_merge_upsert per the docstring order): the eleventh dedup
+    # modality (batch-vs-corpus incremental) and contrastive
+    # hard-negative mining.
+    "a0_text_dedup_incremental": "text_dedup_incremental",
+    "a0_sim_hard_negative_mining": "sim_hard_negative_mining",
 }
 
 # Gates born this round but NOT aliased — they join the r9 rotation

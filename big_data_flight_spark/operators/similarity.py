@@ -1925,3 +1925,91 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _RRF_TOP)
         .select("query_id", "neighbor_id", "cos_rank", "ham_rank", "rrf_micro", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_hard_negative_mining — contrastive-training data prep (r8)
+# ---------------------------------------------------------------------------
+
+_HNM_N_ANCHORS = 20  # bounded anchor slice (vec_id < 20)
+_HNM_K = 5           # hard negatives per anchor
+
+
+@gate_query(
+    "sim_hard_negative_mining",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS anchor_id,
+             CAST(a.label AS BIGINT) AS anchor_label,
+             b.vec_id AS neg_id,
+             CAST(b.label AS BIGINT) AS neg_label,
+             ROUND({_DUCK_DOT} / ({_duck_norm('a')} * {_duck_norm('b')}), 6)
+               AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.label <> b.label
+      WHERE a.vec_id < {_HNM_N_ANCHORS}
+    )
+    SELECT anchor_id, anchor_label, neg_id, neg_label, cos_sim, rn FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY anchor_id ORDER BY cos_sim DESC, neg_id
+      ) AS rn FROM scored
+    ) WHERE rn <= {_HNM_K}
+    """,
+    tags=("similarity", "sampling"),
+)
+def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive training (the data-prep
+    step behind every embedding-model fine-tune): for each anchor
+    vector, the k=5 most-similar vectors with a DIFFERENT label —
+    maximally confusing negatives, the ones that actually move a
+    contrastive loss. Easy negatives (random different-label picks)
+    are a degenerate sample of this ranking; the hard ones are its
+    head.
+
+    Shape = batch k-NN with a label-inequality predicate: anchors are
+    a bounded broadcast slice, the corpus streams repartitioned, the
+    per-anchor rank is a WindowGroupLimit. Ranking follows the cosine
+    family's rounded-rank convention (module docstring on _cos_arr:
+    the cosine pipeline is transcendental-free, so ROUND(cos, 6) with
+    a neg_id tie-break is engine-identical); labels ride the scored
+    row so the output is directly a (anchor, negative) training-pair
+    table.
+
+    Scale: identical to sim_topk_neighbors — queries broadcast,
+    corpus streamed, no corpus x corpus pair ever materializes; the
+    100 TB escalation replaces the full scan with the ANN candidate
+    union (sim_ann_lsh/ivf buckets minus the anchor's own-label cell)
+    and re-scores candidates with this same exact expression."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") < _HNM_N_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").cast("long").alias("anchor_label"),
+        F.col("embedding").alias("emb_a"),
+        _norm(F.col("embedding")).alias("nrm_a"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").cast("long").alias("neg_label"),
+        F.col("embedding").alias("emb_c"),
+        _norm(F.col("embedding")).alias("nrm_c"),
+    ).repartition(32)
+    cos = _dot(F.col("emb_a"), F.col("emb_c")) / (F.col("nrm_a") * F.col("nrm_c"))
+    scored = (
+        F.broadcast(a)
+        .crossJoin(c)
+        .filter(F.col("anchor_label") != F.col("neg_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neg_id",
+            "neg_label",
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neg_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _HNM_K)
+        .select("anchor_id", "anchor_label", "neg_id", "neg_label", "cos_sim", "rn")
+    )

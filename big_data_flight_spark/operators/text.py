@@ -2792,3 +2792,123 @@ def text_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_leaked_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_dedup_incremental — batch-vs-corpus dedup (r8; the production
+# incremental shape: a standing corpus index, only the new batch shuffles)
+# ---------------------------------------------------------------------------
+
+_INCR_BATCH_MOD = 5   # batch = doc_id % 5 == 4 — a deterministic 20%
+                      # "new arrivals" slice at every scale factor
+_INCR_JACCARD_T = 0.5
+
+
+@gate_query(
+    "text_dedup_incremental",
+    oracle=f"""
+    WITH sh AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS shingles
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    fb AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh
+           WHERE doc_id % {_INCR_BATCH_MOD} = {_INCR_BATCH_MOD - 1}),
+    fc AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh
+           WHERE doc_id % {_INCR_BATCH_MOD} <> {_INCR_BATCH_MOD - 1}),
+    common AS (
+      SELECT fb.doc_id AS b_id, fc.doc_id AS c_id, COUNT(*) AS n_common
+      FROM fb JOIN fc USING (shingle) GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT b_id, c_id,
+             n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) AS j
+      FROM common
+      JOIN sizes sa ON b_id = sa.doc_id
+      JOIN sizes sb ON c_id = sb.doc_id
+      WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common)
+            >= {_INCR_JACCARD_T}
+    ),
+    best AS (
+      SELECT b_id, c_id, j,
+             row_number() OVER (PARTITION BY b_id ORDER BY j DESC, c_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY b_id) AS nm
+      FROM m
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(w.nm, 0) AS BIGINT) AS n_matches,
+           w.c_id AS best_match,
+           CAST(floor(w.j * 1000000 + 0.5) AS BIGINT) AS best_jaccard_micro,
+           w.c_id IS NULL AS is_new
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) w ON d.doc_id = w.b_id
+    WHERE d.doc_id % {_INCR_BATCH_MOD} = {_INCR_BATCH_MOD - 1}
+    """,
+    tags=("text", "dedup"),
+)
+def text_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the ELEVENTH dedup modality and the shape a
+    continuously-growing corpus actually runs: dedup a NEW BATCH of
+    documents (a deterministic 20% doc_id slice plays the arrivals)
+    against the STANDING CORPUS (the other 80%), never corpus against
+    itself. Every full-corpus gate in this family re-shuffles the
+    world per run; here the corpus side is a fixed inverted index —
+    in production pre-materialized and bucketed by shingle
+    (sink_bucketed_join's layout) — and only batch-side shingles
+    move. Per batch doc: how many corpus near-dups (shingle-Jaccard
+    >= 0.5), the best match (highest raw-double Jaccard, c_id
+    tie-break — rank on the raw integer-derived ratio, display
+    floor-micro BIGINT per the registry parity rules), and an is_new
+    verdict for the docs safe to ingest. Measured non-vacuous match
+    paths: 9/4/67 batch docs with matches at sf0.001/0.01/0.1;
+    every batch doc emits a row (left join), so is_new=true rows
+    coexist with matches at every scale.
+
+    Scale: one one-sided equi-join batch-shingles x corpus-index (no
+    self-join, no batch x batch), one (b_id, c_id) aggregation, one
+    per-batch-doc window. The stop-shingle cap composes exactly as in
+    near_dup_pairs(max_doc_freq=...) — corpus df is a property of the
+    standing index, computed once per epoch, broadcast as the stop
+    set. 100 TB corpus + 1 TB daily batch = the only shape that
+    doesn't re-pay the corpus shuffle daily."""
+    docs = table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    is_batch = F.col("doc_id") % _INCR_BATCH_MOD == _INCR_BATCH_MOD - 1
+    batch = docs.filter(is_batch)
+    corpus = docs.filter(~is_batch)
+    shb = shingles(batch, 3).select(F.col("doc_id").alias("b_id"), "shingle")
+    shc = shingles(corpus, 3).select(F.col("doc_id").alias("c_id"), "shingle")
+    sizes_b = shb.groupBy("b_id").agg(F.count(F.lit(1)).alias("n_b"))
+    sizes_c = shc.groupBy("c_id").agg(F.count(F.lit(1)).alias("n_c"))
+    common = shb.join(shc, "shingle").groupBy("b_id", "c_id").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    jac = F.col("n_common") / (F.col("n_b") + F.col("n_c") - F.col("n_common"))
+    m = (
+        common.join(sizes_b, "b_id")
+        .join(sizes_c, "c_id")
+        .withColumn("j", jac)
+        .filter(F.col("j") >= _INCR_JACCARD_T)
+    )
+    w = Window.partitionBy("b_id").orderBy(F.col("j").desc(), F.col("c_id"))
+    best = (
+        m.withColumn("rn", F.row_number().over(w))
+        .withColumn("nm", F.count(F.lit(1)).over(Window.partitionBy("b_id")))
+        .filter(F.col("rn") == 1)
+        .select("b_id", "c_id", "j", "nm")
+    )
+    return (
+        batch.select("doc_id")
+        .join(best, F.col("doc_id") == F.col("b_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("nm"), F.lit(0)).cast("long").alias("n_matches"),
+            F.col("c_id").alias("best_match"),
+            F.floor(F.col("j") * 1000000 + 0.5).cast("long").alias(
+                "best_jaccard_micro"
+            ),
+            F.col("c_id").isNull().alias("is_new"),
+        )
+    )

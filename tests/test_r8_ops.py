@@ -151,6 +151,76 @@ def test_leakage_modalities_agree_on_the_split(spark):
     assert (a["n_train"], a["n_val"]) == (b["n_train"], b["n_val"])
 
 
+def test_hard_negative_mining_against_numpy(spark):
+    """Every mined negative has a label different from its anchor, each
+    anchor gets exactly k=5 ranked rows, and the top-1 negative per
+    anchor matches an independent numpy brute-force (float64, same
+    rounding and tie-break)."""
+    import numpy as np
+
+    from big_data_flight_spark.io import table
+    from big_data_flight_spark.operators.similarity import (
+        _HNM_K,
+        _HNM_N_ANCHORS,
+        sim_hard_negative_mining,
+    )
+
+    rows = sim_hard_negative_mining(spark, SF_SMOKE).collect()
+    by_anchor: dict[int, list] = {}
+    for r in rows:
+        assert r["anchor_label"] != r["neg_label"]
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+    assert len(by_anchor) == _HNM_N_ANCHORS
+    assert all(len(v) == _HNM_K for v in by_anchor.values())
+
+    e = table(spark, SF_SMOKE, "embeddings").collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in e}
+    labels = {r["vec_id"]: r["label"] for r in e}
+    for aid, got in by_anchor.items():
+        a = vecs[aid]
+        scored = sorted(
+            (
+                -round(float(a @ v) / (np.linalg.norm(a) * np.linalg.norm(v)), 6),
+                nid,
+            )
+            for nid, v in vecs.items()
+            if labels[nid] != labels[aid]
+        )
+        top1 = min(got, key=lambda r: r["rn"])
+        assert top1["neg_id"] == scored[0][1], (aid, top1, scored[:2])
+
+
+def test_incremental_dedup_consistency(spark):
+    """One row per batch doc; is_new <=> no best_match; matched docs
+    carry a Jaccard >= threshold in micro-units; the best match is
+    always a CORPUS doc (never another batch arrival); and the match
+    path is exercised (measured: 9 matched batch docs at sf0.001)."""
+    from big_data_flight_spark.io import table
+    from big_data_flight_spark.operators.text import (
+        _INCR_BATCH_MOD,
+        _INCR_JACCARD_T,
+        text_dedup_incremental,
+    )
+
+    rows = text_dedup_incremental(spark, SF_SMOKE).collect()
+    n_batch = (
+        table(spark, SF_SMOKE, "documents")
+        .filter(f"doc_id % {_INCR_BATCH_MOD} = {_INCR_BATCH_MOD - 1}")
+        .count()
+    )
+    assert len(rows) == n_batch
+    n_matched = 0
+    for r in rows:
+        if r["is_new"]:
+            assert r["best_match"] is None and r["n_matches"] == 0
+        else:
+            n_matched += 1
+            assert r["n_matches"] > 0
+            assert r["best_match"] % _INCR_BATCH_MOD != _INCR_BATCH_MOD - 1
+            assert r["best_jaccard_micro"] >= int(_INCR_JACCARD_T * 1_000_000)
+    assert 0 < n_matched < n_batch  # both verdicts exercised
+
+
 def test_compare_local_artifact_has_no_vacuous_greens():
     """Registry-wide non-vacuity, enforced on the committed artifact:
     every gate COMPARE_LOCAL.json records as OK/WEAK_OK must also

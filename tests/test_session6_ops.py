@@ -132,16 +132,19 @@ class TestRollingMedian:
 
 
 class TestCommonNeighbors:
-    def test_brute_force_with_hot_supplier_cap(self, spark, tmp_path):
+    def test_brute_force_with_hot_customer_cap(self, spark, tmp_path):
+        # r8 orientation (gate re-keyed out of vacuity): supplier pairs
+        # via shared customers, cap on the per-customer supplier degree.
         from big_data_flight_spark.operators.graph import (
-            _CN_SUPP_CAP,
+            _CN_HUB_CAP,
+            _SUPPLIER_OFFSET,
             graph_common_neighbors,
         )
 
         rng = np.random.default_rng(42)
-        # supplier 0 is a mega-hub linked to 35 > _CN_SUPP_CAP
-        # customers: it must contribute NO evidence.
-        links = {(c, 0) for c in range(1, 36)}
+        # customer 0 is a mega-hub linked to _CN_HUB_CAP + 3 suppliers:
+        # it must contribute NO pair evidence.
+        links = {(0, s) for s in range(1, _CN_HUB_CAP + 4)}
         for c in range(1, 41):
             for s in rng.choice(np.arange(1, 13), size=4, replace=False):
                 links.add((c, int(s)))
@@ -159,40 +162,49 @@ class TestCommonNeighbors:
         pq.write_table(pa.Table.from_pandas(lineitem, preserve_index=False),
                        f"{tmp_path}/lineitem.parquet")
 
-        # independent python reference
+        # independent python reference (node ids carry the offset)
         from collections import Counter, defaultdict
 
-        supp_deg = Counter(s for _, s in links)
-        kept = [(c, s) for c, s in links if supp_deg[s] <= _CN_SUPP_CAP]
-        by_supp = defaultdict(set)
-        deg_c = Counter()
+        cust_deg = Counter(c for c, _ in links)
+        kept = [
+            (c, s + _SUPPLIER_OFFSET)
+            for c, s in links
+            if cust_deg[c] <= _CN_HUB_CAP
+        ]
+        by_cust = defaultdict(set)
+        deg_s = Counter()
         for c, s in kept:
-            by_supp[s].add(c)
-            deg_c[c] += 1
+            by_cust[c].add(s)
+            deg_s[s] += 1
         common = Counter()
-        for cs in by_supp.values():
-            cs = sorted(cs)
-            for i, a in enumerate(cs):
-                for b in cs[i + 1:]:
+        for ss in by_cust.values():
+            ss = sorted(ss)
+            for i, a in enumerate(ss):
+                for b in ss[i + 1:]:
                     common[(a, b)] += 1
         scored = sorted(
             (
-                (-n, c1, c2, n,
-                 n * 1_000_000 // (deg_c[c1] + deg_c[c2] - n))
-                for (c1, c2), n in common.items()
+                (-n, s1, s2, n,
+                 n * 1_000_000 // (deg_s[s1] + deg_s[s2] - n))
+                for (s1, s2), n in common.items()
             )
         )[:20]
-        expected = [(c1, c2, n, j) for _, c1, c2, n, j in scored]
+        expected = [(s1, s2, n, j) for _, s1, s2, n, j in scored]
 
         got = [
-            (r["c1"], r["c2"], r["common"], r["jaccard_micro"])
+            (r["s1"], r["s2"], r["common"], r["jaccard_micro"])
             for r in graph_common_neighbors(spark, str(tmp_path)).collect()
         ]
         assert got == expected
-        # the hub supplier's exclusive pairs must be absent entirely
-        hub_only = {(c1, c2) for c1 in range(1, 36) for c2 in range(1, 36)
-                    if c1 < c2} - set(common)
-        assert all((c1, c2) not in hub_only for c1, c2, _, _ in got)
+        # the hub customer's exclusive suppliers (ids above 12) pair
+        # ONLY through the hub — none of those pairs may appear
+        hub_only_nodes = {
+            s + _SUPPLIER_OFFSET for s in range(13, _CN_HUB_CAP + 4)
+        }
+        assert all(
+            s1 not in hub_only_nodes and s2 not in hub_only_nodes
+            for s1, s2, _, _ in got
+        )
 
 
 class TestPqAdc:
