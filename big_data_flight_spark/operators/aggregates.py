@@ -759,3 +759,66 @@ def agg_median_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_over_domain"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_hll_sketch — Datasketches HLL with a MERGEABILITY audit (r8)
+# ---------------------------------------------------------------------------
+
+
+@gate_query(
+    "agg_hll_sketch",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS est_within_5pct,
+           TRUE AS merged_within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "approx", "sketch"),
+)
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's production HLL surface (Apache DataSketches:
+    hll_sketch_agg / hll_union_agg / hll_sketch_estimate) with the
+    property that makes sketches matter at 100 TB: MERGEABILITY.
+    Per event_type, three estimates of distinct users are computed —
+    (1) exact countDistinct, (2) a single global HLL sketch, and
+    (3) the UNION of 8 per-shard sketches (user_id % 8 plays the
+    partition/day boundary a real rollup merges across) — and the
+    gate asserts both sketch estimates land within 5% of exact.
+
+    Check level = the deterministic-audit pattern (agg_approx_distinct
+    precedent): the sketch BYTES are engine-internal and the HIP
+    estimator is merge-order-sensitive in its low-order digits, so the
+    driver-hashed columns are the exact count (DuckDB recomputes) plus
+    the two tolerance booleans — 5% is ~3x the lgK=12 RSE (1.6%), far
+    above any ordering jitter, and the in-row audit means a sketch
+    regression flips a hashed boolean rather than hiding in an
+    unchecked estimate. The union estimating within tolerance is the
+    load-bearing claim: it's what lets per-partition sketches roll up
+    without re-scanning raw data."""
+    e = table(spark, sf_dir, "events").select("event_type", "user_id")
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    global_sk = e.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n_est")
+    )
+    sharded = (
+        e.withColumn("shard", F.col("user_id") % 8)
+        .groupBy("event_type", "shard")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_merged"))
+    )
+    j = exact.join(global_sk, "event_type").join(sharded, "event_type")
+    within = lambda est: (  # noqa: E731 — local predicate, two uses
+        F.abs(est - F.col("n_exact")) * 20 <= F.col("n_exact")
+    )
+    return j.select(
+        "event_type",
+        "n_exact",
+        within(F.col("n_est")).alias("est_within_5pct"),
+        within(F.col("n_merged")).alias("merged_within_5pct"),
+    )

@@ -69,7 +69,11 @@ Displacement order for brand-new round-8 gates (the r2/r3 lesson: a
 gate born this round takes a slot the round it ships): displace from
 the TAIL of the r3 re-grade list — evt_retention (displaced by
 text_split_leakage_simhash), then etl_cdc_latest_snapshot,
-etl_merge_upsert, etl_scd2_intervals, evt_cooccurrence_pmi.
+etl_merge_upsert (displaced by text_dedup_incremental +
+sim_hard_negative_mining), etl_scd2_intervals, evt_cooccurrence_pmi,
+udf_scalar_arrow (displaced by join_asof_tolerance, sql_pipe_syntax,
+agg_hll_sketch), then evt_session_window, evt_sessionize_stats,
+evt_stateful_funnel if more gates are born.
 Every displaced pick joins the r9 queue.
 
 Displacement math (window = 50 alphabetically-first names): the alias
@@ -139,9 +143,6 @@ _ALIASES = {
     "a0_evt_stateful_funnel": "evt_stateful_funnel",
     "a0_evt_sessionize_stats": "evt_sessionize_stats",
     "a0_evt_session_window": "evt_session_window",
-    "a0_udf_scalar_arrow": "udf_scalar_arrow",
-    "a0_evt_cooccurrence_pmi": "evt_cooccurrence_pmi",
-    "a0_etl_scd2_intervals": "etl_scd2_intervals",
 }
 
 # Round-8 brand-new gates: aliased if (and only if) already registered,
@@ -161,6 +162,13 @@ _NEW_GATE_ALIASES: dict[str, str] = {
     # hard-negative mining.
     "a0_text_dedup_incremental": "text_dedup_incremental",
     "a0_sim_hard_negative_mining": "sim_hard_negative_mining",
+    # And three more (displaced etl_scd2_intervals,
+    # evt_cooccurrence_pmi, udf_scalar_arrow — continuing the tail
+    # order): as-of with tolerance, Spark-4 pipe syntax, and the
+    # DataSketches HLL mergeability audit.
+    "a0_join_asof_tolerance": "join_asof_tolerance",
+    "a0_sql_pipe_syntax": "sql_pipe_syntax",
+    "a0_agg_hll_sketch": "agg_hll_sketch",
 }
 
 # Gates born this round but NOT aliased — they join the r9 rotation

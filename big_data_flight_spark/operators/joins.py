@@ -345,6 +345,80 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_TOL_US = 3_600_000_000  # 1 hour in integer microseconds
+
+
+@gate_query(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ranked AS (
+      SELECT p.purchase_id, c.ts AS click_ts, c.event_id AS click_id,
+             epoch_us(p.p_ts) - epoch_us(c.ts) AS gap_us,
+             row_number() OVER (
+               PARTITION BY p.purchase_id ORDER BY c.ts DESC, c.event_id DESC
+             ) AS rn
+      FROM p JOIN events c
+        ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.p_ts
+    )
+    SELECT p.purchase_id, p.user_id, p.p_ts,
+           CASE WHEN r.gap_us <= {_ASOF_TOL_US} THEN r.click_ts END AS click_ts,
+           CASE WHEN r.gap_us <= {_ASOF_TOL_US} THEN r.click_id END AS click_id,
+           CASE WHEN r.gap_us <= {_ASOF_TOL_US}
+                THEN CAST(r.gap_us AS BIGINT) END AS gap_us
+    FROM p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+      ON p.purchase_id = r.purchase_id
+    """,
+    tags=("join", "event", "custom"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a MATCH TOLERANCE (pd.merge_asof's `tolerance`,
+    the form every market-data / attribution pipeline actually runs):
+    most recent click at-or-before each purchase, but only if it
+    happened within the last hour — staler context is noise, not
+    signal. LEFT semantics: every purchase emits a row; outside-
+    tolerance or click-less purchases carry NULL match columns (both
+    branches exercised at every scale: 5/33/367 in-tolerance matches
+    at sf0.001/0.01/0.1 of 202/1981/20084 purchases).
+
+    Same merge-pass window as join_asof (one event shuffle, no
+    self-join fan-out) — for a BACKWARD as-of the most recent match
+    has the smallest gap, so gating the rank-1 pick on the tolerance
+    is equivalent to filtering candidates first; the tolerance is a
+    post-pick null-out, not a second scan. Gap arithmetic in integer
+    microseconds (unix_micros / epoch_us — UTC session, identical
+    integers) per the registry's no-float-time rule."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    is_click = F.col("event_type") == "click"
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), is_click.cast("int").desc(), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.last(
+        F.when(is_click, F.struct("ts", "event_id")), ignorenulls=True
+    ).over(w)
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("lc.ts"))
+    valid = F.col("lc").isNotNull() & (gap <= _ASOF_TOL_US)
+    return (
+        e.withColumn("lc", last_click)
+        .filter(~is_click)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.when(valid, F.col("lc.ts")).alias("click_ts"),
+            F.when(valid, F.col("lc.event_id")).alias("click_id"),
+            F.when(valid, gap).cast("long").alias("gap_us"),
+        )
+    )
+
+
 @gate_query(
     "join_null_keys",
     oracle="""

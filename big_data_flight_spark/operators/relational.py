@@ -73,6 +73,52 @@ def sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate_query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+                AS DOUBLE) AS sum_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("relational", "sql"),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL PIPE syntax (|> operators — the linear
+    FROM-first query form): one statement chaining |> WHERE,
+    |> EXTEND (computed revenue column), |> AGGREGATE ... GROUP BY,
+    and |> ORDER BY over the fact table. Catalyst lowers pipes to the
+    identical logical plan as the classic form, so the gate proves the
+    SURFACE parses and resolves — the oracle is the standard-SQL
+    equivalent, and the DECIMAL(38,6) sum discipline applies inside
+    the AGGREGATE op exactly as anywhere else. The pipe form matters
+    for generated queries: each |> stage appends without rewriting the
+    statement's nesting structure."""
+    from big_data_flight_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |> EXTEND l_extendedprice * (1 - l_discount) AS revenue
+        |> AGGREGATE
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(revenue AS DECIMAL(38,6))) AS DOUBLE) AS sum_revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@gate_query(
     "project_select",
     oracle="""
     SELECT

@@ -221,6 +221,96 @@ def test_incremental_dedup_consistency(spark):
     assert 0 < n_matched < n_batch  # both verdicts exercised
 
 
+def test_asof_tolerance_consistent_with_base_asof(spark):
+    """Tolerance variant vs the base as-of join: every in-tolerance
+    match must equal the base join's pick for that purchase (the
+    tolerance only nulls, never re-picks); every nulled row is either
+    absent from the base (no click at all) or outside tolerance; and
+    LEFT semantics mean one row per purchase regardless."""
+    from big_data_flight_spark.io import table
+    from big_data_flight_spark.operators.joins import (
+        _ASOF_TOL_US,
+        join_asof,
+        join_asof_tolerance,
+    )
+
+    base = {
+        r["purchase_id"]: (r["click_id"], r["click_ts"])
+        for r in join_asof(spark, SF_SMOKE).collect()
+    }
+    tol_rows = join_asof_tolerance(spark, SF_SMOKE).collect()
+    n_purchases = (
+        table(spark, SF_SMOKE, "events")
+        .filter("event_type = 'purchase'")
+        .count()
+    )
+    assert len(tol_rows) == n_purchases
+    n_matched = 0
+    for r in tol_rows:
+        if r["click_id"] is not None:
+            n_matched += 1
+            assert base[r["purchase_id"]][0] == r["click_id"]
+            assert 0 <= r["gap_us"] <= _ASOF_TOL_US
+        else:
+            b = base.get(r["purchase_id"])
+            if b is not None:  # had a click, must be outside tolerance
+                gap = (r["p_ts"] - b[1]).total_seconds()
+                assert gap * 1_000_000 > _ASOF_TOL_US, r
+    assert 0 < n_matched < len(tol_rows)  # both branches exercised
+
+
+def test_pipe_syntax_equals_classic_sql(spark):
+    """The pipe chain must lower to the same result as the classic
+    form (Catalyst equivalence, value-exact)."""
+    from big_data_flight_spark.io import register_views
+    from big_data_flight_spark.operators.relational import sql_pipe_syntax
+
+    got = sorted(
+        tuple(r) for r in sql_pipe_syntax(spark, SF_SMOKE).collect()
+    )
+    register_views(spark, SF_SMOKE)
+    want = sorted(
+        tuple(r)
+        for r in spark.sql(
+            """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                     AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(38,6))) AS DOUBLE) AS sum_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            """
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_hll_sketch_audits_hold(spark):
+    """Both sketch estimates (global + 8-shard union) within 5% of
+    exact for every event_type, and n_exact equals countDistinct."""
+    import pyspark.sql.functions as F
+
+    from big_data_flight_spark.io import table
+    from big_data_flight_spark.operators.aggregates import agg_hll_sketch
+
+    rows = agg_hll_sketch(spark, SF_SMOKE).collect()
+    exact = {
+        r["event_type"]: r["n"]
+        for r in table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert len(rows) == len(exact) > 0
+    for r in rows:
+        assert r["n_exact"] == exact[r["event_type"]]
+        assert r["est_within_5pct"] and r["merged_within_5pct"], r
+
+
 def test_compare_local_artifact_has_no_vacuous_greens():
     """Registry-wide non-vacuity, enforced on the committed artifact:
     every gate COMPARE_LOCAL.json records as OK/WEAK_OK must also
