@@ -142,7 +142,6 @@ _ALIASES = {
     "a0_sim_rerank_pandas": "sim_rerank_pandas",
     "a0_evt_stateful_funnel": "evt_stateful_funnel",
     "a0_evt_sessionize_stats": "evt_sessionize_stats",
-    "a0_evt_session_window": "evt_session_window",
 }
 
 # Round-8 brand-new gates: aliased if (and only if) already registered,
@@ -169,6 +168,8 @@ _NEW_GATE_ALIASES: dict[str, str] = {
     "a0_join_asof_tolerance": "join_asof_tolerance",
     "a0_sql_pipe_syntax": "sql_pipe_syntax",
     "a0_agg_hll_sketch": "agg_hll_sketch",
+    # And the RAG retrieval pipeline (displaced evt_session_window).
+    "a0_text_rag_context_pack": "text_rag_context_pack",
 }
 
 # Gates born this round but NOT aliased — they join the r9 rotation

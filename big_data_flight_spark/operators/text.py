@@ -2912,3 +2912,198 @@ def text_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_id").isNull().alias("is_new"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_rag_context_pack — retrieval-to-context pipeline (r8): multi-query
+# BM25 retrieval feeding a token-budget context pack in ONE lazy plan
+# ---------------------------------------------------------------------------
+
+_RAG_N_QUERIES = 5     # query docs: doc_id < 5 (the decontaminate probe shape)
+_RAG_QUERY_TERMS = 4   # first 4 distinct tokens of each query doc
+_RAG_BUDGET = 192      # context token budget (~3-4 fixture docs, avg dl 55)
+
+
+@gate_query(
+    "text_rag_context_pack",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w
+      FROM documents WHERE doc_id >= {_RAG_N_QUERIES}
+    ),
+    tok AS (
+      SELECT doc_id, unnest(w) AS token FROM corpus
+    ),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+      FROM tok WHERE token <> '' GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(SUM(dl) AS BIGINT) AS total_dl,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM dl
+    ),
+    qpos AS (
+      SELECT q.doc_id AS query_id, q.w[CAST(i AS INT)] AS token,
+             MIN(i) AS first_pos
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+            FROM documents WHERE doc_id < {_RAG_N_QUERIES}) q,
+           LATERAL unnest(range(1, len(q.w) + 1)) t(i)
+      WHERE q.w[CAST(i AS INT)] <> ''
+      GROUP BY 1, 2
+    ),
+    qterm AS (
+      SELECT query_id, token FROM (
+        SELECT query_id, token,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY first_pos, token
+               ) AS trn
+        FROM qpos
+      ) WHERE trn <= {_RAG_QUERY_TERMS}
+    ),
+    tf AS (
+      SELECT t.doc_id, t.token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok t
+      WHERE t.token <> '' AND t.token IN (SELECT token FROM qterm)
+      GROUP BY 1, 2
+    ),
+    dfreq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ),
+    term AS (
+      SELECT q.query_id, tf.doc_id, tf.token,
+             {_BM25_EXPR} AS ts
+      FROM qterm q
+      JOIN tf USING (token)
+      JOIN dfreq USING (token)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT query_id, doc_id,
+             ROUND(list_sum(list(ts ORDER BY token)), 6) AS score_d6
+      FROM term GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score_d6,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score_d6 DESC, doc_id
+             ) AS rnk
+      FROM scored
+    ),
+    packed AS (
+      SELECT r.query_id, r.rnk, r.doc_id, r.score_d6, dl.dl,
+             SUM(dl.dl) OVER (
+               PARTITION BY r.query_id ORDER BY r.rnk
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum_tokens
+      FROM ranked r JOIN dl USING (doc_id)
+    )
+    SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score_d6,
+           dl, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM packed
+    WHERE cum_tokens <= {_RAG_BUDGET} OR rnk = 1
+    """,
+    tags=("text", "retrieval"),
+)
+def text_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG RETRIEVAL PIPELINE in one lazy plan — the read side of
+    retrieval-augmented generation: multi-query BM25 retrieval over
+    the corpus feeding a per-query token-budget context pack.
+
+    Stages (all one DAG, no intermediate materialization except the
+    shared corpus pass): (1) queries = the doc_id < 5 probe slice
+    (text_decontaminate's shape), each query being its doc's first
+    4 distinct tokens in document order (deterministic, no RNG);
+    (2) BM25 scoring of every corpus doc against every query via the
+    token inverted index — query terms are a broadcast-sized table,
+    so candidate (query, doc) pairs are bounded by term postings,
+    never |queries| x |corpus|; per-term scores use the SAME
+    _BM25_EXPR string as text_bm25, summed in token order (the
+    ordered-fold rule); (3) rank per query on the ROUNDED score
+    (ln-tainted key -> rounded-rank is the tfidf/bm25 family
+    convention) with doc_id tie-break; (4) pack: running token total
+    in rank order, keep the prefix within the 192-token budget —
+    cumulative sums only grow, so `cum <= budget` IS prefix
+    semantics — with the rank-1 doc always kept (a real RAG stack
+    never sends an empty context; it truncates at generation).
+
+    Scale: corpus tf/dl/stats are ONE tokenize pass (localCheckpoint,
+    the text_bm25 convention); query terms broadcast; the per-query
+    rank and the pack are WindowGroupLimit-shaped windows over
+    candidate rows only. Nothing quadratic, nothing per-row Python."""
+    d = table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    qdocs = d.filter(F.col("doc_id") < _RAG_N_QUERIES)
+    corpus = d.filter(F.col("doc_id") >= _RAG_N_QUERIES)
+
+    ctok = tokens(corpus)
+    dl = ctok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    ).localCheckpoint()  # consumed by stats, tf-filter join, and the
+    # final pack join — one corpus tokenize pass, not three.
+    stats = dl.agg(
+        F.sum("dl").cast("long").alias("total_dl"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+
+    w_arr = F.split(F.lower(F.col("text")), " ")
+    qpos = (
+        qdocs.select(
+            F.col("doc_id").alias("query_id"),
+            F.posexplode(w_arr).alias("pos", "token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("query_id", "token")
+        .agg(F.min("pos").alias("first_pos"))
+    )
+    w_t = Window.partitionBy("query_id").orderBy("first_pos", "token")
+    qterm = (
+        qpos.withColumn("trn", F.row_number().over(w_t))
+        .filter(F.col("trn") <= _RAG_QUERY_TERMS)
+        .select("query_id", "token")
+    )
+
+    tf = (
+        ctok.join(F.broadcast(qterm.select("token").distinct()), "token")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    term = (
+        F.broadcast(qterm)
+        .join(tf, "token")
+        .join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", "token", F.expr(_BM25_EXPR).alias("ts"))
+    )
+    scored = term.groupBy("query_id", "doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("token", "ts"))),
+                    lambda s: s["ts"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("score_d6")
+    )
+    w_r = Window.partitionBy("query_id").orderBy(
+        F.col("score_d6").desc(), F.col("doc_id")
+    )
+    ranked = scored.withColumn("rnk", F.row_number().over(w_r).cast("long"))
+    w_c = (
+        Window.partitionBy("query_id")
+        .orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        ranked.join(dl, "doc_id")
+        .withColumn("cum_tokens", F.sum("dl").over(w_c).cast("long"))
+        .filter((F.col("cum_tokens") <= _RAG_BUDGET) | (F.col("rnk") == 1))
+    )
+    return packed.select(
+        "query_id", "rnk", "doc_id", "score_d6", "dl", "cum_tokens"
+    )

@@ -311,6 +311,36 @@ def test_hll_sketch_audits_hold(spark):
         assert r["est_within_5pct"] and r["merged_within_5pct"], r
 
 
+def test_rag_context_pack_invariants(spark):
+    """Per query: ranks are a contiguous 1..n prefix (pack = prefix of
+    the ranking), cum_tokens is the running dl sum, the budget holds
+    for every row except a possibly-oversized rank-1 doc, and scores
+    are non-increasing in rank. Every query packs at least one doc."""
+    from big_data_flight_spark.operators.text import (
+        _RAG_BUDGET,
+        _RAG_N_QUERIES,
+        text_rag_context_pack,
+    )
+
+    rows = text_rag_context_pack(spark, SF_SMOKE).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == _RAG_N_QUERIES
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1)), q
+        cum = 0
+        prev_score = None
+        for r in rs:
+            cum += r["dl"]
+            assert r["cum_tokens"] == cum
+            if r["rnk"] > 1:
+                assert r["cum_tokens"] <= _RAG_BUDGET
+                assert r["score_d6"] <= prev_score
+            prev_score = r["score_d6"]
+
+
 def test_compare_local_artifact_has_no_vacuous_greens():
     """Registry-wide non-vacuity, enforced on the committed artifact:
     every gate COMPARE_LOCAL.json records as OK/WEAK_OK must also
