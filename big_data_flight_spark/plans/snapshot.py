@@ -480,6 +480,69 @@ SNAPSHOT = {
         "Generate",
         "HashAggregate",
     ],
+    # r8. Incremental dedup: batch shingles meet the corpus index in
+    # an equi-join — never a nested loop over doc pairs — and the
+    # final per-batch-doc pick is a window, not a re-join.
+    "text_dedup_incremental": [
+        "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin",
+        "!BroadcastNestedLoopJoin",
+        "!CartesianProduct",
+        "HashAggregate",
+        "Window",
+    ],
+    # r8. Hard-negative mining: the bounded anchor slice must ride a
+    # broadcast (nested-loop is the INTENDED physical form for the
+    # label-inequality theta join — broadcast-query x streamed-corpus,
+    # the sim_topk_neighbors shape), the per-anchor top-k must push
+    # into the window.
+    "sim_hard_negative_mining": [
+        "BroadcastNestedLoopJoin",
+        "WindowGroupLimit",
+    ],
+    # r8. De-vacuified common-neighbors: pair generation is the
+    # customer-keyed inverted-index equi-join; degree tables broadcast
+    # back; never a supplier x supplier loop.
+    "graph_common_neighbors": [
+        "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin",
+        "!CartesianProduct",
+        "BroadcastHashJoin",
+        "TakeOrderedAndProject",
+    ],
+    # r8. As-of with tolerance: stays the merge-pass single-scan form —
+    # one events scan, a window, NO join of any kind.
+    "join_asof_tolerance": [
+        "=1:events.parquet",
+        "Window",
+        "!SortMergeJoin",
+        "!BroadcastHashJoin",
+        "!BroadcastNestedLoopJoin",
+    ],
+    # r8. HLL mergeability: three aggregates over one column set join
+    # back on the tiny event_type key (broadcast), no nested loop.
+    "agg_hll_sketch": [
+        "HashAggregate",
+        "ObjectHashAggregate",
+        "BroadcastHashJoin",
+    ],
+    # r8. RAG pipeline: corpus stats ride the checkpointed table
+    # (ExistingRDD), query terms/df/stats broadcast into the scoring
+    # join, rank + pack are windows; no cartesian anywhere.
+    "text_rag_context_pack": [
+        "ExistingRDD",
+        "BroadcastHashJoin",
+        "Window",
+        "!CartesianProduct",
+    ],
+    # r8. Split-leakage x simhash: the banded candidate join must stay
+    # an equi-join; the three 1-row audit frames may cross-join (the
+    # sanctioned broadcast-1-row-state shape) but doc-level rows never
+    # meet in a nested loop (pinning the SIGNATURE join, not the
+    # 1-row frames, is what the equi-join assertion checks).
+    "text_split_leakage_simhash": [
+        "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin",
+        "HashAggregate",
+        "Window",
+    ],
 }
 
 
