@@ -140,8 +140,6 @@ _ALIASES = {
     "a0_text_near_dedup_jaccard": "text_near_dedup_jaccard",
     "a0_text_minhash_lsh": "text_minhash_lsh",
     "a0_sim_rerank_pandas": "sim_rerank_pandas",
-    "a0_evt_stateful_funnel": "evt_stateful_funnel",
-    "a0_evt_sessionize_stats": "evt_sessionize_stats",
 }
 
 # Round-8 brand-new gates: aliased if (and only if) already registered,
@@ -170,6 +168,11 @@ _NEW_GATE_ALIASES: dict[str, str] = {
     "a0_agg_hll_sketch": "agg_hll_sketch",
     # And the RAG retrieval pipeline (displaced evt_session_window).
     "a0_text_rag_context_pack": "text_rag_context_pack",
+    # And the BPE losslessness proof (displaced evt_sessionize_stats).
+    "a0_text_bpe_roundtrip": "text_bpe_roundtrip",
+    # And the streaming ingest-dedup twin (displaced
+    # evt_stateful_funnel).
+    "a0_stream_incremental_dedup": "stream_incremental_dedup",
 }
 
 # Gates born this round but NOT aliased — they join the r9 rotation

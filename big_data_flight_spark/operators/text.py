@@ -2804,9 +2804,7 @@ _INCR_BATCH_MOD = 5   # batch = doc_id % 5 == 4 — a deterministic 20%
 _INCR_JACCARD_T = 0.5
 
 
-@gate_query(
-    "text_dedup_incremental",
-    oracle=f"""
+_INCR_ORACLE = f"""
     WITH sh AS MATERIALIZED (
       SELECT doc_id,
              list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
@@ -2846,7 +2844,12 @@ _INCR_JACCARD_T = 0.5
     FROM documents d
     LEFT JOIN (SELECT * FROM best WHERE rn = 1) w ON d.doc_id = w.b_id
     WHERE d.doc_id % {_INCR_BATCH_MOD} = {_INCR_BATCH_MOD - 1}
-    """,
+    """
+
+
+@gate_query(
+    "text_dedup_incremental",
+    oracle=_INCR_ORACLE,
     tags=("text", "dedup"),
 )
 def text_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3106,4 +3109,115 @@ def text_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return packed.select(
         "query_id", "rnk", "doc_id", "score_d6", "dl", "cum_tokens"
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_roundtrip — encode→decode losslessness proof (r8)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_roundtrip_oracle(rounds: int = TEXT_BPE_ROUNDS) -> str:
+    """Roundtrip oracle: the shared merge-chain CTEs re-derive the
+    vocabulary, each positioned corpus word decodes via
+    replace(word_s, ' ', ''), docs reassemble in position order, and
+    the md5 of the rebuilt text is compared against the md5 of the
+    whitespace-normalized original — the codec-losslessness check in
+    closed form (the mm_audio_decode_wav convention)."""
+    parts = _bpe_ctes(rounds)
+    parts.append("""
+    corpus AS (
+      SELECT doc_id, i AS pos, w[CAST(i AS INT)] AS word
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+            FROM documents),
+           LATERAL unnest(range(1, len(w) + 1)) t(i)
+      WHERE w[CAST(i AS INT)] <> ''
+    )""")
+    return f"""WITH {','.join(parts)},
+    dec AS (
+      SELECT doc_id, pos,
+             replace(word_s, ' ', '') AS dw,
+             len(string_split(trim(word_s), ' ')) AS ntok
+      FROM corpus JOIN w{rounds} USING (word)
+    ),
+    per AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+             string_agg(dw, ' ' ORDER BY pos) AS rebuilt
+      FROM dec GROUP BY doc_id
+    ),
+    orig AS (
+      SELECT doc_id,
+             array_to_string(
+               list_filter(string_split(lower(text), ' '), x -> x <> ''),
+               ' ') AS norm
+      FROM documents
+    )
+    SELECT p.doc_id, p.n_words, p.n_tokens,
+           md5(p.rebuilt) = md5(o.norm) AS roundtrip_ok,
+           md5(p.rebuilt) AS rebuilt_md5
+    FROM per p JOIN orig o ON p.doc_id = o.doc_id"""
+
+
+@gate_query(
+    "text_bpe_roundtrip",
+    oracle=_bpe_roundtrip_oracle(),
+    tags=("text",),
+)
+def text_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ROUNDTRIP — the losslessness proof the tokenizer family
+    owed: encode every corpus word through the trained vocabulary,
+    DECODE it back (a BPE token string decodes by deleting the symbol
+    separators — merges only ever concatenate), reassemble each
+    document in word order, and hash-compare against the whitespace-
+    normalized original. roundtrip_ok must be TRUE for every doc and
+    the rebuilt md5 itself is hash-checked cross-engine, so the claim
+    is proven per document, in both engines, against independently
+    derived vocabularies (the oracle re-trains via the unrolled
+    _bpe_ctes chain sharing the Spark loop's Python constants — the
+    codec-closed-form convention from mm_audio_decode_wav).
+
+    Scale: the vocab broadcasts (bounded), the corpus is scanned once
+    with positions, reassembly is one groupBy(doc_id) with an ordered
+    fold — only word-position structs and 32-char hashes shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    vocab, _ = _bpe_train_words(docs)
+    words = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    dec = words.join(F.broadcast(vocab), "word").select(
+        "doc_id",
+        "pos",
+        F.regexp_replace("word_s", " ", "").alias("dw"),
+        F.size(F.split(F.trim("word_s"), " ")).alias("ntok"),
+    )
+    per = dec.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "dw"))),
+                lambda s: s["dw"],
+            ),
+            " ",
+        ).alias("rebuilt"),
+    )
+    orig = docs.select(
+        "doc_id",
+        F.array_join(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != ""),
+            " ",
+        ).alias("norm"),
+    )
+    return per.join(orig, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        (F.md5("rebuilt") == F.md5("norm")).alias("roundtrip_ok"),
+        F.md5("rebuilt").alias("rebuilt_md5"),
     )

@@ -1265,3 +1265,140 @@ def stream_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             f">= max history {audit[1]}"
         )
     return final.drop("state_rows")
+
+
+# ---------------------------------------------------------------------------
+# stream_incremental_dedup — streaming ingest dedup against a static
+# corpus index (r8; the streaming twin of text_dedup_incremental)
+# ---------------------------------------------------------------------------
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-backed streaming source over the documents table (the
+    events_stream construction: schema from the parquet footer,
+    memoized; no dtype guard needed — documents carries no
+    timestamps)."""
+    path = f"{sf_dir}/documents.parquet"
+    st = os.stat(path)
+    stamp = (st.st_mtime, st.st_size)
+    hit = _SCHEMA_MEMO.get(path)
+    if hit is not None and hit[0] == stamp:
+        batch_schema = hit[1]
+    else:
+        batch_schema = spark.read.parquet(path).schema
+        _SCHEMA_MEMO[path] = (stamp, batch_schema)
+    return (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+@gate_query(
+    "stream_incremental_dedup",
+    oracle=None,  # set below: shares text_dedup_incremental's oracle
+    tags=("streaming", "text", "dedup"),
+)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest dedup — the production form of
+    text_dedup_incremental: new documents ARRIVE AS A STREAM, each
+    micro-batch's shingles join the STATIC corpus inverted index
+    (stream-static join, the standing-index pattern), and the
+    streaming side aggregates the per-(arrival, corpus-doc) common-
+    shingle counts. Counting is arrival-order-insensitive, so after
+    the availableNow drain the pair table equals the batch gate's —
+    the downstream verdict computation (Jaccard, best match, is_new)
+    runs batch-side on the drained counts and the gate shares the
+    batch gate's ORACLE VERBATIM (module constant _INCR_ORACLE):
+    a strong cross-engine check of the whole streaming path.
+
+    State story at scale: the streaming aggregation keys on
+    (arriving doc, matched corpus doc) — bounded by the index
+    postings each arrival touches, NOT by corpus size; in production
+    the drain is a foreachBatch upsert and arrivals age out of state
+    with a watermark on ingest time (the fixture source carries no
+    event time, so this bounded drain stands in for one horizon)."""
+    from big_data_flight_spark.io import table
+    from big_data_flight_spark.operators.text import (
+        _INCR_BATCH_MOD,
+        _INCR_JACCARD_T,
+        shingles,
+    )
+    from pyspark.sql import Window
+
+    is_batch = F.col("doc_id") % _INCR_BATCH_MOD == _INCR_BATCH_MOD - 1
+
+    docs_static = table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    corpus = docs_static.filter(~is_batch)
+    shc = shingles(corpus, 3).select(F.col("doc_id").alias("c_id"), "shingle")
+
+    arriving = documents_stream(spark, sf_dir).filter(is_batch).select(
+        "doc_id", "text"
+    )
+    shb = shingles(arriving, 3).select(F.col("doc_id").alias("b_id"), "shingle")
+    pair_counts = (
+        shb.join(shc, "shingle")
+        .groupBy("b_id", "c_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    common = run_to_memory(pair_counts, mode="complete")
+
+    # Batch downstream, identical to text_dedup_incremental from the
+    # pair table onward (sizes/windows are deterministic projections
+    # of static content).
+    batch = docs_static.filter(is_batch)
+    sizes_b = shingles(batch, 3).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_b")
+    ).withColumnRenamed("doc_id", "b_id")
+    sizes_c = shc.groupBy("c_id").agg(F.count(F.lit(1)).alias("n_c"))
+    jac = F.col("n_common") / (F.col("n_b") + F.col("n_c") - F.col("n_common"))
+    m = (
+        common.join(sizes_b, "b_id")
+        .join(sizes_c, "c_id")
+        .withColumn("j", jac)
+        .filter(F.col("j") >= _INCR_JACCARD_T)
+    )
+    w = Window.partitionBy("b_id").orderBy(F.col("j").desc(), F.col("c_id"))
+    best = (
+        m.withColumn("rn", F.row_number().over(w))
+        .withColumn("nm", F.count(F.lit(1)).over(Window.partitionBy("b_id")))
+        .filter(F.col("rn") == 1)
+        .select("b_id", "c_id", "j", "nm")
+    )
+    return (
+        batch.select("doc_id")
+        .join(best, F.col("doc_id") == F.col("b_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("nm"), F.lit(0)).cast("long").alias("n_matches"),
+            F.col("c_id").alias("best_match"),
+            F.floor(F.col("j") * 1000000 + 0.5).cast("long").alias(
+                "best_jaccard_micro"
+            ),
+            F.col("c_id").isNull().alias("is_new"),
+        )
+    )
+
+
+def _share_incremental_oracle() -> None:
+    # The decorator registered the gate with oracle=None (twins.py
+    # loads before text.py's constant in some import orders is a
+    # non-issue — text is imported above — but the decorator arg must
+    # be a literal at def time). Re-point the registry entry at the
+    # SHARED oracle so the driver hash-checks the streaming path
+    # against DuckDB exactly as it does the batch gate.
+    from big_data_flight_spark.operators.text import _INCR_ORACLE
+    from big_data_flight_spark.registry import _REGISTRY, GateQuery
+
+    q = _REGISTRY["stream_incremental_dedup"]
+    _REGISTRY["stream_incremental_dedup"] = GateQuery(
+        name=q.name,
+        builder=q.builder,
+        oracle=_INCR_ORACLE,
+        doc=q.doc,
+        tags=q.tags,
+        expected_empty=q.expected_empty,
+    )
+
+
+_share_incremental_oracle()

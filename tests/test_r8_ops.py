@@ -341,6 +341,50 @@ def test_rag_context_pack_invariants(spark):
             prev_score = r["score_d6"]
 
 
+def test_bpe_roundtrip_is_lossless_for_every_doc(spark):
+    """The losslessness claim itself: roundtrip_ok TRUE for all docs,
+    one row per non-empty doc, and token counts match the encode
+    gate's accounting."""
+    from big_data_flight_spark.operators.text import (
+        text_bpe_encode,
+        text_bpe_roundtrip,
+    )
+
+    rows = text_bpe_roundtrip(spark, SF_SMOKE).collect()
+    assert len(rows) == 500
+    assert all(r["roundtrip_ok"] for r in rows)
+    enc = {r["doc_id"]: r["n_tokens"] for r in text_bpe_encode(spark, SF_SMOKE).collect()}
+    for r in rows:
+        assert r["n_tokens"] == enc[r["doc_id"]]
+
+
+def test_stream_incremental_dedup_equals_batch(spark):
+    """The streaming ingest path must produce row-for-row the batch
+    gate's verdicts (counting is arrival-order-insensitive; everything
+    downstream is a deterministic projection of static content)."""
+    from big_data_flight_spark.operators.text import text_dedup_incremental
+    from big_data_flight_spark.streaming.twins import stream_incremental_dedup
+
+    batch = sorted(
+        tuple(r) for r in text_dedup_incremental(spark, SF_SMOKE).collect()
+    )
+    streamed = sorted(
+        tuple(r) for r in stream_incremental_dedup(spark, SF_SMOKE).collect()
+    )
+    assert streamed == batch and len(batch) > 0
+
+
+def test_stream_incremental_dedup_shares_the_batch_oracle():
+    """The registry entry must carry text_dedup_incremental's oracle
+    VERBATIM (same string object semantics: one definition, two
+    consumers) so the driver hash-checks the streaming path strongly."""
+    from big_data_flight_spark.operators.text import _INCR_ORACLE
+
+    _load_all_operator_modules()
+    assert _REGISTRY["stream_incremental_dedup"].oracle == _INCR_ORACLE
+    assert _REGISTRY["text_dedup_incremental"].oracle == _INCR_ORACLE
+
+
 def test_compare_local_artifact_has_no_vacuous_greens():
     """Registry-wide non-vacuity, enforced on the committed artifact:
     every gate COMPARE_LOCAL.json records as OK/WEAK_OK must also
