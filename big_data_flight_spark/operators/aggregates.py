@@ -822,3 +822,71 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         within(F.col("n_est")).alias("est_within_5pct"),
         within(F.col("n_merged")).alias("merged_within_5pct"),
     )
+
+
+@gate_query(
+    "agg_hll_sliding",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+    ),
+    ud AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+      FROM events
+    )
+    SELECT CAST(days.d AS VARCHAR) AS day,
+           CAST((SELECT COUNT(DISTINCT u.user_id) FROM ud u
+                 WHERE u.d BETWEEN days.d - INTERVAL 6 DAY AND days.d)
+                AS BIGINT) AS n_exact_7d,
+           TRUE AS est_within_5pct
+    FROM days
+    """,
+    tags=("agg", "approx", "sketch", "event"),
+)
+def agg_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-ROLLUP pattern over time — why mergeable sketches
+    exist: per-day HLL sketches of distinct users are built ONCE from
+    raw events, then every day's trailing-7-day distinct-user count
+    comes from UNIONING seven daily sketches — no raw re-scan per
+    window, which is the only affordable shape when each day is
+    terabytes and dashboards ask for arbitrary trailing ranges.
+    Exactness audit per day: the sketch-union estimate must land
+    within 5% of the exact trailing-window countDistinct (computed
+    from per-day distinct pairs — also one scan). Hash-checked
+    columns: day, the exact count (DuckDB recomputes), and the audit
+    boolean (agg_hll_sketch's deterministic-audit check level).
+
+    Scale: raw events are scanned twice total (sketches + exact
+    audit; production drops the audit side); the day x trailing-day
+    expansion joins the |days|-row sketch table to itself — bounded
+    by the calendar, broadcastable forever."""
+    e = table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"), "user_id"
+    )
+    daily_sk = e.groupBy("d").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    days = daily_sk.select(F.col("d").alias("day"))
+    trailing = days.join(
+        F.broadcast(daily_sk),
+        (F.col("d") >= F.date_sub(F.col("day"), 6)) & (F.col("d") <= F.col("day")),
+    )
+    est = trailing.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_est_7d")
+    )
+    exact_pairs = e.distinct()
+    exact = (
+        days.join(
+            exact_pairs,
+            (F.col("d") >= F.date_sub(F.col("day"), 6))
+            & (F.col("d") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_exact_7d"))
+    )
+    return exact.join(est, "day").select(
+        F.col("day").cast("string").alias("day"),
+        "n_exact_7d",
+        (
+            F.abs(F.col("n_est_7d") - F.col("n_exact_7d")) * 20
+            <= F.col("n_exact_7d")
+        ).alias("est_within_5pct"),
+    )

@@ -136,9 +136,7 @@ _ALIASES = {
     # --- slots 36-50: r3 re-grades, highest-complexity-first ---
     "a0_tpch_q18": "tpch_q18",
     "a0_tpch_q2": "tpch_q2",
-    "a0_join_asof": "join_asof",
     "a0_text_near_dedup_jaccard": "text_near_dedup_jaccard",
-    "a0_text_minhash_lsh": "text_minhash_lsh",
     "a0_sim_rerank_pandas": "sim_rerank_pandas",
 }
 
@@ -173,6 +171,12 @@ _NEW_GATE_ALIASES: dict[str, str] = {
     # And the streaming ingest-dedup twin (displaced
     # evt_stateful_funnel).
     "a0_stream_incremental_dedup": "stream_incremental_dedup",
+    # And the sketch-rollup + budget-mix pair (displaced join_asof —
+    # unchanged since r3, its new tolerance twin shares the merge-pass
+    # machinery in-window — and text_minhash_lsh — unchanged, its
+    # exact-Jaccard anchor is in-window).
+    "a0_agg_hll_sliding": "agg_hll_sliding",
+    "a0_text_quality_budget_mix": "text_quality_budget_mix",
 }
 
 # Gates born this round but NOT aliased — they join the r9 rotation

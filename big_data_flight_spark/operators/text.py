@@ -3221,3 +3221,102 @@ def text_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.md5("rebuilt") == F.md5("norm")).alias("roundtrip_ok"),
         F.md5("rebuilt").alias("rebuilt_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_quality_budget_mix — token-budgeted quality-first curation (r8)
+# ---------------------------------------------------------------------------
+
+_QBM_BUDGET = 2000       # per-language token budget (n_words proxy)
+_QBM_IDEAL_AWL = 5.5e6   # ideal avg word length, micro-units
+
+
+@gate_query(
+    "text_quality_budget_mix",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS BIGINT) AS n_words,
+             n_chars
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, lang, n_words,
+             CAST(floor(abs(n_chars * 1000000.0 / n_words
+                            - {_QBM_IDEAL_AWL})) AS BIGINT) AS quality_micro
+      FROM q WHERE n_words > 0
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY lang ORDER BY quality_micro, doc_id
+             ) AS rnk
+      FROM keyed
+    ),
+    packed AS (
+      SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, n_words,
+             quality_micro,
+             CAST(SUM(n_words) OVER (
+               PARTITION BY lang ORDER BY rnk ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS cum_tokens
+      FROM ranked
+    )
+    SELECT lang, rnk, doc_id, n_words, quality_micro, cum_tokens
+    FROM packed
+    WHERE cum_tokens <= {_QBM_BUDGET} OR rnk = 1
+    """,
+    tags=("text", "sampling"),
+)
+def text_quality_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-FIRST curation under a TOKEN BUDGET — the data-mixing
+    step real pretraining recipes run: per language, take the
+    highest-quality documents until the language's token budget is
+    spent (budgets are how corpus proportions are actually enforced —
+    per-language token counts, not doc counts). Quality key = integer
+    micro-distance of the doc's average word length from the ideal
+    (|n_chars/n_words - 5.5| in micro-units: ONE BIGINT-derived IEEE
+    division then floor — an integer rank key, no float-ordering
+    surface), tie-break doc_id; the budget cut is the prefix of the
+    per-language ranking (cumulative sums only grow), rank-1 always
+    kept so no language goes unrepresented. Complements
+    text_weighted_mix (hash-rate mixing: random representative,
+    ignores quality) — this is the selective form used when the
+    budget is scarcer than the supply.
+
+    Scale: one projection for the key, one per-language window rank +
+    running sum (WindowGroupLimit-shaped), nothing quadratic, no text
+    shuffles beyond the doc rows themselves."""
+    d = table(spark, sf_dir, "documents")
+    n_words = F.size(
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    ).cast("long")
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        "n_chars",
+    ).filter(F.col("n_words") > 0).select(
+        "doc_id",
+        "lang",
+        "n_words",
+        F.floor(
+            F.abs(
+                F.col("n_chars") * 1000000.0 / F.col("n_words")
+                - F.lit(_QBM_IDEAL_AWL)
+            )
+        ).cast("long").alias("quality_micro"),
+    )
+    w_r = Window.partitionBy("lang").orderBy("quality_micro", "doc_id")
+    w_c = (
+        Window.partitionBy("lang")
+        .orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        keyed.withColumn("rnk", F.row_number().over(w_r).cast("long"))
+        .withColumn("cum_tokens", F.sum("n_words").over(w_c).cast("long"))
+        .filter((F.col("cum_tokens") <= _QBM_BUDGET) | (F.col("rnk") == 1))
+    )
+    return packed.select(
+        "lang", "rnk", "doc_id", "n_words", "quality_micro", "cum_tokens"
+    )

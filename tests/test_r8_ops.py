@@ -385,6 +385,66 @@ def test_stream_incremental_dedup_shares_the_batch_oracle():
     assert _REGISTRY["text_dedup_incremental"].oracle == _INCR_ORACLE
 
 
+def test_hll_sliding_union_tracks_exact(spark):
+    """Every day's trailing-7-day sketch-union estimate within 5% of
+    exact; days are contiguous coverage of the fixture's range; exact
+    counts are non-decreasing vs the single-day distinct (a 7-day
+    window can only see more users than any one of its days)."""
+    import pyspark.sql.functions as F
+
+    from big_data_flight_spark.io import table
+    from big_data_flight_spark.operators.aggregates import agg_hll_sliding
+
+    rows = agg_hll_sliding(spark, SF_SMOKE).collect()
+    assert rows and all(r["est_within_5pct"] for r in rows)
+    daily = {
+        str(r["d"]): r["n"]
+        for r in table(spark, SF_SMOKE, "events")
+        .select(F.date_trunc("day", "ts").cast("date").alias("d"), "user_id")
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert len(rows) == len(daily)
+    for r in rows:
+        assert r["n_exact_7d"] >= daily[r["day"]]
+
+
+def test_quality_budget_mix_is_prefix_under_budget(spark):
+    """Per language: ranks form a contiguous prefix, quality keys are
+    non-decreasing in rank (best first), cumulative tokens respect the
+    budget except a possibly-oversized rank-1 doc, and every fixture
+    language is represented."""
+    import pyspark.sql.functions as F
+
+    from big_data_flight_spark.io import table
+    from big_data_flight_spark.operators.text import (
+        _QBM_BUDGET,
+        text_quality_budget_mix,
+    )
+
+    rows = text_quality_budget_mix(spark, SF_SMOKE).collect()
+    langs = {
+        r["lang"]
+        for r in table(spark, SF_SMOKE, "documents").select("lang").distinct().collect()
+    }
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) == langs
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1)), lang
+        cum, prev_q = 0, -1
+        for r in rs:
+            cum += r["n_words"]
+            assert r["cum_tokens"] == cum
+            assert r["quality_micro"] >= prev_q
+            prev_q = r["quality_micro"]
+            if r["rnk"] > 1:
+                assert r["cum_tokens"] <= _QBM_BUDGET
+
+
 def test_compare_local_artifact_has_no_vacuous_greens():
     """Registry-wide non-vacuity, enforced on the committed artifact:
     every gate COMPARE_LOCAL.json records as OK/WEAK_OK must also
