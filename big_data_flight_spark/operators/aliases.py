@@ -131,7 +131,6 @@ _ALIASES = {
     "a0_fn_cast_null": "fn_cast_null",
     "a0_fn_date": "fn_date",
     "a0_fn_explode_outer": "fn_explode_outer",
-    "a0_fn_interval": "fn_interval",
     "a0_fn_json": "fn_json",
     # --- slots 36-50: r3 re-grades, highest-complexity-first ---
     "a0_tpch_q18": "tpch_q18",
@@ -177,6 +176,10 @@ _NEW_GATE_ALIASES: dict[str, str] = {
     # exact-Jaccard anchor is in-window).
     "a0_agg_hll_sliding": "agg_hll_sliding",
     "a0_text_quality_budget_mix": "text_quality_budget_mix",
+    # And linear multi-touch attribution (displaced fn_interval — the
+    # lowest-complexity remaining r2 re-grade, COMPARE_LOCAL-proved
+    # every round; heads the r9 queue with the other displacements).
+    "a0_evt_attribution_linear": "evt_attribution_linear",
 }
 
 # Gates born this round but NOT aliased — they join the r9 rotation

@@ -1314,3 +1314,118 @@ def evt_path_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_error_bursts"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# evt_attribution_linear — multi-touch attribution (r8): equal-split
+# credit across every lookback touch, exact integer micro-credits
+# ---------------------------------------------------------------------------
+
+_ATTR_CREDIT_MICRO = 1_000_000  # one conversion = exactly 1e6 micro-credits
+
+
+@gate_query(
+    "evt_attribution_linear",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT p.pid, t.event_type AS channel, t.ts, t.event_id
+      FROM p JOIN events t
+        ON t.user_id = p.user_id
+       AND t.event_type <> 'purchase'
+       AND t.ts <= p.p_ts
+       AND epoch_us(p.p_ts) - epoch_us(t.ts) <= {_ATTR_WINDOW_US}
+    ),
+    ranked AS (
+      SELECT pid, channel,
+             row_number() OVER (PARTITION BY pid ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY pid) AS n_touch
+      FROM touch
+    ),
+    credited AS (
+      SELECT pid, channel,
+             {_ATTR_CREDIT_MICRO} // n_touch
+             + CASE WHEN rn = n_touch
+                    THEN {_ATTR_CREDIT_MICRO} % n_touch ELSE 0 END AS credit
+      FROM ranked
+      UNION ALL
+      SELECT pid, '(none)', {_ATTR_CREDIT_MICRO}
+      FROM p WHERE NOT EXISTS (SELECT 1 FROM touch WHERE touch.pid = p.pid)
+    )
+    SELECT channel,
+           CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_purchases_touched,
+           CAST(SUM(credit) AS BIGINT) AS total_credit_micro
+    FROM credited GROUP BY channel
+    """,
+    tags=("event",),
+)
+def evt_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution — the third classic model next
+    to evt_attribution's last/first-touch picks: every non-purchase
+    touch inside the 24 h lookback shares the conversion's credit
+    EQUALLY. Credit arithmetic is exact integers: each conversion is
+    worth 1e6 micro-credits, each of its n touches gets 1e6 // n, and
+    the remainder (1e6 mod n) goes to the LAST touch by the total
+    (ts, event_id) order — so per-purchase credits sum to exactly 1e6
+    by construction, credits are BIGINTs end-to-end (no float split),
+    and the global invariant sum(total_credit_micro) = 1e6 x
+    |purchases| is test-pinned. Touch-less purchases credit '(none)'
+    in full, keeping the invariant.
+
+    Shape: purchases x lookback touches is a per-user equi-join with
+    a time-range predicate (the join_asof oracle's shape; fan-out
+    bounded by touches-per-user-day); at 100 TB the band-bucketed
+    rewrite (join_range_banded) drops in on the time axis. One window
+    ranks touches per purchase; credit assignment is a projection."""
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    t = e.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+    )
+    touch = p.join(
+        t,
+        (F.col("t_user") == F.col("p_user"))
+        & (F.col("t_ts") <= F.col("p_ts"))
+        & (
+            F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("t_ts"))
+            <= _ATTR_WINDOW_US
+        ),
+    ).select("pid", "channel", "t_ts", "t_id")
+    w = Window.partitionBy("pid").orderBy("t_ts", "t_id")
+    ranked = touch.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_touch", F.count(F.lit(1)).over(Window.partitionBy("pid"))
+    )
+    credited = ranked.select(
+        "pid",
+        "channel",
+        (
+            F.floor(F.lit(_ATTR_CREDIT_MICRO) / F.col("n_touch")).cast("long")
+            + F.when(
+                F.col("rn") == F.col("n_touch"),
+                F.lit(_ATTR_CREDIT_MICRO) % F.col("n_touch"),
+            ).otherwise(0)
+        ).alias("credit"),
+    )
+    untouched = p.join(touch.select("pid").distinct(), "pid", "left_anti").select(
+        "pid",
+        F.lit("(none)").alias("channel"),
+        F.lit(_ATTR_CREDIT_MICRO).cast("long").alias("credit"),
+    )
+    return (
+        credited.unionByName(untouched)
+        .groupBy("channel")
+        .agg(
+            F.count_distinct("pid").cast("long").alias("n_purchases_touched"),
+            F.sum("credit").cast("long").alias("total_credit_micro"),
+        )
+    )

@@ -445,6 +445,30 @@ def test_quality_budget_mix_is_prefix_under_budget(spark):
                 assert r["cum_tokens"] <= _QBM_BUDGET
 
 
+def test_linear_attribution_credit_conserves(spark):
+    """The integer-split invariant: total micro-credit across all
+    channels (including '(none)') equals exactly 1e6 x |purchases| —
+    the floor-division remainder assignment makes per-purchase credit
+    sum EXACTLY, so the global sum is conserved with no float drift."""
+    from big_data_flight_spark.io import table
+    from big_data_flight_spark.operators.events import (
+        _ATTR_CREDIT_MICRO,
+        evt_attribution_linear,
+    )
+
+    rows = evt_attribution_linear(spark, SF_SMOKE).collect()
+    n_purch = (
+        table(spark, SF_SMOKE, "events")
+        .filter("event_type = 'purchase'")
+        .count()
+    )
+    assert sum(r["total_credit_micro"] for r in rows) == (
+        _ATTR_CREDIT_MICRO * n_purch
+    )
+    channels = {r["channel"] for r in rows}
+    assert len(channels - {"(none)"}) >= 2  # real multi-channel split
+
+
 def test_compare_local_artifact_has_no_vacuous_greens():
     """Registry-wide non-vacuity, enforced on the committed artifact:
     every gate COMPARE_LOCAL.json records as OK/WEAK_OK must also
