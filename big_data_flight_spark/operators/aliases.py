@@ -130,7 +130,6 @@ _ALIASES = {
     "a0_fn_bits": "fn_bits",
     "a0_fn_cast_null": "fn_cast_null",
     "a0_fn_date": "fn_date",
-    "a0_fn_explode_outer": "fn_explode_outer",
     "a0_fn_json": "fn_json",
     # --- slots 36-50: r3 re-grades, highest-complexity-first ---
     "a0_tpch_q18": "tpch_q18",
@@ -180,6 +179,9 @@ _NEW_GATE_ALIASES: dict[str, str] = {
     # lowest-complexity remaining r2 re-grade, COMPARE_LOCAL-proved
     # every round; heads the r9 queue with the other displacements).
     "a0_evt_attribution_linear": "evt_attribution_linear",
+    # And the polymorphic UDTF (displaced fn_explode_outer, same
+    # lowest-complexity-r2 rationale).
+    "a0_udtf_polymorphic": "udtf_polymorphic",
 }
 
 # Gates born this round but NOT aliased — they join the r9 rotation

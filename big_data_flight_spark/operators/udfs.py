@@ -595,3 +595,94 @@ def udf_grouped_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_id long, max_id long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# udtf_polymorphic — Python UDTF with an analyze() static method (r8)
+# ---------------------------------------------------------------------------
+
+_POLY_N_TOKENS = 3  # output arity requested at the gate's call site
+
+
+@gate_query(
+    "udtf_polymorphic",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           {', '.join(f"t[{i + 1}] AS token_{i}" for i in range(3))}
+    FROM w
+    """,
+    tags=("udf",),
+)
+def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF — the Spark 4 `analyze()` protocol: the
+    UDTF's output schema is computed AT ANALYSIS TIME from its call
+    arguments (here `first_tokens(text, 3)` produces columns token_0..
+    token_2; a different literal would produce a different schema —
+    asserted in tests/test_r8_ops.py with arity 2). This is the API
+    that makes UDTFs schema-flexible without a registry of fixed
+    variants: AnalyzeResult carries the StructType, eval() then yields
+    matching tuples. The oracle pins the n=3 instance's values
+    (DuckDB list indexing replays the padding semantics: out-of-range
+    list access yields NULL on both engines).
+
+    Scale: per-row arity-bounded projection inside a Python UDTF —
+    fine for surface coverage; the built-in slice+explode form is the
+    JVM path for bulk work (udtf_explode_like's docstring rule)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class FirstTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if not isinstance(n.value, int) or not (1 <= n.value <= 16):
+                raise ValueError("n must be a literal int in [1, 16]")
+            fields = [StructField("n_tokens", LongType())]
+            fields += [
+                StructField(f"token_{i}", StringType()) for i in range(n.value)
+            ]
+            return AnalyzeResult(StructType(fields))
+
+        def eval(self, text: str, n: int):
+            toks = [t for t in (text or "").lower().split(" ") if t != ""]
+            yield (len(toks), *[
+                toks[i] if i < len(toks) else None for i in range(n)
+            ])
+
+    first_tokens = udtf(FirstTokens)
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return _poly_apply(spark, d, first_tokens)
+
+
+def _poly_apply(spark: SparkSession, d: DataFrame, first_tokens):
+    """Apply the polymorphic UDTF via the SQL LATERAL surface (the
+    supported call form — UDTFs are table functions, not projections):
+    register, lateral-join, drop the uuid view (the run_to_memory
+    naming convention)."""
+    import uuid as _uuid
+
+    name = f"first_tokens_{_uuid.uuid4().hex[:12]}"
+    spark.udtf.register(name, first_tokens)
+    view = f"poly_docs_{_uuid.uuid4().hex[:12]}"
+    d.createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
+            SELECT v.doc_id, t.n_tokens,
+                   {', '.join(f"t.token_{i}" for i in range(_POLY_N_TOKENS))}
+            FROM {view} v, LATERAL {name}(v.text, {_POLY_N_TOKENS}) t
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)

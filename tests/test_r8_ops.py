@@ -469,6 +469,39 @@ def test_linear_attribution_credit_conserves(spark):
     assert len(channels - {"(none)"}) >= 2  # real multi-channel split
 
 
+def test_udtf_polymorphic_schema_tracks_arity(spark):
+    """The analyze() protocol's whole point: the SAME UDTF called with
+    a different literal arity resolves to a DIFFERENT schema. Also
+    pins padding semantics (short docs yield NULLs, never truncation
+    errors) and the n_tokens accounting."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class FirstTokens:  # same protocol as the gate's class
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            fields = [StructField("n_tokens", LongType())] + [
+                StructField(f"token_{i}", StringType()) for i in range(n.value)
+            ]
+            return AnalyzeResult(StructType(fields))
+
+        def eval(self, text: str, n: int):
+            toks = [t for t in (text or "").lower().split(" ") if t != ""]
+            yield (len(toks), *[
+                toks[i] if i < len(toks) else None for i in range(n)
+            ])
+
+    ft = udtf(FirstTokens)
+    spark.udtf.register("ft_poly_test", ft)
+    two = spark.sql("SELECT * FROM ft_poly_test('a b c', 2)")
+    five = spark.sql("SELECT * FROM ft_poly_test('a b c', 5)")
+    assert [f.name for f in two.schema.fields] == ["n_tokens", "token_0", "token_1"]
+    assert len(five.schema.fields) == 6
+    r = five.collect()[0]
+    assert r["n_tokens"] == 3 and r["token_4"] is None and r["token_0"] == "a"
+
+
 def test_compare_local_artifact_has_no_vacuous_greens():
     """Registry-wide non-vacuity, enforced on the committed artifact:
     every gate COMPARE_LOCAL.json records as OK/WEAK_OK must also
