@@ -543,6 +543,39 @@ SNAPSHOT = {
         "HashAggregate",
         "Window",
     ],
+    # r8 late additions. BPE roundtrip: vocab joins broadcast (the
+    # bounded side), reassembly is a hash aggregate; the trained vocab
+    # is checkpointed (ExistingRDD) per the loop-invariant rule.
+    "text_bpe_roundtrip": [
+        "BroadcastHashJoin",
+        "HashAggregate",
+        "ExistingRDD",
+    ],
+    # Sliding HLL: the day x trailing-day expansion must be the
+    # broadcast range join over the bounded calendar, never a shuffle
+    # of raw events per window; sketches are ObjectHashAggregate.
+    "agg_hll_sliding": [
+        "ObjectHashAggregate",
+        "BroadcastNestedLoopJoin",
+        "HashAggregate",
+    ],
+    # Quality-budget mix: pure projection + per-language windows — a
+    # single documents scan, no join of any kind.
+    "text_quality_budget_mix": [
+        "=1:documents.parquet",
+        "Window",
+        "!SortMergeJoin",
+        "!BroadcastHashJoin",
+    ],
+    # Linear attribution: per-user time-range join (equi on user +
+    # range residual), windowed credit ranks, anti-join for (none);
+    # never a cartesian.
+    "evt_attribution_linear": [
+        "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin",
+        "!CartesianProduct",
+        "Window",
+        "HashAggregate",
+    ],
 }
 
 
