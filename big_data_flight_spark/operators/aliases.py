@@ -127,8 +127,6 @@ _ALIASES = {
     "a0_filter_pred": "filter_pred",
     "a0_filter_scalar_subquery": "filter_scalar_subquery",
     "a0_fn_array": "fn_array",
-    "a0_fn_bits": "fn_bits",
-    "a0_fn_cast_null": "fn_cast_null",
     "a0_fn_date": "fn_date",
     "a0_fn_json": "fn_json",
     # --- slots 36-50: r3 re-grades, highest-complexity-first ---
@@ -182,6 +180,13 @@ _NEW_GATE_ALIASES: dict[str, str] = {
     # And the polymorphic UDTF (displaced fn_explode_outer, same
     # lowest-complexity-r2 rationale).
     "a0_udtf_polymorphic": "udtf_polymorphic",
+    # And parameterized SQL (displaced fn_bits, same rationale).
+    "a0_sql_parameterized": "sql_parameterized",
+    # And the q11 re-grade: the guard's own sf0.1 sweep caught its
+    # scale-dependent vacuity mid-round (fixed-fraction threshold →
+    # average-multiple, NATION_3); it must be driver-graded on the
+    # new, non-empty form (displaced fn_cast_null).
+    "a0_tpch_q11": "tpch_q11",
 }
 
 # Gates born this round but NOT aliased — they join the r9 rotation

@@ -119,6 +119,56 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate_query(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_totalprice > 150000.0
+    GROUP BY o_orderpriority
+    """,
+    tags=("relational", "sql"),
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL — the injection-safe templated-query surface
+    (Spark 3.4+ named args + the IDENTIFIER() clause for table/column
+    names): the query text carries only placeholders; values AND the
+    grouping column arrive via `args`. IDENTIFIER(:col) is the
+    supported way to parameterize an identifier — string-formatting a
+    column name into SQL is the injection anti-pattern this API
+    exists to replace (generated dashboards / multi-tenant templates).
+    Values bind as typed literals (the timestamp binds as a real
+    TIMESTAMP, not a string cast), so the plan is identical to the
+    inlined form — Catalyst folds parameters before optimization,
+    meaning pushdown still reaches the scan."""
+    from big_data_flight_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    import datetime
+
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp) AS o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                 AS sum_price
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderdate >= :since AND o_totalprice > :min_price
+        GROUP BY IDENTIFIER(:grp)
+        """,
+        args={
+            "grp": "o_orderpriority",
+            "tbl": "orders",
+            "since": datetime.datetime(1997, 1, 1),
+            "min_price": 150000.0,
+        },
+    )
+
+
+@gate_query(
     "project_select",
     oracle="""
     SELECT

@@ -897,13 +897,14 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS value
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
-      JOIN nation   ON s_nationkey = n_nationkey AND n_name = 'NATION_7'
+      JOIN nation   ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
       GROUP BY l_partkey
     ),
-    tot AS (SELECT list_sum(list(value ORDER BY pk)) AS total FROM val)
+    tot AS (SELECT list_sum(list(value ORDER BY pk)) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n FROM val)
     SELECT pk AS p_partkey, ROUND(value, 6) AS value
     FROM val CROSS JOIN tot
-    WHERE value > 0.002 * total
+    WHERE value * n > 2.5 * total
     """,
     tags=("tpch",),
 )
@@ -926,7 +927,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect)."""
     li = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
-    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     val = (
         li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -938,11 +939,12 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pk", "value"))),
             F.lit(0.0),
             lambda acc, x: acc + x["value"],
-        ).alias("total")
+        ).alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n"),
     )
     return (
         val.join(F.broadcast(tot))
-        .filter(F.col("value") > 0.002 * F.col("total"))
+        .filter(F.col("value") * F.col("n") > 2.5 * F.col("total"))
         .select(F.col("pk").alias("p_partkey"), F.round("value", 6).alias("value"))
     )
 

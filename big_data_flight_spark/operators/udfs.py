@@ -614,7 +614,7 @@ _POLY_N_TOKENS = 3  # output arity requested at the gate's call site
     )
     SELECT doc_id,
            CAST(len(t) AS BIGINT) AS n_tokens,
-           {', '.join(f"t[{i + 1}] AS token_{i}" for i in range(3))}
+           {', '.join(f"t[{i + 1}] AS token_{i}" for i in range(_POLY_N_TOKENS))}
     FROM w
     """,
     tags=("udf",),
@@ -655,7 +655,13 @@ def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
             return AnalyzeResult(StructType(fields))
 
         def eval(self, text: str, n: int):
-            toks = [t for t in (text or "").lower().split(" ") if t != ""]
+            if text is None:
+                # Match the oracle's NULL propagation (string_split ->
+                # list_filter -> len all yield NULL): n_tokens NULL,
+                # not 0 — the _cdc_chunks fixture-drift lesson.
+                yield (None, *[None] * n)
+                return
+            toks = [t for t in text.lower().split(" ") if t != ""]
             yield (len(toks), *[
                 toks[i] if i < len(toks) else None for i in range(n)
             ])

@@ -40,17 +40,14 @@ from big_data_flight_spark.registry import DSUM, dsum, gate_query
 _SCHEMA_MEMO: dict[str, tuple[tuple[float, int], object]] = {}
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-backed streaming source over the events table.
-
-    Streaming sources need an explicit schema, and the fixture's ts
-    precision has changed across driver rounds (TIMESTAMP(NANOS) in
-    r1-r2, plain µs TIMESTAMP since r3) — so take the schema from the
+def _stream_source(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """ONE definition of the file-backed streaming source (r8 review:
+    events_stream and documents_stream had verbatim copies — the exact
+    silent-desync risk the r6 bigram-struct finding fixed by sharing).
+    Streaming sources need an explicit schema; take it from the
     parquet footer (driver-side metadata read, no data IO, memoized
-    per path) and apply the same dtype guard as io.table: only when ts
-    surfaces as int64 nanos (nanosAsLong) does it need the ns→µs
-    truncating convert."""
-    path = f"{sf_dir}/events.parquet"
+    per path + mtime/size stamp so fixture regeneration invalidates)."""
+    path = f"{sf_dir}/{name}.parquet"
     st = os.stat(path)
     stamp = (st.st_mtime, st.st_size)
     hit = _SCHEMA_MEMO.get(path)
@@ -59,15 +56,22 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         batch_schema = spark.read.parquet(path).schema
         _SCHEMA_MEMO[path] = (stamp, batch_schema)
-    raw = (
+    return (
         spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", f"{name}.parquet")
         .parquet(sf_dir)
     )
-    # shared dtype guard (io.ts_guard) — one definition for the batch
-    # and streaming readers, so the next fixture physical-type change
-    # lands in both at once (r6 review).
-    return ts_guard(raw)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-backed streaming source over the events table. The
+    fixture's ts precision has changed across driver rounds
+    (TIMESTAMP(NANOS) in r1-r2, plain µs TIMESTAMP since r3), so the
+    shared dtype guard (io.ts_guard) applies on top of the shared
+    source — one definition each for the reader and the guard, so the
+    next fixture physical-type change lands everywhere at once
+    (r6 review)."""
+    return ts_guard(_stream_source(spark, sf_dir, "events"))
 
 
 def run_to_memory(df: DataFrame, mode: str = "complete") -> DataFrame:
@@ -1274,24 +1278,9 @@ def stream_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-backed streaming source over the documents table (the
-    events_stream construction: schema from the parquet footer,
-    memoized; no dtype guard needed — documents carries no
-    timestamps)."""
-    path = f"{sf_dir}/documents.parquet"
-    st = os.stat(path)
-    stamp = (st.st_mtime, st.st_size)
-    hit = _SCHEMA_MEMO.get(path)
-    if hit is not None and hit[0] == stamp:
-        batch_schema = hit[1]
-    else:
-        batch_schema = spark.read.parquet(path).schema
-        _SCHEMA_MEMO[path] = (stamp, batch_schema)
-    return (
-        spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    """File-backed streaming source over the documents table (no
+    dtype guard needed — documents carries no timestamps)."""
+    return _stream_source(spark, sf_dir, "documents")
 
 
 @gate_query(

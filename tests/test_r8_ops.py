@@ -33,6 +33,11 @@ DE_VACUIFIED = [
     "join_anti",         # 18 / 203 / 1986
     "set_except",        # 11 / 108 / 1064
     "graph_common_neighbors",  # 20 (LIMIT) at every scale
+    # found by the guard's own sf0.1 sweep mid-round: the fixed-
+    # fraction threshold emptied as the part population grew (real
+    # TPC-H scales Q11's fraction by 1/SF); now an average-multiple
+    # threshold — 6 / 45 / 507 rows.
+    "tpch_q11",
 ]
 
 
@@ -502,21 +507,60 @@ def test_udtf_polymorphic_schema_tracks_arity(spark):
     assert r["n_tokens"] == 3 and r["token_4"] is None and r["token_0"] == "a"
 
 
-def test_compare_local_artifact_has_no_vacuous_greens():
-    """Registry-wide non-vacuity, enforced on the committed artifact:
-    every gate COMPARE_LOCAL.json records as OK/WEAK_OK must also
-    record > 0 rows (or carry an expected_empty annotation). The
-    artifact is re-stamped as each round's last act, so this test is
+def test_parameterized_sql_binds_and_pushes_down(spark):
+    """Parameter binding must fold to real literals before
+    optimization: the timestamp/price predicates reach the parquet
+    scan as PushedFilters, and IDENTIFIER(:grp) resolves to the same
+    result as the inlined column name."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from big_data_flight_spark.operators.relational import sql_parameterized
+
+    df = sql_parameterized(spark, SF_SMOKE)
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "o_totalprice" in plan
+    got = sorted(tuple(r) for r in df.collect())
+    want = sorted(
+        tuple(r)
+        for r in spark.sql(
+            """
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                     AS sum_price
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND o_totalprice > 150000.0
+            GROUP BY o_orderpriority
+            """
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+@pytest.mark.parametrize(
+    "artifact", ["COMPARE_LOCAL.json", "COMPARE_LOCAL_sf0.1.json"]
+)
+def test_compare_local_artifact_has_no_vacuous_greens(artifact):
+    """Registry-wide non-vacuity, enforced on BOTH committed artifacts
+    (sf0.01 AND sf0.1 — tpch_q11's vacuity was scale-dependent and
+    only visible at sf0.1): every gate recorded as OK/WEAK_OK must
+    also record > 0 rows (or carry an expected_empty annotation). The
+    artifacts are re-stamped as each round's last act, so this test is
     the standing tripwire that catches the NEXT fixture-drift vacuity
-    the moment the artifact is regenerated."""
-    path = os.path.join(REPO, "COMPARE_LOCAL.json")
+    the moment they are regenerated."""
+    path = os.path.join(REPO, artifact)
     with open(path) as fh:
         art = json.load(fh)
     rows = art.get("rows")
     if rows is None:
         pytest.skip(
-            "COMPARE_LOCAL.json predates the rows-recording compare.py "
-            "(r8) — regenerate via `python tools/compare.py`"
+            f"{artifact} predates the rows-recording compare.py (r8) — "
+            "regenerate via `python tools/compare.py`"
         )
     _load_all_operator_modules()
     vacuous = sorted(
