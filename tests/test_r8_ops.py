@@ -542,6 +542,70 @@ def test_parameterized_sql_binds_and_pushes_down(spark):
     assert got == want and len(got) > 0
 
 
+def test_incremental_dedup_planted_duplicates(spark, tmp_path):
+    """Fixture-independent semantics check: plant KNOWN duplicates
+    across the batch/corpus boundary in a synthetic documents table
+    and assert the gate finds exactly them. Construction: corpus doc
+    4k+0 and batch doc 5j+4 share a long text (jaccard 1.0 on shingle
+    sets) for three planted pairs; one batch doc is unique prose; one
+    batch doc half-overlaps a corpus doc below the 0.5 threshold."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_flight_spark.operators.text import text_dedup_incremental
+
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon",
+        "one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen fifteen sixteen seventeen eighteen",
+        "red orange yellow green blue indigo violet crimson scarlet "
+        "amber gold silver bronze copper iron steel titanium zinc",
+    ]
+    rows = []  # (doc_id, text); batch = doc_id % 5 == 4
+    # planted exact near-dups: corpus holds base[i] at doc_id 10*i,
+    # batch holds the SAME text at doc_id 5*(2*i+1)+4
+    expected = {}
+    for i, t in enumerate(base):
+        c_id = 10 * i + (1 if (10 * i) % 5 == 4 else 0)  # keep corpus-side
+        assert c_id % 5 != 4
+        b_id = 5 * (2 * i + 1) + 4
+        rows.append((c_id, t))
+        rows.append((b_id, t))
+        expected[b_id] = c_id
+    # a unique batch arrival
+    rows.append((99, "totally novel content about nothing shared with anyone "
+                     "in particular whatsoever uniquely phrased sentence here"))
+    # a below-threshold batch arrival (shares a prefix of base[0] only)
+    rows.append((54, "alpha beta gamma delta epsilon completely different "
+                     "ending with many many extra unshared trailing words "
+                     "padding padding padding padding padding padding"))
+    # corpus filler so sizes exist
+    rows.append((1, "filler corpus document with plain words and no overlap "
+                    "to any planted arrival beyond stopword level tokens"))
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "source": pa.array(["synthetic"] * len(rows), pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    pq.write_table(tbl, f"{tmp_path}/documents.parquet")
+
+    got = {
+        r["doc_id"]: r
+        for r in text_dedup_incremental(spark, str(tmp_path)).collect()
+    }
+    batch_ids = {r[0] for r in rows if r[0] % 5 == 4}
+    assert set(got) == batch_ids
+    for b_id, c_id in expected.items():
+        r = got[b_id]
+        assert not r["is_new"] and r["best_match"] == c_id, r
+        assert r["best_jaccard_micro"] == 1_000_000, r  # identical text
+    assert got[99]["is_new"] and got[99]["n_matches"] == 0
+    assert got[54]["is_new"], got[54]  # overlap stays below 0.5
+
+
 @pytest.mark.parametrize(
     "artifact", ["COMPARE_LOCAL.json", "COMPARE_LOCAL_sf0.1.json"]
 )
