@@ -389,3 +389,81 @@ def test_kcore_matches_python_reference(spark, raw_pairs, k):
         for r in kcore_profile(df, k, max_rounds).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# r8: SimHash banding losslessness (the pigeonhole claim, randomized)
+# ---------------------------------------------------------------------------
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(
+            "spark data window join merge sort batch stream key row "
+            "table scan filter agg part line value slow fast small".split()
+        ),
+        min_size=3,
+        max_size=12,
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+@given(word_lists=docs_strategy)
+@settings(**SETTINGS)
+def test_simhash_banding_is_lossless(spark, word_lists):
+    """The structural claim text_simhash_dedup and the split-leakage
+    composition both rest on: the 4x8-bit band equi-join finds EXACTLY
+    the hamming<=3 signature pairs a brute-force quadratic comparison
+    finds (pigeonhole: 3 flipped bits dirty at most 3 of 4 bands).
+    Randomized tiny corpora; the brute force recomputes pairs from the
+    SAME signatures in pure Python."""
+    from big_data_flight_spark.operators.sketches import (
+        HAMMING_MAX,
+        simhash_pairs,
+        simhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(word_lists)],
+        ["doc_id", "text"],
+    )
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in simhash_signatures(docs).collect()
+    }
+    expected = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(sigs[a] ^ sigs[b]).count("1") <= HAMMING_MAX:
+                expected.add((a, b))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_pairs(docs).collect()
+    }
+    assert got == expected
+
+
+@given(word_lists=docs_strategy)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_bpe_roundtrip_lossless_on_random_corpora(spark, word_lists):
+    """BPE encode→decode losslessness must hold for ANY corpus, not
+    just the fixture (the gate proves it there): train the merge table
+    on a random tiny corpus, decode every word by separator deletion,
+    and require the reassembled documents to equal the originals."""
+    from big_data_flight_spark.operators.text import _bpe_train_words
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(word_lists)],
+        ["doc_id", "text"],
+    )
+    vocab = {
+        r["word"]: r["word_s"]
+        for r in _bpe_train_words(docs)[0].collect()
+    }
+    for i, ws in enumerate(word_lists):
+        rebuilt = " ".join(vocab[w].replace(" ", "") for w in ws)
+        assert rebuilt == " ".join(ws), (i, rebuilt)
