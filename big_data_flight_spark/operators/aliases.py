@@ -36,34 +36,28 @@ then spend the spare slots where re-grading buys the most):
   text_near_dedup_jaccard, also in this window, is the semantics
   anchor) / text_pack_sequences_sharded. Once this window lands
   green, cumulative driver coverage is 260/260.
-* Slots 15-18 — re-grades forced by r8 code changes:
-  tpch_q20 + tpch_q22 (re-parameterized out of vacuity — must be
-  graded on REAL rows this time; non-vacuity now guard-pinned),
-  sql_recursive_bfs (uuid-suffixed temp view, ADVICE r7),
-  text_cdc_chunk_dedup (NULL-text guard, ADVICE r7). Joined
-  mid-round by the four gates the new registry-wide non-vacuity
-  guard itself found empty and that were re-parameterized:
-  filter_like, join_anti, set_except, graph_common_neighbors
-  (displacing the re-grade tail per the order below).
-* Remaining slots — the gates with the OLDEST driver rows, recomputed
-  from CORRECTNESS_r01..r07 (de-aliased): all 14 last graded in r2
-  (evt_tumbling_window, evt_zscore_anomaly, the filter family,
-  fn_array/bits/cast_null/date/explode_outer/interval/json,
-  filter_scalar_subquery) and the r3 cohort picked
-  highest-complexity-first (tpch_q18, tpch_q2, join_asof,
-  text_near_dedup_jaccard, text_minhash_lsh, sim_rerank_pandas —
-  the r2 regression itself, evt_stateful_funnel, evt_sessionize_stats,
-  evt_session_window, udf_scalar_arrow, evt_cooccurrence_pmi,
-  etl_scd2_intervals, etl_merge_upsert, etl_cdc_latest_snapshot;
-  evt_retention held the 50th slot until the r8-born
-  text_split_leakage_simhash displaced it).
-  The r3-graded gates left out (agg_rollup, agg_stats, distinct_rows,
-  evt_dedup, evt_late_data, evt_rate_alert, evt_rfm,
-  evt_rollup_cascade, evt_transition_matrix,
-  evt_gap_fill, dq_profile, join_broadcast, limit_topk,
-  sim_topk_neighbors, text_pii_scrub, text_weighted_mix,
-  win_topk_per_group) are simple single-shape gates re-proved by
-  COMPARE_LOCAL every round; they head the r9 re-grade queue.
+* Slots 15-22 — re-grades forced by r8 code changes and the new
+  guard's findings: tpch_q20 + tpch_q22 (re-parameterized out of
+  vacuity — must be graded on REAL rows this time; non-vacuity now
+  guard-pinned), sql_recursive_bfs (uuid-suffixed temp view, ADVICE
+  r7), text_cdc_chunk_dedup (NULL-text guard, ADVICE r7), plus the
+  four gates the registry-wide non-vacuity guard itself found empty
+  at sf0.01 and that were re-parameterized: filter_like, join_anti,
+  set_except, graph_common_neighbors.
+* Remaining base slots — the oldest driver rows, recomputed from
+  CORRECTNESS_r01..r07 (de-aliased): the r2 cohort (evt_tumbling_
+  window, evt_zscore_anomaly, the filter family, fn_array/date/json;
+  fn_bits / fn_cast_null / fn_explode_outer / fn_interval were
+  displaced by newcomers per the order below — lowest-complexity,
+  COMPARE_LOCAL-proved every round) and the r3 cohort picked
+  highest-complexity-first (tpch_q18, tpch_q2,
+  text_near_dedup_jaccard, sim_rerank_pandas — the r2 regression
+  itself; join_asof / text_minhash_lsh and the evt/etl picks were
+  displaced by newcomers, each with its rationale inline below).
+* FINAL WINDOW = 35 base slots above + 15 newcomer slots
+  (_NEW_GATE_ALIASES): the 14 r8-born gates plus the a0_tpch_q11
+  re-grade (the guard's sf0.1 sweep caught its scale-dependent
+  vacuity mid-round). Every displaced re-grade heads the r9 queue.
 
 Displacement order for brand-new round-8 gates (the r2/r3 lesson: a
 gate born this round takes a slot the round it ships): displace from
