@@ -1512,7 +1512,22 @@ def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     math; ADC reads the 4-byte codes, not the 256-byte vectors — the
     64x scan-bandwidth cut is the point. At cluster scale the per-
     query M*K lookup table replaces the reconstruction fold verbatim
-    (same algebra; sim_pq_adc documents the measured equivalence)."""
+    (same algebra; sim_pq_adc documents the measured equivalence).
+
+    Index build + probe live in the shared _ivfpq_index / _ivfpq_probe
+    helpers; sim_ivf_pq_persist round-trips the index through parquet
+    between the two and must match this gate bit-for-bit."""
+    q, cent, rec = _ivfpq_index(spark, sf_dir)
+    return _ivfpq_probe(q, cent, rec)
+
+
+def _ivfpq_index(spark: SparkSession, sf_dir: str):
+    """Train the coarse codebook (shared bit-exact Lloyd loop) and
+    PQ-encode the corpus. Returns (q, cent, rec): the micro-unit
+    corpus, the CELLS-row coarse codebook (cluster, c), and the
+    per-vector index payload rec = (neighbor_id, cluster,
+    recon array<long>, codes string) — everything a serving probe
+    needs, and everything sim_ivf_pq_persist writes to parquet."""
     q, cent, _ = _lloyd(spark, sf_dir, _IVFPQ_CELLS, _IVFPQ_ROUNDS)
     cents_row = cent.agg(F.collect_list(F.struct("cluster", "c")).alias("cents"))
     cells = q.crossJoin(F.broadcast(cents_row)).selectExpr(
@@ -1569,6 +1584,16 @@ def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("codes"),
         )
     )
+    return q, cent, rec
+
+
+def _ivfpq_probe(q: DataFrame, cent: DataFrame, rec: DataFrame) -> DataFrame:
+    """Serve NQ probe queries against an IVF-PQ index: rank coarse
+    centroids, probe NPROBE cells, ADC-score candidates from the PQ
+    reconstruction, top-5 per query with total-order tie-break. cent
+    and rec may come straight from _ivfpq_index or from a parquet
+    reload (sim_ivf_pq_persist) — the math is identical either way."""
+    cents_row = cent.agg(F.collect_list(F.struct("cluster", "c")).alias("cents"))
     qs = q.filter(F.col("vec_id") < _IVFPQ_NQ).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
     )
@@ -1610,6 +1635,44 @@ def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", "cell", "codes", "adc", "rn")
     )
+
+
+@gate_query(
+    "sim_ivf_pq_persist",
+    oracle=_ivfpq_oracle(),
+    tags=("similarity", "iterative", "sink"),
+)
+def sim_ivf_pq_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index PERSISTENCE round-trip (VERDICT r8 #5): a real 100 TB
+    retrieval deployment builds the IVF-PQ index once, writes it out,
+    and serves probes from the reloaded artifact — this gate proves the
+    index survives its own serialization boundary. It trains the same
+    coarse codebook and PQ codes as sim_ivf_pq (_ivfpq_index), writes
+    BOTH index artifacts to parquet — the codebook (cluster,
+    c array<long>) and the code table (neighbor_id, cluster,
+    recon array<long>, codes) — reloads them in fresh scans, and probes
+    against the RELOADED index. The oracle is sim_ivf_pq's oracle
+    verbatim: the integer micro-unit construction makes ADC scores
+    exact BIGINTs, so a hash-match proves the persisted index is
+    bit-identical to the in-plan one (any array truncation, row loss,
+    or type drift in the parquet round-trip shifts a score or a rank).
+
+    Scale: the codebook is CELLS rows and the code table carries 4-bit
+    codes + the small recon arrays — the persisted index is ~64x
+    smaller than the raw vectors, exactly the artifact a 1000-executor
+    serving job broadcasts (codebook) and scans cell-pruned (codes);
+    writing it partitioned by cell id would add partition pruning on
+    probe, the same sink_parquet machinery already gated."""
+    import os
+
+    from big_data_flight_spark.sources.connectors import _TMP
+
+    q, cent, rec = _ivfpq_index(spark, sf_dir)
+    cb_path = os.path.join(_TMP, "ivfpq_codebook")
+    codes_path = os.path.join(_TMP, "ivfpq_codes")
+    cent.write.mode("overwrite").parquet(cb_path)
+    rec.write.mode("overwrite").parquet(codes_path)
+    return _ivfpq_probe(q, spark.read.parquet(cb_path), spark.read.parquet(codes_path))
 
 
 # ---------------------------------------------------------------------------

@@ -635,6 +635,14 @@ def text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_cluster = doc touches ≥1 near-dup edge."""
     docs = table(spark, sf_dir, "documents").repartition(32, "doc_id")
     pairs = text_near_dedup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return _min_label_clusters(docs, pairs)
+
+
+def _min_label_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Min-label propagation over a (doc_a, doc_b) near-dup pair graph
+    → (doc, cluster_id, in_cluster). Shared by text_dedup_clusters and
+    its md5-slot sliced twin (r9 — the bench-scale value-evidence
+    variant); see the gate docstrings for algorithm/scale notes."""
     # localCheckpoint, not cache: cache keeps the full jaccard logical
     # plan, which Catalyst re-optimizes inside EVERY round's join —
     # checkpointing truncates the lineage so each round plans against
@@ -806,6 +814,13 @@ def text_dedup_clusters_lss(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_text_similarity.py."""
     docs = table(spark, sf_dir, "documents").repartition(32, "doc_id")
     pairs = text_near_dedup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return _lss_clusters(docs, pairs)
+
+
+def _lss_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """LSS connected-components labeling over a near-dup pair graph →
+    (doc, cluster_id, in_cluster). Shared by text_dedup_clusters_lss
+    and its md5-slot sliced twin (r9)."""
     # Checkpoint ONCE: both the LSS loop's seed AND `touched` below
     # consume this plan, whose lineage reaches back through the whole
     # shingle self-join — un-materialized, the near-dup pipeline would
@@ -831,6 +846,159 @@ def text_dedup_clusters_lss(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.join(F.broadcast(touched), "doc", "left")
         .select("doc", "cluster_id", F.coalesce("deg", F.lit(False)).alias("in_cluster"))
     )
+
+
+# ---------------------------------------------------------------------------
+# md5-slot sliced dedup twins — bench-scale VALUE evidence for the
+# quadratic-oracle family (VERDICT r8 #3). The full-corpus gates above
+# stay the semantics anchors at sf0.01; their DuckDB oracles are
+# quadratic in |documents| (>600 s at sf0.1), so tools/compare.py
+# skipped them at bench scale — an honest but real evidence hole.
+# These twins run the SAME Spark pipelines on a deterministic ~12%
+# document slice where the quadratic oracle takes seconds, and
+# compare.py substitutes them as the sf0.1 value check (SLICED_PROXY).
+# ---------------------------------------------------------------------------
+
+_SLICE_MOD = 8  # min-shingle-hash slot modulus. A plain doc_id slice
+# would orphan near-dup pair members (P(both survive) ≈ (1/8)² ≈ 1.6%
+# → vacuous at every SF); keying the slot on the doc's MIN distinct-
+# shingle md5 hash keeps pairs together — both members of a Jaccard-J
+# pair share the min-shingle with probability ≈ J (the MinHash
+# agreement argument, used here as a SLICER, not a sketch), so pair
+# survival ≈ J/8. Measured (mod 8): slice docs 55/55/637 and surviving
+# pairs 2/4/40 at sf0.001/0.01/0.1 — non-empty at ALL THREE SFs (the
+# CLAUDE.md probe rule), sliced sf0.1 oracle ≈ 7 s vs >600 s full.
+
+# DuckDB slice CTEs: sh_all = per-doc distinct shingle lists (the
+# JACCARD_PAIRS_ORACLE convention verbatim), slice_ids = docs whose
+# min shingle-hash lands in slot 0, sh = sliced shingle lists.
+# MATERIALIZED: each is referenced more than once downstream (the
+# multi-reference CTE rule — DuckDB inlines per reference).
+_SLICE_CTES = f"""
+    sh_all AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS shingles
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+    ),
+    slice_ids AS MATERIALIZED (
+      SELECT doc_id
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM sh_all)
+      GROUP BY doc_id
+      HAVING MIN(('0x' || substring(md5(s), 1, 8))::BIGINT) % {_SLICE_MOD} = 0
+    ),
+    sh AS MATERIALIZED (
+      SELECT sh_all.* FROM sh_all JOIN slice_ids USING (doc_id)
+    )"""
+
+JACCARD_SLICED_ORACLE = f"""
+    WITH {_SLICE_CTES},
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.shingles, b.shingles)) AS n_common
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+    )
+    SELECT doc_a, doc_b,
+           floor(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common)
+                 * 1000000 + 0.5) / 1000000 AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+"""
+
+_CLUSTERS_SLICED_ORACLE = f"""
+    WITH RECURSIVE {_SLICE_CTES},
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles)))
+            >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS doc, doc_id AS label FROM sh
+      UNION
+      SELECT e.dst AS doc, r.label
+      FROM reach r JOIN edges e ON e.src = r.doc
+    )
+    SELECT doc, CAST(MIN(label) AS BIGINT) AS cluster_id,
+           COUNT(*) > 1 AS in_cluster
+    FROM reach GROUP BY doc
+"""
+
+
+def _sliced_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark side of the md5-slot slice: documents whose minimum
+    distinct-shingle md5 hash (first 8 hex chars as BIGINT — the
+    text_shuffle_shard hex-parse convention) falls in slot 0 of
+    _SLICE_MOD. Docs with < 3 words have no shingles and are excluded
+    by both engines (no rows to MIN over). One extra groupBy + semi
+    join over the shingle relation — the slice itself is linear."""
+    docs = table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    sh = shingles(docs, 3)
+    slot = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+    slice_ids = (
+        sh.groupBy("doc_id")
+        .agg(F.min(slot).alias("minh"))
+        .filter(F.col("minh") % _SLICE_MOD == 0)
+        .select("doc_id")
+    )
+    return docs.join(slice_ids, "doc_id", "left_semi")
+
+
+@gate_query(
+    "text_near_dedup_jaccard_sliced",
+    oracle=JACCARD_SLICED_ORACLE,
+    tags=("text", "dedup"),
+)
+def text_near_dedup_jaccard_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_near_dedup_jaccard restricted to the deterministic md5-slot
+    doc slice — the SAME inverted-index pipeline (near_dup_pairs, same
+    threshold, same output contract) over ~12% of the corpus, where the
+    quadratic DuckDB oracle is feasible at sf0.1 (~7 s measured). This
+    is the bench-scale VALUE check for the engine's flagship structural
+    win (VERDICT r8 #3): tools/compare.py substitutes this gate for the
+    full-corpus one at sf0.1 (SLICED_PROXY), shrinking the quadratic-
+    oracle skip list. Sliced pair counts: 2/4/40 at the three SFs."""
+    return near_dup_pairs(_sliced_docs(spark, sf_dir), threshold=0.5)
+
+
+@gate_query(
+    "text_dedup_clusters_sliced",
+    oracle=_CLUSTERS_SLICED_ORACLE,
+    tags=("text", "dedup", "iterative"),
+)
+def text_dedup_clusters_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_dedup_clusters (min-label propagation) over the md5-slot
+    doc slice: same loop, same output contract, per-slice-doc rows
+    (55/55/637 at the three SFs — never empty). The sf0.1 value proxy
+    for the full-corpus cluster gate (see compare.py SLICED_PROXY)."""
+    docs = _sliced_docs(spark, sf_dir)
+    pairs = text_near_dedup_jaccard_sliced(spark, sf_dir).select("doc_a", "doc_b")
+    return _min_label_clusters(docs, pairs)
+
+
+@gate_query(
+    "text_dedup_clusters_lss_sliced",
+    oracle=_CLUSTERS_SLICED_ORACLE,
+    tags=("text", "dedup", "iterative"),
+)
+def text_dedup_clusters_lss_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_dedup_clusters_lss (large-star/small-star) over the md5-slot
+    doc slice — the O(log²)-round scale path gets its own bench-scale
+    value check; shares the sliced recursive-CTE oracle with the
+    propagation twin (both must converge to the same labeling)."""
+    docs = _sliced_docs(spark, sf_dir)
+    pairs = text_near_dedup_jaccard_sliced(spark, sf_dir).select("doc_a", "doc_b")
+    return _lss_clusters(docs, pairs)
 
 
 @gate_query(

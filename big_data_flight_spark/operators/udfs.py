@@ -674,11 +674,13 @@ def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _poly_apply(spark: SparkSession, d: DataFrame, first_tokens):
     """Apply the polymorphic UDTF via the SQL LATERAL surface (the
     supported call form — UDTFs are table functions, not projections):
-    register, lateral-join, drop the uuid view (the run_to_memory
-    naming convention)."""
+    register under a FIXED name (registration is idempotent —
+    re-registering replaces the entry, so repeated gate runs in one
+    session don't accumulate catalog functions; ADVICE r8), lateral-
+    join, drop the uuid view (only the VIEW needs a per-run name)."""
     import uuid as _uuid
 
-    name = f"first_tokens_{_uuid.uuid4().hex[:12]}"
+    name = "bdf_poly_first_tokens"
     spark.udtf.register(name, first_tokens)
     view = f"poly_docs_{_uuid.uuid4().hex[:12]}"
     d.createOrReplaceTempView(view)

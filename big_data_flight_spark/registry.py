@@ -51,6 +51,10 @@ class GateQuery:
     # all traced to fixture drift. tools/compare.py fails any 0-row
     # match as VACUOUS_EMPTY unless this field carries a written
     # justification for why empty IS the correct, meaningful result.
+    # An annotated gate MUST also carry an oracle: on an oracle-less
+    # gate the annotation would make the rows-only check verify
+    # nothing at all (ADVICE r8; enforced by
+    # tests test_no_gate_is_annotated_expected_empty).
     expected_empty: str | None = None
 
 

@@ -259,8 +259,12 @@ def test_asof_tolerance_consistent_with_base_asof(spark):
         else:
             b = base.get(r["purchase_id"])
             if b is not None:  # had a click, must be outside tolerance
-                gap = (r["p_ts"] - b[1]).total_seconds()
-                assert gap * 1_000_000 > _ASOF_TOL_US, r
+                # Integer-µs gap from timedelta FIELDS (the UDTF
+                # convention; ADVICE r8 — float total_seconds() could
+                # flake within ~1µs of the tolerance boundary).
+                td = r["p_ts"] - b[1]
+                gap_us = (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+                assert gap_us > _ASOF_TOL_US, r
     assert 0 < n_matched < len(tol_rows)  # both branches exercised
 
 
@@ -567,7 +571,7 @@ def test_incremental_dedup_planted_duplicates(spark, tmp_path):
     # batch holds the SAME text at doc_id 5*(2*i+1)+4
     expected = {}
     for i, t in enumerate(base):
-        c_id = 10 * i + (1 if (10 * i) % 5 == 4 else 0)  # keep corpus-side
+        c_id = 10 * i  # 10*i % 5 == 0, so always corpus-side (ADVICE r8)
         assert c_id % 5 != 4
         b_id = 5 * (2 * i + 1) + 4
         rows.append((c_id, t))

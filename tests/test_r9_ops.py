@@ -1,0 +1,149 @@
+"""Round-9 gate tests: the md5-slot sliced dedup twins, the
+interleaved multimodal packer, and the IVF-PQ persistence round-trip.
+Oracle parity for every new gate is separately proven by
+tools/compare.py (all three SFs, run this round); these tests pin the
+cross-gate INVARIANTS the oracles can't see."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+R9_GATES = (
+    "text_near_dedup_jaccard_sliced",
+    "text_dedup_clusters_sliced",
+    "text_dedup_clusters_lss_sliced",
+    "mm_interleaved_pack",
+    "sim_ivf_pq_persist",
+)
+
+
+@pytest.mark.parametrize("name", R9_GATES)
+def test_r9_gates_are_not_vacuous(spark, name):
+    """The CLAUDE.md probe rule, as a standing tripwire at the smoke
+    SF (compare.py guards sf0.01/sf0.1 via the committed artifacts)."""
+    from big_data_flight_spark.registry import _REGISTRY, _load_all_operator_modules
+
+    _load_all_operator_modules()
+    n = _REGISTRY[name].builder(spark, SF_SMOKE).count()
+    assert n > 0, f"{name} is vacuous at {SF_SMOKE}"
+
+
+def test_sliced_jaccard_is_a_sub_view_of_full(spark):
+    """Every sliced pair appears in the full gate's pair set with the
+    IDENTICAL jaccard value, and both members of every sliced pair are
+    slice docs — the slice restricts, never invents or re-scores."""
+    from big_data_flight_spark.operators.text import (
+        _sliced_docs,
+        text_near_dedup_jaccard,
+        text_near_dedup_jaccard_sliced,
+    )
+
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in text_near_dedup_jaccard(spark, SF_SMOKE).collect()
+    }
+    sliced = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in text_near_dedup_jaccard_sliced(spark, SF_SMOKE).collect()
+    }
+    assert sliced  # non-vacuous by the _SLICE_MOD=8 measurement
+    slice_ids = {
+        r["doc_id"] for r in _sliced_docs(spark, SF_SMOKE).select("doc_id").collect()
+    }
+    for (a, b), j in sliced.items():
+        assert full.get((a, b)) == j, (a, b)
+        assert a in slice_ids and b in slice_ids
+    # and completeness: every full pair with BOTH ends in the slice
+    # must survive into the sliced gate
+    expected = {p for p in full if p[0] in slice_ids and p[1] in slice_ids}
+    assert set(sliced) == expected
+
+
+def test_sliced_cluster_twins_agree_and_match_full_restriction(spark):
+    """The two sliced cluster gates (propagation vs LSS) must produce
+    the identical labeling — they share one oracle — and each slice
+    doc's in_cluster flag must reflect the sliced pair graph."""
+    from big_data_flight_spark.operators.text import (
+        text_dedup_clusters_lss_sliced,
+        text_dedup_clusters_sliced,
+        text_near_dedup_jaccard_sliced,
+    )
+
+    prop = sorted(
+        tuple(r) for r in text_dedup_clusters_sliced(spark, SF_SMOKE).collect()
+    )
+    lss = sorted(
+        tuple(r) for r in text_dedup_clusters_lss_sliced(spark, SF_SMOKE).collect()
+    )
+    assert prop == lss and len(prop) > 0
+    touched = set()
+    for r in text_near_dedup_jaccard_sliced(spark, SF_SMOKE).collect():
+        touched.add(r["doc_a"])
+        touched.add(r["doc_b"])
+    got_in_cluster = {doc for doc, _cid, in_c in prop if in_c}
+    assert got_in_cluster == touched
+
+
+def test_interleaved_pack_conserves_items_and_tokens(spark):
+    """Conservation + layout coherence: every eligible doc lands in
+    exactly one bin; per bin, image+text = total and the layout string
+    parses back to exactly n_items entries whose I/T sums equal the
+    bin's token columns; image costs match the _ppm_raster closed form
+    is the ORACLE's job — here we pin the packer's accounting."""
+    import pyspark.sql.functions as F
+
+    from big_data_flight_spark.io import table
+    from big_data_flight_spark.operators.multimodal import (
+        _MM_PACK_BUDGET,
+        mm_interleaved_pack,
+    )
+
+    rows = mm_interleaved_pack(spark, SF_SMOKE).collect()
+    assert rows
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    n_docs = (
+        table(spark, SF_SMOKE, "documents")
+        .select(F.size(toks).alias("n"))
+        .filter(F.col("n") > 0)
+        .count()
+    )
+    assert sum(r["n_items"] for r in rows) == n_docs
+    pat = re.compile(r"^I(\d+)\+T(\d+)$")
+    max_item = 0
+    for r in rows:
+        assert r["image_tokens"] + r["text_tokens"] == r["total_tokens"]
+        parts = r["layout"].split("|")
+        assert len(parts) == r["n_items"]
+        isum = tsum = 0
+        for p in parts:
+            m = pat.match(p)
+            assert m, p
+            isum += int(m.group(1))
+            tsum += int(m.group(2))
+            max_item = max(max_item, int(m.group(1)) + int(m.group(2)))
+        assert isum == r["image_tokens"] and tsum == r["text_tokens"]
+        assert r["first_doc"] <= r["last_doc"]
+    # running-sum placement can overfill a bin by at most one item
+    assert all(
+        r["total_tokens"] < _MM_PACK_BUDGET + max_item for r in rows
+    )
+
+
+def test_ivfpq_persist_is_bit_identical_to_in_plan(spark):
+    """The whole point of the gate: probing the parquet-reloaded index
+    returns the exact row set of the in-plan stack (integer ADC makes
+    'exact' well-defined)."""
+    from big_data_flight_spark.operators.similarity import (
+        sim_ivf_pq,
+        sim_ivf_pq_persist,
+    )
+
+    in_plan = sorted(tuple(r) for r in sim_ivf_pq(spark, SF_SMOKE).collect())
+    reloaded = sorted(
+        tuple(r) for r in sim_ivf_pq_persist(spark, SF_SMOKE).collect()
+    )
+    assert in_plan == reloaded and len(in_plan) > 0
