@@ -135,6 +135,16 @@ SHUFFLE_OVERRIDE = {
     # 16 splits the 200k-row per-user sort across twice the tasks
     # without doubling scheduling overhead.
     "join_asof": "16",
+    # r9 profile pass (VERDICT r8 #6): the gate's time is micro-batch
+    # machinery — addBatch ~320 ms (state-store agg + complete-mode
+    # sink), incremental planning ~120 ms, offset/commit logs ~110 ms,
+    # start ~65 ms, result checkpoint ~120 ms, vs an 86 ms batch floor
+    # for the same agg. Shuffle width sets the number of state-store
+    # instances each micro-batch opens/commits/fsyncs; the agg has 5
+    # groups, so 8 stores is pure overhead — interleaved min-of-5:
+    # 0.492 @2 / 0.503 @1 / 0.509 @4 / 0.542 @8. At scale you size
+    # state partitions to key cardinality; 2 is that sizing here.
+    "stream_source_sink": "2",
 }
 
 

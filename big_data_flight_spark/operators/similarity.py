@@ -1660,9 +1660,13 @@ def sim_ivf_pq_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the codebook is CELLS rows and the code table carries 4-bit
     codes + the small recon arrays — the persisted index is ~64x
     smaller than the raw vectors, exactly the artifact a 1000-executor
-    serving job broadcasts (codebook) and scans cell-pruned (codes);
-    writing it partitioned by cell id would add partition pruning on
-    probe, the same sink_parquet machinery already gated."""
+    serving job broadcasts (codebook) and scans cell-pruned (codes).
+    The code table is written PARTITIONED BY cell id, so the probe's
+    equi-join on cluster triggers DYNAMIC PARTITION PRUNING on the
+    reloaded scan (plan-pinned 'dynamicpruningexpression'): a probe
+    physically reads only its NPROBE/CELLS partition directories —
+    the on-disk twin of the in-plan cell pruning, and the property
+    that makes a 100 TB code table servable."""
     import os
 
     from big_data_flight_spark.sources.connectors import _TMP
@@ -1671,7 +1675,11 @@ def sim_ivf_pq_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb_path = os.path.join(_TMP, "ivfpq_codebook")
     codes_path = os.path.join(_TMP, "ivfpq_codes")
     cent.write.mode("overwrite").parquet(cb_path)
-    rec.write.mode("overwrite").parquet(codes_path)
+    rec.write.mode("overwrite").partitionBy("cluster").parquet(codes_path)
+    # NOTE: the partition column round-trips through the directory
+    # name (hive-style) and is re-inferred as int on read; the probe
+    # join casts it back to the original BIGINT — value-preserving for
+    # cell ids, and the oracle match proves it.
     return _ivfpq_probe(q, spark.read.parquet(cb_path), spark.read.parquet(codes_path))
 
 

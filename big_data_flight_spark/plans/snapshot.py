@@ -576,6 +576,47 @@ SNAPSHOT = {
         "Window",
         "HashAggregate",
     ],
+    # r9. Sliced jaccard twin: the md5-slot slice must NOT change the
+    # physical shape — still the shingle inverted-index equi-join
+    # (slice membership arrives via a semi-join), never a nested loop.
+    "text_near_dedup_jaccard_sliced": [
+        "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin",
+        "!CartesianProduct",
+        "!BroadcastNestedLoopJoin",
+        "HashAggregate",
+    ],
+    # r9. Sliced LSS clusters: converged labeling stays a hash-agg
+    # over the checkpointed star edges, same as the full-corpus pin.
+    "text_dedup_clusters_lss_sliced": ["HashAggregate", "ExistingRDD"],
+    # r9. Interleaved multimodal packer: ONE pass — the item kernel is
+    # a narrow Arrow stage (containers die in-task), packing is the
+    # sharded window, the bin rollup is the only aggregate; no join of
+    # any kind anywhere.
+    "mm_interleaved_pack": [
+        "MapInPandas",
+        "Window",
+        "HashAggregate",
+        "!SortMergeJoin",
+        "!BroadcastHashJoin",
+        "!BroadcastNestedLoopJoin",
+        "!CartesianProduct",
+    ],
+    # r9. Persisted-index probe: the serving plan must read BOTH
+    # parquet index artifacts (codebook + code table) rather than the
+    # training lineage, prune cells via an equi-join on cluster — and
+    # because the code table is written partitionBy(cluster), that
+    # join must inject DYNAMIC PARTITION PRUNING into the reloaded
+    # scan (a probe reads only its NPROBE/CELLS directories) — then
+    # rank by window; no cartesian.
+    "sim_ivf_pq_persist": [
+        "ivfpq_codebook",
+        "ivfpq_codes",
+        "dynamicpruning",
+        "PartitionFilters",
+        "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin",
+        "!CartesianProduct",
+        "Window",
+    ],
 }
 
 

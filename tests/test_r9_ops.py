@@ -147,3 +147,40 @@ def test_ivfpq_persist_is_bit_identical_to_in_plan(spark):
         tuple(r) for r in sim_ivf_pq_persist(spark, SF_SMOKE).collect()
     )
     assert in_plan == reloaded and len(in_plan) > 0
+
+
+def test_sliced_proxy_twins_are_green_in_committed_artifact():
+    """The sf0.1 artifact's sliced_proxy map must name a twin with a
+    green status for every proxied quadratic-oracle gate — the guard
+    that a proxied gate can't silently read as covered off a twin that
+    failed or went missing (compare.py records twin_status beside each
+    entry for exactly this check)."""
+    import json
+    import os
+
+    from tests.conftest import REPO
+
+    path = os.path.join(REPO, "COMPARE_LOCAL_sf0.1.json")
+    with open(path) as fh:
+        art = json.load(fh)
+    proxy = art.get("sliced_proxy")
+    if proxy is None:
+        pytest.skip(
+            "COMPARE_LOCAL_sf0.1.json predates the sliced-proxy compare.py "
+            "(r9) — regenerate via `SF_DIR=/root/testdata/sf0.1 python "
+            "tools/compare.py`"
+        )
+    from tools.compare import SLICED_PROXY_SF01
+
+    # every mapped original (and any alias of it) that appears in the
+    # artifact must be proxied, and every twin must be green
+    assert set(SLICED_PROXY_SF01) <= {
+        n.removeprefix("a0_") for n in proxy
+    } | set(proxy)
+    for name, rec in proxy.items():
+        assert rec["twin_status"] == "OK", (name, rec)
+        assert art["statuses"].get(rec["twin"]) == "OK", (name, rec)
+    # and the bare skip list is down to the mllib family only
+    assert all("minhash_mllib" in n for n in art.get("skipped", {})), art.get(
+        "skipped"
+    )
