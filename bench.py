@@ -97,19 +97,23 @@ EAGER_BUILDERS = {"stream_source_sink"}
 # r6 update: 15 records ratcheted down from a probe-confirmed QUIET
 # protocol run (total 5.296, noise_suspected []) — records only
 # ratchet DOWN, and only from quiet windows.
+# r9 update: 4 records ratcheted from the round's best QUIET protocol
+# run (total 5.539, noise_suspected []): agg_groupby 0.537->0.530,
+# text_tokenize_counts 0.139->0.135, join_broadcast 0.210->0.209,
+# join_inner_equi 0.293->0.286.
 BEST_KNOWN = {
-    "agg_groupby": 0.537,
+    "agg_groupby": 0.530,
     "tpch_q5": 0.219,
     "tpch_q18": 0.264,
     "agg_distinct": 0.094,
     "agg_percentile": 0.308,
-    "join_inner_equi": 0.293,
-    "join_broadcast": 0.210,
+    "join_inner_equi": 0.286,
+    "join_broadcast": 0.209,
     "join_asof": 0.093,
     "win_topk_per_group": 0.075,
     "evt_tumbling_window": 0.126,
     "evt_sessionize_stats": 0.131,
-    "text_tokenize_counts": 0.139,
+    "text_tokenize_counts": 0.135,
     "text_near_dedup_jaccard": 0.858,
     "sim_cosine_pairs": 0.477,
     "limit_topk": 0.049,

@@ -39,13 +39,17 @@ fixtures each round, but the driver row is the gate.
   quadratic-family scale path text_dedup_clusters_lss, the
   recall-audited sim_ann_lsh, the quarantine-twinned scan_csv,
   udf_map_in_arrow, the exact-percentile construction agg_percentile,
-  and the r7-vacuity-incident veteran mm_dedup_assets.
+  and — re-pointed mid-round — the join_range_banded re-grade (the
+  ninth vacuity incident, found at sf0.001 by this round's first
+  small-end sweep; its original pick, mm_dedup_assets, heads the r10
+  queue).
 * FINAL WINDOW = 45 base slots + 5 newcomer slots (_NEW_GATE_ALIASES):
   the five r9-born gates (a gate born this round takes a slot the
   round it ships — the r2/r3 lesson).
 
 r10 queue (displacement order for any gate born after this rotation
-lands, displacing from the TAIL of the r4 picks): mm_dedup_assets,
+lands, displacing from the TAIL of the r4 picks): mm_dedup_assets
+(already displaced mid-round by the join_range_banded re-grade),
 then agg_percentile, udf_map_in_arrow, scan_csv, sim_ann_lsh… Every
 displaced pick heads the r10 queue, followed by the remaining 36
 r4-row gates (agg_approx_distinct, agg_collect, agg_cube,
@@ -122,7 +126,14 @@ _ALIASES = {
     "a0_scan_csv": "scan_csv",
     "a0_udf_map_in_arrow": "udf_map_in_arrow",
     "a0_agg_percentile": "agg_percentile",
-    "a0_mm_dedup_assets": "mm_dedup_assets",
+    # Slot 45 re-pointed mid-round: the round's first full sf0.001
+    # sweep caught the NINTH vacuity — join_range_banded matched on
+    # the empty set at sf0.001 ONLY (fixed-fraction probe pick; see
+    # joins.py _RB_PROBE_K). Its re-parameterized scale-free form must
+    # be driver-re-graded on real rows (the q20/q22 playbook), so it
+    # takes this slot and the displaced pick (mm_dedup_assets, r4 row)
+    # heads the r10 queue per the docstring order.
+    "a0_join_range_banded": "join_range_banded",
 }
 
 # Round-9 brand-new gates: aliased if (and only if) already registered,

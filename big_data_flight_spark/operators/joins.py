@@ -979,19 +979,32 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RB_BAND_US = 600_000_000   # 10-minute bands
 _RB_RADIUS_US = 300_000_000  # ±5-minute correlation window (< band width)
-_RB_PROBE_MOD = 100          # probe side: every 100th signup
+_RB_PROBE_K = 20  # probe side: the K earliest signups (total-ordered).
+# r9 de-vacuification — the NINTH incident, and the first found at the
+# SMALLEST scale: the original fixed-fraction probe pick (every 100th
+# signup) left 2 probes at sf0.001, neither with a ±5-min neighbor, so
+# the inner join matched on the empty set (caught by the first full
+# sf0.001 sweep — the guard had only ever swept sf0.01/sf0.1; vacuity
+# is scale-dependent at BOTH ends). Fixed-COUNT earliest-K probes are
+# scale-free, and the join is now LEFT with zero-kept counts: exactly
+# K output rows at every SF, with real matches at each (probes with
+# ≥1 neighbor: 4/16/20 at sf0.001/0.01/0.1 — measured).
 
 
 @gate_query(
     "join_range_banded",
     oracle=f"""
+    WITH p AS (
+      SELECT event_id, ts FROM events WHERE event_type = 'signup'
+      ORDER BY ts, event_id LIMIT {_RB_PROBE_K}
+    )
     SELECT p.event_id AS probe_id,
-           CAST(COUNT(*) AS BIGINT) AS n_nearby,
-           CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+           CAST(COUNT(e.event_id) AS BIGINT) AS n_nearby,
+           CAST(COALESCE(SUM(CASE WHEN e.event_type = 'purchase'
+                                  THEN 1 ELSE 0 END), 0)
              AS BIGINT) AS n_purchases
-    FROM (SELECT event_id, ts FROM events
-          WHERE event_type = 'signup' AND event_id % {_RB_PROBE_MOD} = 0) p
-    JOIN events e
+    FROM p
+    LEFT JOIN events e
       ON abs(epoch_us(e.ts) - epoch_us(p.ts)) <= {_RB_RADIUS_US}
      AND e.event_id <> p.event_id
     GROUP BY p.event_id
@@ -1018,17 +1031,21 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-partition evenly by time; the 3× probe fan-out is the whole
     cost of turning a quadratic nested loop into a shuffle join —
     the standard trick for range joins that lack an equi-key (same
-    family as the shingle/band blocking in the dedup gates)."""
+    family as the shingle/band blocking in the dedup gates). The probe
+    side is the K earliest signups (fixed COUNT, total-ordered — the
+    scale-free de-vacuified form, see _RB_PROBE_K) and the band join
+    is LEFT with the radius refine inside the join condition, so
+    zero-neighbor probes emit 0-count rows instead of vanishing:
+    exactly K rows at every SF."""
     e = table(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
         F.unix_micros("ts").alias("us"),
     )
     probes = (
-        e.filter(
-            (F.col("event_type") == "signup")
-            & (F.col("event_id") % _RB_PROBE_MOD == 0)
-        )
+        e.filter(F.col("event_type") == "signup")
+        .orderBy("us", "event_id")
+        .limit(_RB_PROBE_K)
         .select(
             F.col("event_id").alias("probe_id"),
             F.col("us").alias("p_us"),
@@ -1043,22 +1060,25 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     targets = e.select(
-        "event_id",
-        "event_type",
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("t_type"),
         "us",
-        F.floor(F.col("us") / _RB_BAND_US).cast("long").alias("band"),
+        F.floor(F.col("us") / _RB_BAND_US).cast("long").alias("t_band"),
     )
-    return (
-        probes.join(targets, "band")
-        .filter(
-            (F.abs(F.col("us") - F.col("p_us")) <= _RB_RADIUS_US)
-            & (F.col("event_id") != F.col("probe_id"))
-        )
-        .groupBy("probe_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_nearby"),
-            F.sum(
-                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-            ).alias("n_purchases"),
-        )
+    # LEFT join with the exact refine INSIDE the condition: an
+    # unmatched probe survives (3 null rows — one per exploded band);
+    # count(t_id) ignores them, so the zero-kept semantics cost no
+    # dedup pass (a matched pair still meets in exactly one band).
+    joined = probes.join(
+        targets,
+        (probes.band == targets.t_band)
+        & (F.abs(F.col("us") - F.col("p_us")) <= _RB_RADIUS_US)
+        & (F.col("t_id") != F.col("probe_id")),
+        "left",
+    )
+    return joined.groupBy("probe_id").agg(
+        F.count("t_id").alias("n_nearby"),
+        F.sum(
+            F.when(F.col("t_type") == "purchase", 1).otherwise(0)
+        ).alias("n_purchases"),
     )

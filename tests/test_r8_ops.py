@@ -611,12 +611,21 @@ def test_incremental_dedup_planted_duplicates(spark, tmp_path):
 
 
 @pytest.mark.parametrize(
-    "artifact", ["COMPARE_LOCAL.json", "COMPARE_LOCAL_sf0.1.json"]
+    "artifact",
+    [
+        "COMPARE_LOCAL.json",
+        "COMPARE_LOCAL_sf0.1.json",
+        # sf0.001 joined the sweep in r9: join_range_banded's vacuity
+        # was visible ONLY at the smallest scale (nine incidents now
+        # span both ends of the scale axis).
+        "COMPARE_LOCAL_sf0.001.json",
+    ],
 )
 def test_compare_local_artifact_has_no_vacuous_greens(artifact):
-    """Registry-wide non-vacuity, enforced on BOTH committed artifacts
-    (sf0.01 AND sf0.1 — tpch_q11's vacuity was scale-dependent and
-    only visible at sf0.1): every gate recorded as OK/WEAK_OK must
+    """Registry-wide non-vacuity, enforced on ALL committed artifacts
+    (sf0.001/0.01/0.1 — tpch_q11's vacuity was visible only at sf0.1,
+    join_range_banded's only at sf0.001): every gate recorded as
+    OK/WEAK_OK must
     also record > 0 rows (or carry an expected_empty annotation). The
     artifacts are re-stamped as each round's last act, so this test is
     the standing tripwire that catches the NEXT fixture-drift vacuity
