@@ -47,7 +47,7 @@ os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "8")
 os.environ.setdefault("SPARK_GRAFT_AQE", "false")
 
 from big_data_flight_spark.registry import _REGISTRY, _load_all_operator_modules
-from big_data_flight_spark.session import get_session
+from big_data_flight_spark.session import RUNTIME_CONF, get_session
 
 # Headline set: one representative per major operator family, weighted
 # toward the shapes that dominate real workloads (scan-agg, star join,
@@ -125,19 +125,20 @@ BEST_KNOWN = {
 }
 
 # Per-query shuffle-partition override. The global shuffle=8 knob wins
-# on the 19 overhead-bound queries, but genuinely data-bound shuffles
-# need the full core count: text_near_dedup_jaccard's inverted-index
-# self-join + pair aggregation regressed 1.50→2.85 s under shuffle=8
-# (BENCH_r02 delta_vs_prev, the round's only regression). The conf is
-# runtime-settable and read at each execution's physical planning, so
-# setting it around the timed runs is enough — the logical plan is
-# unchanged.
+# on the overhead-bound queries, but genuinely data-bound shuffles
+# want more width. HISTORY (r9 self-review): from the moment the gate
+# wrapper began re-applying RUNTIME_CONF per builder call, a bare
+# conf.set here was silently clobbered — the override was DEAD and
+# every bench artifact through r8 measured the env base (8) on every
+# query. _time_query now patches RUNTIME_CONF itself (restored in a
+# finally), and all three overrides were RE-MEASURED live through the
+# fixed mechanism, interleaved min-of-(2x3) at sf0.1:
 SHUFFLE_OVERRIDE = {
+    # inverted-index self-join + pair agg: 0.904 @8 / 0.848 @16 /
+    # 0.832 @32 — the data-bound shuffle wants the full core count.
     "text_near_dedup_jaccard": "32",
-    # r4: the single-scan as-of window is mildly data-bound too —
-    # measured 0.137 s @8 / 0.129 s @16 / 0.132 s @32 (7-run medians);
-    # 16 splits the 200k-row per-user sort across twice the tasks
-    # without doubling scheduling overhead.
+    # single-scan as-of window: 0.114 @8 / 0.093 @16 — 16 splits the
+    # 200k-row per-user sort without doubling scheduling overhead.
     "join_asof": "16",
     # r9 profile pass (VERDICT r8 #6): the gate's time is micro-batch
     # machinery — addBatch ~320 ms (state-store agg + complete-mode
@@ -145,9 +146,9 @@ SHUFFLE_OVERRIDE = {
     # start ~65 ms, result checkpoint ~120 ms, vs an 86 ms batch floor
     # for the same agg. Shuffle width sets the number of state-store
     # instances each micro-batch opens/commits/fsyncs; the agg has 5
-    # groups, so 8 stores is pure overhead — interleaved min-of-5:
-    # 0.492 @2 / 0.503 @1 / 0.509 @4 / 0.542 @8. At scale you size
-    # state partitions to key cardinality; 2 is that sizing here.
+    # groups, so 8 stores is pure overhead — through the fixed
+    # mechanism: 0.466 @2 / 0.535 @8. At scale you size state
+    # partitions to key cardinality; 2 is that sizing here.
     "stream_source_sink": "2",
 }
 
@@ -158,37 +159,52 @@ def materialize(df) -> None:
 
 def _time_query(spark, name: str, sf_dir: str, runs: int, base_shuffle: str):
     """One 1-warm-up + min-of-runs measurement window for a query.
-    Returns (min_sec, build_sec)."""
+    Returns (min_sec, build_sec).
+
+    The per-query shuffle override is applied by PATCHING
+    session.RUNTIME_CONF for the window's duration, not by a bare
+    spark.conf.set: every gate builder is wrapped by
+    session.configure(), which re-applies RUNTIME_CONF (including
+    shuffle partitions) on entry — a conf.set made before the builder
+    call is therefore clobbered back to the base before any work runs
+    (r9 self-review finding: the override had been DEAD since the
+    wrapper existed; every committed bench artifact through r8
+    actually measured the env base width on every query)."""
     q = _REGISTRY[name]
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", SHUFFLE_OVERRIDE.get(name, base_shuffle)
-    )
-    if name in EAGER_BUILDERS:
-        # Builder performs the work eagerly (e.g. drains a stream) —
-        # the whole builder call IS the query.
-        materialize(q.builder(spark, sf_dir))  # warm-up
+    width = SHUFFLE_OVERRIDE.get(name, base_shuffle)
+    prev = RUNTIME_CONF["spark.sql.shuffle.partitions"]
+    RUNTIME_CONF["spark.sql.shuffle.partitions"] = width
+    spark.conf.set("spark.sql.shuffle.partitions", width)
+    try:
+        if name in EAGER_BUILDERS:
+            # Builder performs the work eagerly (e.g. drains a stream) —
+            # the whole builder call IS the query.
+            materialize(q.builder(spark, sf_dir))  # warm-up
+            samples = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                materialize(q.builder(spark, sf_dir))
+                samples.append(time.perf_counter() - t0)
+            return round(min(samples), 3), 0.0
+        # Build the (immutable) logical plan once and time its
+        # materializations — the prepared-statement protocol.
+        # Plan-construction cost (Python DataFrame API + Py4J round-trips,
+        # ~0.1-0.7 s/query, data-size-INdependent) is reported separately
+        # in build_sec: at bench SF it would otherwise be ~35% of the
+        # headline total while saying nothing about execution at scale.
+        tb = time.perf_counter()
+        df = q.builder(spark, sf_dir)
+        build = round(time.perf_counter() - tb, 3)
+        materialize(df)  # warm-up (codegen + page cache)
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
-            materialize(q.builder(spark, sf_dir))
+            materialize(df)
             samples.append(time.perf_counter() - t0)
-        return round(min(samples), 3), 0.0
-    # Build the (immutable) logical plan once and time its
-    # materializations — the prepared-statement protocol.
-    # Plan-construction cost (Python DataFrame API + Py4J round-trips,
-    # ~0.1-0.7 s/query, data-size-INdependent) is reported separately
-    # in build_sec: at bench SF it would otherwise be ~35% of the
-    # headline total while saying nothing about execution at scale.
-    tb = time.perf_counter()
-    df = q.builder(spark, sf_dir)
-    build = round(time.perf_counter() - tb, 3)
-    materialize(df)  # warm-up (codegen + page cache)
-    samples = []
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        materialize(df)
-        samples.append(time.perf_counter() - t0)
-    return round(min(samples), 3), build
+        return round(min(samples), 3), build
+    finally:
+        RUNTIME_CONF["spark.sql.shuffle.partitions"] = prev
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def main() -> int:

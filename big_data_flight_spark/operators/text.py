@@ -980,9 +980,14 @@ def text_dedup_clusters_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
     """text_dedup_clusters (min-label propagation) over the md5-slot
     doc slice: same loop, same output contract, per-slice-doc rows
     (55/55/637 at the three SFs — never empty). The sf0.1 value proxy
-    for the full-corpus cluster gate (see compare.py SLICED_PROXY)."""
+    for the full-corpus cluster gate (see compare.py SLICED_PROXY).
+    The slice subtree is built ONCE and feeds both the pair pipeline
+    and the label seed (calling the sliced jaccard GATE here would
+    re-derive _sliced_docs a second time — Spark has no cross-subtree
+    CSE, so that doubled the gate's most expensive linear pass;
+    r9 self-review)."""
     docs = _sliced_docs(spark, sf_dir)
-    pairs = text_near_dedup_jaccard_sliced(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = near_dup_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
     return _min_label_clusters(docs, pairs)
 
 
@@ -995,9 +1000,10 @@ def text_dedup_clusters_lss_sliced(spark: SparkSession, sf_dir: str) -> DataFram
     """text_dedup_clusters_lss (large-star/small-star) over the md5-slot
     doc slice — the O(log²)-round scale path gets its own bench-scale
     value check; shares the sliced recursive-CTE oracle with the
-    propagation twin (both must converge to the same labeling)."""
+    propagation twin (both must converge to the same labeling). Slice
+    subtree built once, per the propagation twin's note."""
     docs = _sliced_docs(spark, sf_dir)
-    pairs = text_near_dedup_jaccard_sliced(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = near_dup_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
     return _lss_clusters(docs, pairs)
 
 

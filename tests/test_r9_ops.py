@@ -164,12 +164,15 @@ def test_sliced_proxy_twins_are_green_in_committed_artifact():
     with open(path) as fh:
         art = json.load(fh)
     proxy = art.get("sliced_proxy")
-    if proxy is None:
-        pytest.skip(
-            "COMPARE_LOCAL_sf0.1.json predates the sliced-proxy compare.py "
-            "(r9) — regenerate via `SF_DIR=/root/testdata/sf0.1 python "
-            "tools/compare.py`"
-        )
+    # Hard FAIL, not skip, on a pre-r9 artifact (r9 self-review: a
+    # guard that skips in exactly the stale-artifact state it exists
+    # to catch is vacuous). The artifact is re-stamped every round as
+    # the last act; a missing key means that didn't happen.
+    assert proxy is not None, (
+        "COMPARE_LOCAL_sf0.1.json predates the sliced-proxy compare.py "
+        "(r9) or was stamped without it — regenerate via "
+        "`SF_DIR=/root/testdata/sf0.1 python tools/compare.py`"
+    )
     from tools.compare import SLICED_PROXY_SF01
 
     # every mapped original (and any alias of it) that appears in the

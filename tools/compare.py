@@ -198,8 +198,11 @@ def main(argv: list[str]) -> int:
         slow_oracles = {
             _REGISTRY[n].oracle for n in SLOW_ORACLE_AT_SF01 if n in _REGISTRY
         }
-        # Proxy resolution is also by oracle identity so a0_* aliases of
-        # a proxied gate inherit its sliced twin.
+        # Proxy resolution: exact name first (the two cluster gates
+        # SHARE one oracle object, so an oracle-identity lookup alone
+        # would record the same twin for both — r9 review), falling
+        # back to oracle identity so a0_* aliases of a proxied gate
+        # inherit its sliced twin.
         proxy_by_oracle = {
             _REGISTRY[n].oracle: t
             for n, t in SLICED_PROXY_SF01.items()
@@ -208,7 +211,9 @@ def main(argv: list[str]) -> int:
         for n in names:
             if _REGISTRY[n].oracle not in slow_oracles:
                 continue
-            twin = proxy_by_oracle.get(_REGISTRY[n].oracle)
+            twin = SLICED_PROXY_SF01.get(
+                n.removeprefix("a0_")
+            ) or proxy_by_oracle.get(_REGISTRY[n].oracle)
             if twin is not None:
                 proxied[n] = twin
                 print("PRXY " + n.ljust(28) + f"SLICED_PROXY:{twin}", flush=True)
@@ -216,6 +221,12 @@ def main(argv: list[str]) -> int:
                 skipped.append(n)
                 print("SKIP " + n.ljust(28) + "QUADRATIC_ORACLE_SF01", flush=True)
         names = [n for n in names if n not in set(skipped) and n not in proxied]
+        # A subset invocation naming ONLY a proxied gate must still run
+        # its twin — otherwise "PRXY ..." prints, zero comparisons run,
+        # and the tool exits 0 having verified nothing (r9 self-review).
+        for twin in proxied.values():
+            if twin not in names:
+                names.append(twin)
     spark = get_session("compare")
     con = duck_connect(sf_dir)
     failed = []
