@@ -455,3 +455,261 @@ def etl_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mod_checksum"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# r9 session-2 additions: expectation suite + Z-order layout
+# ---------------------------------------------------------------------------
+
+@gate_query(
+    "dq_expectations",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS vu,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS vn
+      FROM orders
+    ),
+    l AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS vd,
+             CAST(SUM(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS vq
+      FROM lineitem
+    ),
+    fk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS vf
+      FROM lineitem
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+    ),
+    c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN c_acctbal < -1000.0 OR c_acctbal > 10000.0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS vb
+      FROM customer
+    )
+    SELECT * FROM (
+      SELECT 'orders.o_orderkey.unique' AS expectation,
+             n AS n_checked, vu AS n_violations, vu = 0 AS passed FROM o
+      UNION ALL
+      SELECT 'orders.o_custkey.not_null', n, vn, vn = 0 FROM o
+      UNION ALL
+      SELECT 'lineitem.l_discount.range_0_0.1', n, vd, vd = 0 FROM l
+      UNION ALL
+      SELECT 'lineitem.l_quantity.range_1_50', n, vq, vq = 0 FROM l
+      UNION ALL
+      SELECT 'lineitem.l_orderkey.fk_orders', l.n, fk.vf, fk.vf = 0
+      FROM l, fk
+      UNION ALL
+      SELECT 'customer.c_acctbal.range_-1000_10000', n, vb, vb = 0 FROM c
+    )
+    ORDER BY expectation
+    """,
+    tags=("etl", "dq"),
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite validation (the Great-Expectations-style
+    contract check a pipeline runs before promoting a table): a FIXED
+    list of named expectations — key uniqueness, not-null, two value
+    ranges, referential integrity, one per row in LONG form
+    (expectation, n_checked, n_violations, passed) so downstream
+    alerting keys on the expectation name. Complements dq_profile
+    (wide single-table profile): this is the multi-table, long-format
+    contract report.
+
+    Scale shape: one scan per table no matter how many expectations —
+    every per-table rule rides the same single-pass aggregate as an
+    extra conditional column (adding a rule adds a column, not a
+    pass), then stack() pivots the 1-row wide aggregate to long form
+    (stack of 1-row aggregates is free). The FK check is the only
+    extra pass: a left-anti join on the key, whose 1-row count
+    broadcast-joins back onto the lineitem aggregate. At 100 TB the
+    anti-join runs on bucketed keys; everything else is map-side
+    partials."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    c = table(spark, sf_dir, "customer")
+
+    o_rows = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("vu"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long").alias("vn"),
+    ).selectExpr(
+        "stack(2, "
+        "'orders.o_orderkey.unique', n, vu, "
+        "'orders.o_custkey.not_null', n, vn"
+        ") AS (expectation, n_checked, n_violations)"
+    )
+
+    li_agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when((F.col("l_discount") < 0.0) | (F.col("l_discount") > 0.1), 1)
+            .otherwise(0)
+        ).cast("long").alias("vd"),
+        F.sum(
+            F.when((F.col("l_quantity") < 1.0) | (F.col("l_quantity") > 50.0), 1)
+            .otherwise(0)
+        ).cast("long").alias("vq"),
+    )
+    fk_orphans = (
+        li.select("l_orderkey")
+        .join(
+            F.broadcast(o.select("o_orderkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("vf"))
+    )
+    li_rows = li_agg.join(F.broadcast(fk_orphans)).selectExpr(
+        "stack(3, "
+        "'lineitem.l_discount.range_0_0.1', n, vd, "
+        "'lineitem.l_quantity.range_1_50', n, vq, "
+        "'lineitem.l_orderkey.fk_orders', n, vf"
+        ") AS (expectation, n_checked, n_violations)"
+    )
+
+    c_rows = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when((F.col("c_acctbal") < -1000.0) | (F.col("c_acctbal") > 10000.0), 1)
+            .otherwise(0)
+        ).cast("long").alias("vb"),
+    ).selectExpr(
+        "stack(1, 'customer.c_acctbal.range_-1000_10000', n, vb)"
+        " AS (expectation, n_checked, n_violations)"
+    )
+
+    return (
+        o_rows.unionAll(li_rows)
+        .unionAll(c_rows)
+        .withColumn("passed", F.col("n_violations") == 0)
+        .orderBy("expectation")
+    )
+
+
+# Z-order construction constants, shared by the Spark builder and the
+# generated DuckDB oracle (the "same Python constants" discipline —
+# loop and oracle cannot drift).
+_Z_BITS = 8          # each dimension quantized to 2^8 cells
+_Z_BUCKET_SHIFT = 10 # 16-bit z-value >> 10 -> 64 layout buckets
+_Z_EPOCH = "1990-01-01 00:00:00"
+
+
+def _z_interleave_sql(sx: str, sy: str, spark_side: bool) -> str:
+    """Bit-interleave two quantized coordinates into a Morton code.
+    Spark spells bit shifts as shiftright()/& (no >> operator);
+    DuckDB uses native >> — both multiplied by identical power-of-two
+    constants generated from the same loop."""
+    terms = []
+    for i in range(_Z_BITS):
+        if spark_side:
+            bx = f"(shiftright({sx}, {i}) & 1)"
+            by = f"(shiftright({sy}, {i}) & 1)"
+        else:
+            bx = f"(({sx} >> {i}) & 1)"
+            by = f"(({sy} >> {i}) & 1)"
+        terms.append(f"{bx} * {1 << (2 * i)}")
+        terms.append(f"{by} * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+_Z_ORACLE = f"""
+    WITH pts AS (
+      SELECT o_custkey AS x,
+             CAST(datediff('day', TIMESTAMP '{_Z_EPOCH}', o_orderdate)
+                  AS BIGINT) AS y
+      FROM orders
+    ),
+    b AS (
+      SELECT MIN(x) AS xmin, MAX(x) AS xmax, MIN(y) AS ymin, MAX(y) AS ymax
+      FROM pts
+    ),
+    scaled AS (
+      SELECT
+        ((x - xmin) * {(1 << _Z_BITS) - 1}) // GREATEST(xmax - xmin, 1) AS sx,
+        ((y - ymin) * {(1 << _Z_BITS) - 1}) // GREATEST(ymax - ymin, 1) AS sy
+      FROM pts, b
+    ),
+    coded AS (
+      SELECT sx, sy,
+             ({_z_interleave_sql('sx', 'sy', spark_side=False)}) AS z
+      FROM scaled
+    )
+    SELECT
+      z // {1 << _Z_BUCKET_SHIFT} AS bucket,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      MIN(sx) AS x_lo, MAX(sx) AS x_hi,
+      MIN(sy) AS y_lo, MAX(sy) AS y_hi,
+      MAX(sx) - MIN(sx) AS x_span,
+      MAX(sy) - MIN(sy) AS y_span
+    FROM coded
+    GROUP BY 1
+    ORDER BY bucket
+"""
+
+
+@gate_query("etl_zorder_layout", oracle=_Z_ORACLE, tags=("etl",))
+def etl_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout assignment — the OPTIMIZE ZORDER
+    computation behind multi-column data skipping: quantize two
+    predicate columns (customer key x order date) to 8-bit grids,
+    bit-interleave them into a 16-bit Morton code, and bucket rows by
+    the code's high bits. The per-bucket report (min/max/span of BOTH
+    dimensions) IS the data-skipping story: every bucket covers a
+    narrow range of x AND y simultaneously, so parquet row-group
+    min/max stats written in this order prune selective predicates on
+    EITHER column — a date-sorted layout gets the same x_span as the
+    whole table. All arithmetic is integer (quantize via integer
+    multiply + DIV, interleave via shift/mask times power-of-two
+    constants shared with the generated oracle), so both engines are
+    bit-identical.
+
+    Scale shape: the bounds row is a 1-row global aggregate broadcast
+    back onto the scan (at 100 TB: read min/max from table metadata
+    instead); coding is pure map-side expression work; the report is
+    one 64-group aggregate. The real write path would end
+    `repartitionByRange(z).sortWithinPartitions(z).write` — the gate
+    verifies the code assignment, the part both engines can check
+    exactly."""
+    o = table(spark, sf_dir, "orders")
+    pts = o.select(
+        F.col("o_custkey").alias("x"),
+        F.datediff(F.col("o_orderdate"), F.lit(_Z_EPOCH).cast("timestamp"))
+        .cast("long")
+        .alias("y"),
+    )
+    bounds = pts.agg(
+        F.min("x").alias("xmin"),
+        F.max("x").alias("xmax"),
+        F.min("y").alias("ymin"),
+        F.max("y").alias("ymax"),
+    )
+    hi = (1 << _Z_BITS) - 1
+    scaled = pts.join(F.broadcast(bounds)).selectExpr(
+        f"((x - xmin) * {hi}) DIV GREATEST(xmax - xmin, 1L) AS sx",
+        f"((y - ymin) * {hi}) DIV GREATEST(ymax - ymin, 1L) AS sy",
+    )
+    coded = scaled.selectExpr(
+        "sx",
+        "sy",
+        f"({_z_interleave_sql('sx', 'sy', spark_side=True)}) AS z",
+    )
+    return (
+        coded.groupBy(
+            F.expr(f"z DIV {1 << _Z_BUCKET_SHIFT}").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("sx").alias("x_lo"),
+            F.max("sx").alias("x_hi"),
+            F.min("sy").alias("y_lo"),
+            F.max("sy").alias("y_hi"),
+            (F.max("sx") - F.min("sx")).alias("x_span"),
+            (F.max("sy") - F.min("sy")).alias("y_span"),
+        )
+        .orderBy("bucket")
+    )

@@ -169,6 +169,135 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate_query(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE chain (node, cur, depth, bal) AS (
+      SELECT c_custkey, c_custkey, 0, c_acctbal FROM customer
+      UNION ALL
+      SELECT node, cur // 10, depth + 1, bal FROM chain WHERE cur >= 10
+    )
+    SELECT
+      cur AS root,
+      depth,
+      CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      CAST(SUM(CAST(bal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+    FROM chain
+    WHERE cur < 10
+    GROUP BY cur, depth
+    ORDER BY root, depth
+    """,
+    tags=("relational", "sql"),
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 RECURSIVE CTE (`WITH RECURSIVE ... UNION ALL`) — the
+    iterative-closure surface inside one SQL statement, no driver
+    loop. Each customer key walks its ancestor chain (parent =
+    key DIV 10, an integer-arithmetic forest with depth <= 5 at any
+    fixture SF), and the final aggregate groups subtree members by
+    (root, depth). The recursion step is pure integer math carried
+    with an unchanged double payload, so both engines produce
+    bit-identical rows; the money sum applies the DECIMAL(38,6)
+    discipline at the end.
+
+    Scale note: Spark executes each recursion level as one
+    distributed step over the previous level's output (a UNION-loop
+    plan, level N+1 scans only level N — rows leave the recursion as
+    soon as `cur < 10` stops re-deriving them); bounded-depth integer
+    chains like this converge in O(log key-range) levels regardless of
+    row count, the same shape as graph_bfs_layers' oracle but here
+    Spark-side. DuckDB's oracle runs the identical WITH RECURSIVE
+    (`//` is its integer division; `DIV` is Spark's)."""
+    from big_data_flight_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE chain (node, cur, depth, bal) AS (
+          SELECT c_custkey, c_custkey, 0, c_acctbal FROM customer
+          UNION ALL
+          SELECT node, cur DIV 10, depth + 1, bal FROM chain WHERE cur >= 10
+        )
+        SELECT
+          cur AS root,
+          depth,
+          CAST(COUNT(*) AS BIGINT) AS n_nodes,
+          CAST(SUM(CAST(bal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+        FROM chain
+        WHERE cur < 10
+        GROUP BY cur, depth
+        ORDER BY root, depth
+        """
+    )
+
+
+@gate_query(
+    "sql_udf",
+    oracle="""
+    SELECT
+      l_linestatus,
+      CAST(COUNT(*) AS BIGINT) AS n_lines,
+      CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                    AS DECIMAL(38,6))) AS DOUBLE) AS sum_net
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    tags=("relational", "sql"),
+)
+def sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL UDFs — both shapes in one statement: a scalar
+    `CREATE TEMPORARY FUNCTION ... RETURNS DOUBLE RETURN <expr>` and a
+    table-valued `... RETURNS TABLE(...) RETURN SELECT ...` (the
+    SQL-macro surface: reusable logic that stays INSIDE Catalyst).
+    Unlike a Python UDF, a SQL UDF is inlined into the calling plan at
+    analysis time, so the scan under the TVF still gets predicate
+    pushdown and the scalar body participates in whole-stage codegen —
+    zero serialization boundary, which is why this is the preferred
+    form for shared business logic at 100 TB. Function names are FIXED
+    (`CREATE OR REPLACE`) so repeated gate runs re-register
+    idempotently instead of leaking catalog entries (the r8 UDTF
+    lesson). The oracle inlines both bodies by hand — net price is
+    left-associated double math in both engines, then the DECIMAL sum
+    discipline on top."""
+    from big_data_flight_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION bdf_net_price(
+          p DOUBLE, d DOUBLE, t DOUBLE)
+        RETURNS DOUBLE
+        RETURN p * (1.0 - d) * (1.0 + t)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION bdf_flagged_lines(flag STRING)
+        RETURNS TABLE(
+          l_linestatus STRING,
+          l_extendedprice DOUBLE,
+          l_discount DOUBLE,
+          l_tax DOUBLE)
+        RETURN SELECT l_linestatus, l_extendedprice, l_discount, l_tax
+               FROM lineitem WHERE l_returnflag = flag
+        """
+    )
+    return spark.sql(
+        """
+        SELECT
+          l_linestatus,
+          CAST(COUNT(*) AS BIGINT) AS n_lines,
+          CAST(SUM(CAST(bdf_net_price(l_extendedprice, l_discount, l_tax)
+                        AS DECIMAL(38,6))) AS DOUBLE) AS sum_net
+        FROM bdf_flagged_lines('R')
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+        """
+    )
+
+
+@gate_query(
     "project_select",
     oracle="""
     SELECT

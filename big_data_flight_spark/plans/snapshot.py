@@ -617,6 +617,39 @@ SNAPSHOT = {
         "!CartesianProduct",
         "Window",
     ],
+    # r9-s2. Recursive CTE: the iterative closure must run as Spark's
+    # UnionLoop operator (level-at-a-time distributed recursion), not
+    # an unrolled union or a driver loop; final rollup is a hash agg.
+    "sql_recursive_cte": ["UnionLoop", "UnionLoopRef", "HashAggregate"],
+    # r9-s2. SQL UDFs are inlined at analysis time — the load-bearing
+    # property is that the TVF's filter STILL reaches the parquet scan
+    # as a pushed predicate and the scalar body fuses into codegen
+    # (no serialization boundary, unlike any Python UDF).
+    "sql_udf": [
+        "EqualTo(l_returnflag,R)",
+        "PushedFilters",
+        "HashAggregate",
+        "!ArrowEvalPython",
+        "!BatchEvalPython",
+    ],
+    # r9-s2. Expectation suite: per-table rules ride single-pass hash
+    # aggregates; the FK check is the only join and must be the
+    # broadcast anti form at gate scale; nothing quadratic.
+    "dq_expectations": [
+        "BroadcastHashJoin LeftAnti",
+        "HashAggregate",
+        "!CartesianProduct",
+        "!SortMergeJoin",
+    ],
+    # r9-s2. Z-order layout: the 1-row bounds aggregate broadcasts
+    # back onto the scan (BNLJ with a 1-row build side is the correct
+    # shape, not a scale risk); Morton coding is pure projection work;
+    # one 64-group rollup.
+    "etl_zorder_layout": [
+        "BroadcastNestedLoopJoin",
+        "BroadcastExchange",
+        "HashAggregate",
+    ],
 }
 
 

@@ -187,3 +187,121 @@ def test_sliced_proxy_twins_are_green_in_committed_artifact():
     assert all("minhash_mllib" in n for n in art.get("skipped", {})), art.get(
         "skipped"
     )
+
+
+# ---------------------------------------------------------------------------
+# Session-2 newborns: recursive CTE, SQL UDF, expectation suite, Z-order
+# ---------------------------------------------------------------------------
+
+S2_GATES = (
+    "sql_recursive_cte",
+    "sql_udf",
+    "dq_expectations",
+    "etl_zorder_layout",
+)
+
+
+@pytest.mark.parametrize("name", S2_GATES)
+def test_s2_gates_are_not_vacuous(spark, name):
+    from big_data_flight_spark.registry import _REGISTRY, _load_all_operator_modules
+
+    _load_all_operator_modules()
+    n = _REGISTRY[name].builder(spark, SF_SMOKE).count()
+    assert n > 0, f"{name} is vacuous at {SF_SMOKE}"
+
+
+def test_recursive_cte_chain_arithmetic(spark):
+    """The recursion is integer-chain arithmetic with a closed form:
+    every customer key k lands at root = k // 10^depth with root < 10
+    and (depth == 0 or k >= 10^depth); the per-(root, depth) node
+    counts must therefore total the customer count, and every key's
+    destination is recomputable in plain Python."""
+    from collections import Counter
+
+    from big_data_flight_spark.io import table
+    from big_data_flight_spark.operators.relational import sql_recursive_cte
+
+    rows = sql_recursive_cte(spark, SF_SMOKE).collect()
+    keys = [r["c_custkey"] for r in table(spark, SF_SMOKE, "customer")
+            .select("c_custkey").collect()]
+    expected = Counter()
+    for k in keys:
+        cur, depth = k, 0
+        while cur >= 10:
+            cur //= 10
+            depth += 1
+        expected[(cur, depth)] += 1
+    got = {(r["root"], r["depth"]): r["n_nodes"] for r in rows}
+    assert got == dict(expected)
+    assert sum(r["n_nodes"] for r in rows) == len(keys)
+
+
+def test_sql_udf_matches_plain_dataframe_form(spark):
+    """The SQL-UDF composition (TVF filter + scalar net-price inside
+    the aggregate) must equal the same computation written as plain
+    DataFrame ops — the UDF surface adds reuse, never semantics."""
+    import pyspark.sql.functions as F
+
+    from big_data_flight_spark.io import table
+    from big_data_flight_spark.operators.relational import sql_udf
+    from big_data_flight_spark.registry import dsum
+
+    got = {r["l_linestatus"]: (r["n_lines"], r["sum_net"])
+           for r in sql_udf(spark, SF_SMOKE).collect()}
+    li = table(spark, SF_SMOKE, "lineitem").filter(F.col("l_returnflag") == "R")
+    net = (
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+    )
+    want = {
+        r["l_linestatus"]: (r["n_lines"], r["sum_net"])
+        for r in li.groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(net, "sum_net"),
+        )
+        .collect()
+    }
+    assert got == want  # bit-identical: same double expr, same decimal sum
+
+
+def test_dq_expectations_shape_and_consistency(spark):
+    """Six fixed expectations; n_checked equals the subject table's
+    row count; passed is exactly (n_violations == 0); the fixture is
+    referentially intact so the FK and uniqueness rules hold."""
+    from big_data_flight_spark.io import table
+    from big_data_flight_spark.operators.etl import dq_expectations
+
+    rows = {r["expectation"]: r for r in dq_expectations(spark, SF_SMOKE).collect()}
+    assert len(rows) == 6
+    n_orders = table(spark, SF_SMOKE, "orders").count()
+    n_lineitem = table(spark, SF_SMOKE, "lineitem").count()
+    n_customer = table(spark, SF_SMOKE, "customer").count()
+    for name, r in rows.items():
+        assert r["passed"] == (r["n_violations"] == 0), name
+        assert 0 <= r["n_violations"] <= r["n_checked"], name
+    assert rows["orders.o_orderkey.unique"]["n_checked"] == n_orders
+    assert rows["lineitem.l_orderkey.fk_orders"]["n_checked"] == n_lineitem
+    assert rows["customer.c_acctbal.range_-1000_10000"]["n_checked"] == n_customer
+    # the generator derives lineitem from orders: FK and PK must hold
+    assert rows["lineitem.l_orderkey.fk_orders"]["n_violations"] == 0
+    assert rows["orders.o_orderkey.unique"]["n_violations"] == 0
+
+
+def test_zorder_buckets_are_locality_bounded(spark):
+    """THE z-order property: bucketing by the Morton code's high 6
+    bits fixes the top 3 bits of BOTH 8-bit dimensions, so within any
+    bucket each dimension spans at most 2^5 - 1 = 31 cells — narrow in
+    x AND y simultaneously (a single-column sort bounds only one).
+    Also conservation: bucket row counts total the orders count."""
+    from big_data_flight_spark.io import table
+    from big_data_flight_spark.operators.etl import etl_zorder_layout
+
+    rows = etl_zorder_layout(spark, SF_SMOKE).collect()
+    assert sum(r["n_rows"] for r in rows) == table(spark, SF_SMOKE, "orders").count()
+    for r in rows:
+        assert 0 <= r["x_lo"] <= r["x_hi"] <= 255, r
+        assert 0 <= r["y_lo"] <= r["y_hi"] <= 255, r
+        assert r["x_span"] <= 31 and r["y_span"] <= 31, r
+        assert 0 <= r["bucket"] < 64, r
