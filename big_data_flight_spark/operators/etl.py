@@ -654,27 +654,30 @@ _Z_ORACLE = f"""
 
 @gate_query("etl_zorder_layout", oracle=_Z_ORACLE, tags=("etl",))
 def etl_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order (Morton-curve) layout assignment — the OPTIMIZE ZORDER
-    computation behind multi-column data skipping: quantize two
-    predicate columns (customer key x order date) to 8-bit grids,
-    bit-interleave them into a 16-bit Morton code, and bucket rows by
-    the code's high bits. The per-bucket report (min/max/span of BOTH
-    dimensions) IS the data-skipping story: every bucket covers a
-    narrow range of x AND y simultaneously, so parquet row-group
-    min/max stats written in this order prune selective predicates on
-    EITHER column — a date-sorted layout gets the same x_span as the
-    whole table. All arithmetic is integer (quantize via integer
-    multiply + DIV, interleave via shift/mask times power-of-two
-    constants shared with the generated oracle), so both engines are
-    bit-identical.
+    """Z-order (Morton-curve) layout ASSIGNMENT + clustering-quality
+    report — the planning/audit half of OPTIMIZE ZORDER. Third member
+    of the z-order family with a division of labor:
+    sorts_sets.sort_zorder verifies the Morton code and its total
+    order, connectors.sink_zorder_layout WRITES a z-clustered events
+    table and proves physical file skipping from parquet footer
+    stats, and this gate
+    computes the bucket assignment itself on a second table/dimension
+    pair (customer key x order date on orders) and emits the
+    per-bucket min/max/span report an OPTIMIZE command would print —
+    the quality audit that says every bucket covers a NARROW range of
+    BOTH dimensions at once (a date-sorted layout gets the same
+    x_span as the whole table), checked as an exact <= 31-cell bound
+    by the locality test. All arithmetic is integer (quantize via
+    integer multiply + DIV, interleave via shift/mask times
+    power-of-two constants shared with the generated oracle), so both
+    engines are bit-identical.
 
     Scale shape: the bounds row is a 1-row global aggregate broadcast
     back onto the scan (at 100 TB: read min/max from table metadata
     instead); coding is pure map-side expression work; the report is
-    one 64-group aggregate. The real write path would end
-    `repartitionByRange(z).sortWithinPartitions(z).write` — the gate
-    verifies the code assignment, the part both engines can check
-    exactly."""
+    one 64-group aggregate. The write path this report audits is
+    sink_zorder_layout's `repartitionByRange(z).sortWithinPartitions`
+    — the two gates together are plan + proof."""
     o = table(spark, sf_dir, "orders")
     pts = o.select(
         F.col("o_custkey").alias("x"),

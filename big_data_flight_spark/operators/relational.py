@@ -191,13 +191,18 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 RECURSIVE CTE (`WITH RECURSIVE ... UNION ALL`) — the
     iterative-closure surface inside one SQL statement, no driver
-    loop. Each customer key walks its ancestor chain (parent =
-    key DIV 10, an integer-arithmetic forest with depth <= 5 at any
-    fixture SF), and the final aggregate groups subtree members by
-    (root, depth). The recursion step is pure integer math carried
-    with an unchanged double payload, so both engines produce
-    bit-identical rows; the money sum applies the DECIMAL(38,6)
-    discipline at the end.
+    loop. Sibling of graph.sql_recursive_bfs (r7), with a deliberate
+    division of labor: BFS exercises recursion over a JOINED working
+    table with per-step DISTINCT/first-reach semantics; this gate
+    exercises the other half of the surface — a carried PAYLOAD column
+    riding the recursion unchanged (the double balance) plus a
+    closed-form integer chain the tests recompute in plain Python.
+    Each customer key walks its ancestor chain (parent = key DIV 10,
+    an integer-arithmetic forest with depth <= 5 at any fixture SF),
+    and the final aggregate groups subtree members by (root, depth).
+    The recursion step is pure integer math carried with an unchanged
+    double payload, so both engines produce bit-identical rows; the
+    money sum applies the DECIMAL(38,6) discipline at the end.
 
     Scale note: Spark executes each recursion level as one
     distributed step over the previous level's output (a UNION-loop
