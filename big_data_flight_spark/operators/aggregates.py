@@ -890,3 +890,41 @@ def agg_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("n_exact_7d")
         ).alias("est_within_5pct"),
     )
+
+
+@gate_query(
+    "agg_listagg",
+    oracle="""
+    SELECT r_name,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           string_agg(n_name, '|' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+    tags=("agg", "sql"),
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.0's ANSI LISTAGG — ordered string aggregation via
+    `listagg(expr, sep) WITHIN GROUP (ORDER BY ...)`, the standard-SQL
+    surface ported from warehouses (DuckDB spells the identical
+    semantic `string_agg(expr, sep ORDER BY ...)`). Distinct from
+    agg_collect (array collect + manual render): LISTAGG's ordering is
+    part of the aggregate itself, so the engine can sort partial
+    states instead of materializing arrays. The ORDER BY key is the
+    aggregated string itself — a total order within each group, so
+    the rendered string is deterministic across engines and partition
+    layouts. Broadcast dim join; 5-group aggregate."""
+    from big_data_flight_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r_name,
+               CAST(COUNT(*) AS BIGINT) AS n_nations,
+               listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name) AS nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name
+        """
+    )

@@ -716,3 +716,115 @@ def etl_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@gate_query(
+    "dq_drift_tv",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vu,
+             epoch_us(ts) AS tu
+      FROM events
+    ),
+    b AS (
+      SELECT MIN(tu) AS tmin, MAX(tu) AS tmax,
+             MIN(vu) AS vmin, MAX(vu) AS vmax
+      FROM e
+    ),
+    binned AS (
+      SELECT event_type,
+             CASE WHEN (tu - tmin) * 2 < (tmax - tmin) THEN 0 ELSE 1 END
+               AS half,
+             LEAST(9, ((vu - vmin) * 10) // GREATEST(vmax - vmin + 1, 1))
+               AS bin
+      FROM e, b
+    ),
+    cnt AS (
+      SELECT event_type, bin,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM binned GROUP BY event_type, bin
+    ),
+    tot AS (
+      SELECT event_type, n_a, n_b,
+             SUM(n_a) OVER (PARTITION BY event_type) AS na_tot,
+             SUM(n_b) OVER (PARTITION BY event_type) AS nb_tot
+      FROM cnt
+    )
+    SELECT event_type,
+           CAST(MAX(na_tot) AS BIGINT) AS n_first,
+           CAST(MAX(nb_tot) AS BIGINT) AS n_second,
+           CAST(SUM(ABS(n_a * nb_tot - n_b * na_tot)) * 1000000
+                // (2 * MAX(na_tot) * MAX(nb_tot)) AS BIGINT) AS tv_micro
+    FROM tot
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("etl", "dq"),
+)
+def dq_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor — the production DQ check that
+    compares a metric's distribution between two time windows (here:
+    first vs second half of the event range) per event_type, as
+    total-variation distance over a 10-bin equal-width histogram,
+    reported in integer micro-units. TV = ½·Σ|p_first(bin) −
+    p_second(bin)| is chosen over the PSI/KL family DELIBERATELY: PSI
+    needs ln(), and libm log results are not bit-identical between the
+    JVM and DuckDB — TV is pure rational arithmetic, so with counts
+    cross-multiplied over a common denominator (|n_a·N_b − n_b·N_a|,
+    then one integer floor-division into micro-units) the whole
+    pipeline is exact integer math end to end. Same alarm shape as
+    PSI: 0 = identical distributions, 1e6 = disjoint.
+
+    Scale shape: one events scan → 10-bin conditional counts (partial
+    map-side agg on (type, bin)), a per-type window over ≤10 rows, a
+    ≤#types-row result. Time/value bounds are a 1-row broadcast (at
+    100 TB: from table metadata). The cross-multiplied integers are
+    bounded by N_a·N_b·1e6 — fine at gate scale; a 100 TB deployment
+    divides into per-window fractions first (noted, not needed here).
+    `half` is integer midpoint math on epoch-µs, bin quantization is
+    integer multiply + DIV — no float ever crosses an engine
+    boundary except value→micro-units, the floor(x·1e6+0.5) rule."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 1000000 + 0.5).cast("long").alias("vu"),
+        F.unix_micros(F.col("ts")).alias("tu"),
+    )
+    b = e.agg(
+        F.min("tu").alias("tmin"),
+        F.max("tu").alias("tmax"),
+        F.min("vu").alias("vmin"),
+        F.max("vu").alias("vmax"),
+    )
+    binned = e.join(F.broadcast(b)).selectExpr(
+        "event_type",
+        "CASE WHEN (tu - tmin) * 2 < (tmax - tmin) THEN 0 ELSE 1 END AS half",
+        "LEAST(9, ((vu - vmin) * 10) DIV GREATEST(vmax - vmin + 1, 1L)) AS bin",
+    )
+    cnt = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    w = Window.partitionBy("event_type")
+    tot = cnt.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.sum("n_a").over(w).alias("na_tot"),
+        F.sum("n_b").over(w).alias("nb_tot"),
+    )
+    return (
+        tot.groupBy("event_type")
+        .agg(
+            F.max("na_tot").alias("n_first"),
+            F.max("nb_tot").alias("n_second"),
+            F.expr(
+                "CAST(SUM(ABS(n_a * nb_tot - n_b * na_tot)) * 1000000 "
+                "DIV (2 * MAX(na_tot) * MAX(nb_tot)) AS BIGINT)"
+            ).alias("tv_micro"),
+        )
+        .orderBy("event_type")
+    )

@@ -650,6 +650,21 @@ SNAPSHOT = {
         "BroadcastExchange",
         "HashAggregate",
     ],
+    # r9-s2. ANSI LISTAGG: the ordered string aggregate must still get
+    # MAP-SIDE PARTIAL aggregation (ObjectHashAggregate partial+final
+    # pair) — the reason LISTAGG beats collect_list+render at scale —
+    # over a broadcast dim join.
+    "agg_listagg": ["ObjectHashAggregate", "BroadcastHashJoin"],
+    # r9-s2. TV drift monitor: 1-row bounds broadcast (BNLJ), binned
+    # conditional counts as partial+final hash agg, a per-type window
+    # over <=10 rows, no equi-join anywhere (nothing to mis-plan).
+    "dq_drift_tv": [
+        "BroadcastNestedLoopJoin",
+        "Window",
+        "HashAggregate",
+        "!SortMergeJoin",
+        "!CartesianProduct",
+    ],
 }
 
 

@@ -198,6 +198,8 @@ S2_GATES = (
     "sql_udf",
     "dq_expectations",
     "etl_zorder_layout",
+    "agg_listagg",
+    "dq_drift_tv",
 )
 
 
@@ -305,3 +307,50 @@ def test_zorder_buckets_are_locality_bounded(spark):
         assert 0 <= r["y_lo"] <= r["y_hi"] <= 255, r
         assert r["x_span"] <= 31 and r["y_span"] <= 31, r
         assert 0 <= r["bucket"] < 64, r
+
+
+def test_listagg_equals_sorted_collect_render(spark):
+    """LISTAGG WITHIN GROUP must equal the manual render of the
+    sorted collect_list — the two surfaces are one semantic."""
+    import pyspark.sql.functions as F
+
+    from big_data_flight_spark.io import table
+    from big_data_flight_spark.operators.aggregates import agg_listagg
+
+    got = {r["r_name"]: (r["n_nations"], r["nations"])
+           for r in agg_listagg(spark, SF_SMOKE).collect()}
+    n = table(spark, SF_SMOKE, "nation")
+    r = table(spark, SF_SMOKE, "region")
+    manual = {
+        row["r_name"]: (row["n"], row["s"])
+        for row in n.join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("s"),
+        )
+        .collect()
+    }
+    assert got == manual and len(got) > 0
+
+
+def test_drift_tv_bounds_and_conservation(spark):
+    """tv_micro is a probability distance in micro-units: 0 <= tv <=
+    1e6; per-type half counts must total the type's event count; and
+    a self-drift (same half vs itself) is identically zero."""
+    import pyspark.sql.functions as F
+
+    from big_data_flight_spark.io import table
+    from big_data_flight_spark.operators.etl import dq_drift_tv
+
+    rows = dq_drift_tv(spark, SF_SMOKE).collect()
+    assert rows, "no event types?"
+    totals = {
+        r["event_type"]: r["n"]
+        for r in table(spark, SF_SMOKE, "events")
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in rows:
+        assert 0 <= r["tv_micro"] <= 1_000_000, r
+        assert r["n_first"] + r["n_second"] == totals[r["event_type"]], r
+        assert r["n_first"] > 0 and r["n_second"] > 0, r
