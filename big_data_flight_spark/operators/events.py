@@ -1429,3 +1429,94 @@ def evt_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("credit").cast("long").alias("total_credit_micro"),
         )
     )
+
+
+@gate_query(
+    "evt_seasonal_anomaly",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(hour(ts) AS INTEGER) AS hr,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vu
+      FROM events
+    ),
+    profile AS (
+      SELECT event_type, hr,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(vu) AS HUGEINT) AS sv,
+             SUM(CAST(vu AS HUGEINT) * vu) AS svv
+      FROM v GROUP BY event_type, hr
+    )
+    SELECT v.event_type,
+           v.hr AS hour,
+           MAX(p.n) AS n,
+           CAST(MAX(p.sv // p.n) AS BIGINT) AS mean_micro,
+           CAST(SUM(CASE WHEN
+                 (p.n * CAST(v.vu AS HUGEINT) - p.sv)
+               * (p.n * CAST(v.vu AS HUGEINT) - p.sv)
+               > 9 * (p.n * p.svv - p.sv * p.sv)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM v JOIN profile p
+      ON v.event_type = p.event_type AND v.hr = p.hr
+    GROUP BY v.event_type, v.hr
+    ORDER BY v.event_type, hour
+    """,
+    tags=("event", "dq"),
+)
+def evt_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal (hour-of-day) baseline profile + population-3σ anomaly
+    counts per (event_type, hour) — the time-series monitoring op that
+    says "this metric is unusual FOR THIS HOUR", not unusual globally.
+    Sibling division of labor: evt_zscore_anomaly flags daily VOLUME
+    against a flat 30-day baseline; this gate flags individual VALUES
+    against a periodic profile.
+
+    The parity construction is the point: |v − μ| > 3σ is evaluated
+    with NO division, NO sqrt and NO float — cross-multiplied into
+      (n·v − Σv)² > 9·(n·Σv² − (Σv)²)
+    over integer micro-units, Spark side in DECIMAL(38,0) (Σv² ~1e20
+    overflows BIGINT; products peak ~1e26, inside 38 digits), DuckDB
+    side in HUGEINT — two exact integer representations, bit-identical
+    comparisons. sqrt IS correctly-rounded under IEEE and would be
+    safe, but ln/exp-free AND division-free means no rounding-boundary
+    row can ever flap the flag count.
+
+    Scale shape: profile = one partial+final hash agg to ≤ types×24
+    rows, broadcast back onto the second scan (at 100 TB the profile
+    is a dashboard-sized dimension); flag counting rides the join
+    projection into one final agg. σ=0 cells (constant value) flag
+    nothing — both sides of the inequality are 0 and the comparison
+    is strict."""
+    e = table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hr"),
+        F.floor(F.col("value") * 1000000 + 0.5).cast("long").alias("vu"),
+    )
+    profile = v.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vu").alias("sv"),
+        F.sum(
+            F.col("vu").cast("decimal(38,0)") * F.col("vu").cast("decimal(38,0)")
+        ).alias("svv"),
+    )
+    j = v.join(F.broadcast(profile), ["event_type", "hr"])
+    dev = (
+        F.col("n").cast("decimal(38,0)") * F.col("vu").cast("decimal(38,0)")
+        - F.col("sv").cast("decimal(38,0)")
+    )
+    rhs = F.lit(9).cast("decimal(38,0)") * (
+        F.col("n").cast("decimal(38,0)") * F.col("svv")
+        - F.col("sv").cast("decimal(38,0)") * F.col("sv").cast("decimal(38,0)")
+    )
+    return (
+        j.groupBy("event_type", F.col("hr").alias("hour"))
+        .agg(
+            F.max("n").alias("n"),
+            F.expr("CAST(MAX(sv DIV n) AS BIGINT)").alias("mean_micro"),
+            F.sum(F.when(dev * dev > rhs, 1).otherwise(0))
+            .cast("long")
+            .alias("n_anomalies"),
+        )
+        .orderBy("event_type", "hour")
+    )

@@ -665,6 +665,16 @@ SNAPSHOT = {
         "!SortMergeJoin",
         "!CartesianProduct",
     ],
+    # r9-s2. Seasonal anomaly: the <=types*24-row profile must
+    # BROADCAST back onto the value scan (equi-keys -> BHJ), flag
+    # counting is exact DECIMAL(38,0) expression work inside the final
+    # hash agg; a sort-merge join here would shuffle the fact twice.
+    "evt_seasonal_anomaly": [
+        "BroadcastHashJoin",
+        "HashAggregate",
+        "!SortMergeJoin",
+        "!CartesianProduct",
+    ],
 }
 
 

@@ -354,3 +354,85 @@ def test_drift_tv_bounds_and_conservation(spark):
         assert 0 <= r["tv_micro"] <= 1_000_000, r
         assert r["n_first"] + r["n_second"] == totals[r["event_type"]], r
         assert r["n_first"] > 0 and r["n_second"] > 0, r
+
+
+def test_drift_tv_matches_exact_fraction_arithmetic(spark):
+    """Recompute TV with exact rational arithmetic (fractions.Fraction
+    over raw bin counts) and assert the gate's integer micro-units are
+    the exact floor — proving no float ever influenced the result."""
+    from fractions import Fraction
+
+    import pyspark.sql.functions as F
+
+    from big_data_flight_spark.io import table
+    from big_data_flight_spark.operators.etl import dq_drift_tv
+
+    e = table(spark, SF_SMOKE, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 1000000 + 0.5).cast("long").alias("vu"),
+        F.unix_micros("ts").alias("tu"),
+    )
+    rows = e.collect()  # smoke SF only: ~6k events
+    tmin = min(r["tu"] for r in rows); tmax = max(r["tu"] for r in rows)
+    vmin = min(r["vu"] for r in rows); vmax = max(r["vu"] for r in rows)
+    from collections import Counter
+    cnt = Counter()
+    for r in rows:
+        half = 0 if (r["tu"] - tmin) * 2 < (tmax - tmin) else 1
+        b = min(9, ((r["vu"] - vmin) * 10) // max(vmax - vmin + 1, 1))
+        cnt[(r["event_type"], half, b)] += 1
+    types = {t for t, _, _ in cnt}
+    expected = {}
+    for t in types:
+        na_tot = sum(v for (tt, h, _), v in cnt.items() if tt == t and h == 0)
+        nb_tot = sum(v for (tt, h, _), v in cnt.items() if tt == t and h == 1)
+        tv = Fraction(0)
+        for b in range(10):
+            pa = Fraction(cnt.get((t, 0, b), 0), na_tot)
+            pb = Fraction(cnt.get((t, 1, b), 0), nb_tot)
+            tv += abs(pa - pb)
+        expected[t] = (na_tot, nb_tot, (tv / 2 * 1_000_000).__floor__())
+    got = {
+        r["event_type"]: (r["n_first"], r["n_second"], r["tv_micro"])
+        for r in dq_drift_tv(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
+def test_seasonal_anomaly_matches_exact_python_ints(spark):
+    """Recompute the cross-multiplied 3-sigma inequality with Python
+    arbitrary-precision ints on the smoke fixture and assert identical
+    per-cell anomaly counts — the no-float claim, checked end to end.
+    Also asserts the gate actually FLAGS something (a profile under
+    which zero rows ever deviate would be a semantically vacuous
+    anomaly detector even with 120 output rows)."""
+    import pyspark.sql.functions as F
+
+    from big_data_flight_spark.io import table
+    from big_data_flight_spark.operators.events import evt_seasonal_anomaly
+
+    raw = (
+        table(spark, SF_SMOKE, "events")
+        .select(
+            "event_type",
+            F.hour("ts").cast("int").alias("hr"),
+            F.floor(F.col("value") * 1000000 + 0.5).cast("long").alias("vu"),
+        )
+        .collect()
+    )
+    from collections import defaultdict
+    cells = defaultdict(list)
+    for r in raw:
+        cells[(r["event_type"], r["hr"])].append(r["vu"])
+    expected = {}
+    for key, vs in cells.items():
+        n, sv = len(vs), sum(vs)
+        svv = sum(v * v for v in vs)
+        flags = sum(1 for v in vs if (n * v - sv) ** 2 > 9 * (n * svv - sv * sv))
+        expected[key] = (n, sv // n, flags)
+    got = {
+        (r["event_type"], r["hour"]): (r["n"], r["mean_micro"], r["n_anomalies"])
+        for r in evt_seasonal_anomaly(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    assert sum(f for _, _, f in got.values()) > 0
