@@ -757,8 +757,10 @@ def etl_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(MAX(na_tot) AS BIGINT) AS n_first,
            CAST(MAX(nb_tot) AS BIGINT) AS n_second,
-           CAST(SUM(ABS(n_a * nb_tot - n_b * na_tot)) * 1000000
-                // (2 * MAX(na_tot) * MAX(nb_tot)) AS BIGINT) AS tv_micro
+           CAST(CASE WHEN MAX(na_tot) = 0 OR MAX(nb_tot) = 0 THEN 1000000
+                ELSE SUM(ABS(n_a * nb_tot - n_b * na_tot)) * 1000000
+                     // (2 * MAX(na_tot) * MAX(nb_tot)) END
+                AS BIGINT) AS tv_micro
     FROM tot
     GROUP BY event_type
     ORDER BY event_type
@@ -821,9 +823,16 @@ def dq_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("na_tot").alias("n_first"),
             F.max("nb_tot").alias("n_second"),
+            # CASE guards the ANSI DIVIDE_BY_ZERO if a regenerated
+            # fixture ever leaves a type entirely inside one half —
+            # an empty comparison window reads as MAXIMAL drift
+            # (1e6), the correct monitoring semantic, in both engines
+            # (CASE is lazy under ANSI, so the DIV never evaluates).
             F.expr(
-                "CAST(SUM(ABS(n_a * nb_tot - n_b * na_tot)) * 1000000 "
-                "DIV (2 * MAX(na_tot) * MAX(nb_tot)) AS BIGINT)"
+                "CAST(CASE WHEN MAX(na_tot) = 0 OR MAX(nb_tot) = 0 "
+                "THEN 1000000 "
+                "ELSE SUM(ABS(n_a * nb_tot - n_b * na_tot)) * 1000000 "
+                "DIV (2 * MAX(na_tot) * MAX(nb_tot)) END AS BIGINT)"
             ).alias("tv_micro"),
         )
         .orderBy("event_type")
