@@ -171,10 +171,10 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
 @gate_query(
     "sql_recursive_cte",
     oracle="""
-    WITH RECURSIVE chain (node, cur, depth, bal) AS (
-      SELECT c_custkey, c_custkey, 0, c_acctbal FROM customer
+    WITH RECURSIVE chain (cur, depth, bal) AS (
+      SELECT c_custkey, 0, c_acctbal FROM customer
       UNION ALL
-      SELECT node, cur // 10, depth + 1, bal FROM chain WHERE cur >= 10
+      SELECT cur // 10, depth + 1, bal FROM chain WHERE cur >= 10
     )
     SELECT
       cur AS root,
@@ -217,10 +217,10 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(
         """
-        WITH RECURSIVE chain (node, cur, depth, bal) AS (
-          SELECT c_custkey, c_custkey, 0, c_acctbal FROM customer
+        WITH RECURSIVE chain (cur, depth, bal) AS (
+          SELECT c_custkey, 0, c_acctbal FROM customer
           UNION ALL
-          SELECT node, cur DIV 10, depth + 1, bal FROM chain WHERE cur >= 10
+          SELECT cur DIV 10, depth + 1, bal FROM chain WHERE cur >= 10
         )
         SELECT
           cur AS root,

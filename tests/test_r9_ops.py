@@ -429,7 +429,11 @@ def test_seasonal_anomaly_matches_exact_python_ints(spark):
         n, sv = len(vs), sum(vs)
         svv = sum(v * v for v in vs)
         flags = sum(1 for v in vs if (n * v - sv) ** 2 > 9 * (n * svv - sv * sv))
-        expected[key] = (n, sv // n, flags)
+        # TRUNCATING division, not Python floor: both engines truncate
+        # toward zero (Spark DIV, DuckDB //), and a regenerated fixture
+        # could make a cell sum negative (review r9-s2).
+        mean_micro = abs(sv) // n if sv >= 0 else -(abs(sv) // n)
+        expected[key] = (n, mean_micro, flags)
     got = {
         (r["event_type"], r["hour"]): (r["n"], r["mean_micro"], r["n_anomalies"])
         for r in evt_seasonal_anomaly(spark, SF_SMOKE).collect()
