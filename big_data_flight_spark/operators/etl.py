@@ -718,9 +718,10 @@ def etl_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@gate_query(
-    "dq_drift_tv",
-    oracle="""
+# Shared by dq_drift_tv and its streaming twin (streaming/twins.py
+# stream_drift_tv): same final algebra, same oracle — the twin's
+# incremental histogram counts must land on the identical report.
+_DRIFT_TV_ORACLE = """
     WITH e AS (
       SELECT event_type,
              CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vu,
@@ -764,9 +765,43 @@ def etl_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tot
     GROUP BY event_type
     ORDER BY event_type
-    """,
-    tags=("etl", "dq"),
-)
+    """
+
+
+def _drift_tv_finish(cnt: DataFrame) -> DataFrame:
+    """Finish the TV report from per-(event_type, bin) half-counts
+    (columns: event_type, bin, n_a, n_b) — the exact-integer algebra
+    shared by the batch gate and the streaming twin."""
+    w = Window.partitionBy("event_type")
+    tot = cnt.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.sum("n_a").over(w).alias("na_tot"),
+        F.sum("n_b").over(w).alias("nb_tot"),
+    )
+    return (
+        tot.groupBy("event_type")
+        .agg(
+            F.max("na_tot").alias("n_first"),
+            F.max("nb_tot").alias("n_second"),
+            # CASE guards the ANSI DIVIDE_BY_ZERO if a regenerated
+            # fixture ever leaves a type entirely inside one half —
+            # an empty comparison window reads as MAXIMAL drift
+            # (1e6), the correct monitoring semantic, in both engines
+            # (CASE is lazy under ANSI, so the DIV never evaluates).
+            F.expr(
+                "CAST(CASE WHEN MAX(na_tot) = 0 OR MAX(nb_tot) = 0 "
+                "THEN 1000000 "
+                "ELSE SUM(ABS(n_a * nb_tot - n_b * na_tot)) * 1000000 "
+                "DIV (2 * MAX(na_tot) * MAX(nb_tot)) END AS BIGINT)"
+            ).alias("tv_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@gate_query("dq_drift_tv", oracle=_DRIFT_TV_ORACLE, tags=("etl", "dq"))
 def dq_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift monitor — the production DQ check that
     compares a metric's distribution between two time windows (here:
@@ -810,30 +845,4 @@ def dq_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
         F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
     )
-    w = Window.partitionBy("event_type")
-    tot = cnt.select(
-        "event_type",
-        "n_a",
-        "n_b",
-        F.sum("n_a").over(w).alias("na_tot"),
-        F.sum("n_b").over(w).alias("nb_tot"),
-    )
-    return (
-        tot.groupBy("event_type")
-        .agg(
-            F.max("na_tot").alias("n_first"),
-            F.max("nb_tot").alias("n_second"),
-            # CASE guards the ANSI DIVIDE_BY_ZERO if a regenerated
-            # fixture ever leaves a type entirely inside one half —
-            # an empty comparison window reads as MAXIMAL drift
-            # (1e6), the correct monitoring semantic, in both engines
-            # (CASE is lazy under ANSI, so the DIV never evaluates).
-            F.expr(
-                "CAST(CASE WHEN MAX(na_tot) = 0 OR MAX(nb_tot) = 0 "
-                "THEN 1000000 "
-                "ELSE SUM(ABS(n_a * nb_tot - n_b * na_tot)) * 1000000 "
-                "DIV (2 * MAX(na_tot) * MAX(nb_tot)) END AS BIGINT)"
-            ).alias("tv_micro"),
-        )
-        .orderBy("event_type")
-    )
+    return _drift_tv_finish(cnt)

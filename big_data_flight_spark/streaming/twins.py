@@ -1391,3 +1391,95 @@ def _share_incremental_oracle() -> None:
 
 
 _share_incremental_oracle()
+
+
+# ---------------------------------------------------------------------------
+# stream_drift_tv — streaming twin of dq_drift_tv (r9-s2): incremental
+# histogram maintenance with fixed edges, the production drift-monitor
+# arrival path.
+# ---------------------------------------------------------------------------
+
+
+@gate_query(
+    "stream_drift_tv",
+    oracle=None,  # set below: shares dq_drift_tv's oracle
+    tags=("streaming", "dq"),
+)
+def stream_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of dq_drift_tv: a production drift monitor does
+    NOT re-scan history — it maintains per-(type, half, bin) counts
+    incrementally as events arrive against FIXED histogram edges, and
+    evaluates the distance on demand. This gate runs exactly that
+    shape: the bin/half edges are derived once as a 4-scalar 1-row
+    config read (the tfidf-corpus-count sanctioned class; in
+    production they are static monitor config), the stream folds
+    arrivals into a running count state (partial aggregation in the
+    state store — the same map-side-combine story as batch, but across
+    micro-batches), and the drained counts finish through the
+    IDENTICAL exact-integer TV algebra (operators.etl._drift_tv_finish)
+    so the driver hash-checks the streaming path against the SAME
+    DuckDB oracle as the batch gate. A conservation self-audit asserts
+    the state counts total the source row count — a dropped or
+    double-counted micro-batch cannot pass."""
+    from big_data_flight_spark.operators.etl import _drift_tv_finish
+
+    # Monitor config: global time/value bounds as O(1) scalars.
+    ev_b = ts_guard(spark.read.parquet(f"{sf_dir}/events.parquet")).select(
+        F.floor(F.col("value") * 1000000 + 0.5).cast("long").alias("vu"),
+        F.unix_micros("ts").alias("tu"),
+    )
+    row = ev_b.agg(
+        F.min("tu"), F.max("tu"), F.min("vu"), F.max("vu")
+    ).collect()[0]
+    tmin, tmax, vmin, vmax = int(row[0]), int(row[1]), int(row[2]), int(row[3])
+
+    s = events_stream(spark, sf_dir)
+    binned = s.selectExpr(
+        "event_type",
+        f"CASE WHEN (unix_micros(ts) - {tmin}L) * 2 < {tmax - tmin}L "
+        "THEN 0 ELSE 1 END AS half",
+        f"LEAST(9, ((CAST(floor(value * 1000000 + 0.5) AS BIGINT) - {vmin}L)"
+        f" * 10) DIV GREATEST({vmax - vmin + 1}L, 1L)) AS bin",
+    )
+    counts = binned.groupBy("event_type", "half", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    drained = run_to_memory(counts, mode="complete")
+
+    # Conservation self-audit (sanctioned O(1) scalar): state counts
+    # must total the source rows exactly.
+    folded = drained.agg(F.sum("n")).collect()[0][0]
+    src_rows = ev_b.count()
+    if folded != src_rows:
+        raise AssertionError(
+            f"streaming histogram lost/duplicated rows: {folded} != {src_rows}"
+        )
+
+    cnt = drained.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("n")).otherwise(0))
+        .cast("long").alias("n_a"),
+        F.sum(F.when(F.col("half") == 1, F.col("n")).otherwise(0))
+        .cast("long").alias("n_b"),
+    )
+    return _drift_tv_finish(cnt)
+
+
+def _share_drift_oracle() -> None:
+    # Same pattern (and reason) as _share_incremental_oracle above:
+    # the decorator arg must be a literal at def time, so re-point the
+    # registry entry at the batch gate's oracle after import.
+    from big_data_flight_spark.operators.etl import _DRIFT_TV_ORACLE
+    from big_data_flight_spark.registry import _REGISTRY, GateQuery
+
+    q = _REGISTRY["stream_drift_tv"]
+    _REGISTRY["stream_drift_tv"] = GateQuery(
+        name=q.name,
+        builder=q.builder,
+        oracle=_DRIFT_TV_ORACLE,
+        doc=q.doc,
+        tags=q.tags,
+        expected_empty=q.expected_empty,
+    )
+
+
+_share_drift_oracle()

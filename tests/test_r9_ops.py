@@ -200,6 +200,7 @@ S2_GATES = (
     "etl_zorder_layout",
     "agg_listagg",
     "dq_drift_tv",
+    "stream_drift_tv",
 )
 
 
@@ -440,3 +441,15 @@ def test_seasonal_anomaly_matches_exact_python_ints(spark):
     }
     assert got == expected
     assert sum(f for _, _, f in got.values()) > 0
+
+
+def test_stream_drift_twin_equals_batch_gate(spark):
+    """The streaming histogram path must land on the batch gate's
+    exact report, row for row (both run the shared exact-integer
+    finish; the twin's counts come from micro-batch state folds)."""
+    from big_data_flight_spark.operators.etl import dq_drift_tv
+    from big_data_flight_spark.streaming.twins import stream_drift_tv
+
+    batch = sorted(tuple(r) for r in dq_drift_tv(spark, SF_SMOKE).collect())
+    stream = sorted(tuple(r) for r in stream_drift_tv(spark, SF_SMOKE).collect())
+    assert batch == stream and len(batch) > 0
