@@ -621,3 +621,65 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("")),
         ).alias("canonical_url"),
     )
+
+
+@gate_query(
+    "fn_collation",
+    oracle="""
+    WITH flipped AS (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                  ELSE lower(c_mktsegment) END AS k,
+             c_acctbal
+      FROM customer
+    )
+    SELECT lower(k) AS segment_lc,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_case_variants,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+    FROM flipped
+    GROUP BY lower(k)
+    ORDER BY segment_lc
+    """,
+    tags=("function", "sql"),
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATION support — grouping under a case-insensitive
+    collation (UTF8_LCASE) instead of normalizing with lower() in the
+    key expression. The fixture's segments are single-case, so the
+    gate deterministically case-flips them by key parity first, then
+    groups BY the collated key: the engine's collation-aware hash
+    must merge 'BUILDING' and 'building' into one group. Because the
+    group's representative string is whichever casing a partition
+    sees first (nondeterministic), the OUTPUT key is lower(k) — the
+    canonical render — while n_case_variants counts the raw spellings
+    (binary collation) actually merged per group, proving the merge
+    happened rather than the flip being a no-op. DuckDB's oracle
+    gets identical semantics with lower() grouping. At scale,
+    collation-aware grouping beats expression-normalized keys when
+    the normalized key must ALSO be output or joined with its
+    original casing elsewhere — the collation rides the type, not
+    the expression."""
+    c = table(spark, sf_dir, "customer")
+    flipped = c.select(
+        F.when(F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment"))
+        .otherwise(F.lower("c_mktsegment"))
+        .alias("k"),
+        "c_acctbal",
+    )
+    return (
+        flipped.groupBy(F.expr("COLLATE(k, 'UTF8_LCASE')").alias("kc"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(F.col("k").cast("string")).alias("n_case_variants"),
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_bal"),
+        )
+        .select(
+            F.lower(F.col("kc")).cast("string").alias("segment_lc"),
+            "n_rows",
+            "n_case_variants",
+            "sum_bal",
+        )
+        .orderBy("segment_lc")
+    )

@@ -928,3 +928,51 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY r_name
         """
     )
+
+
+@gate_query(
+    "agg_approx_top_k",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(*) AS BIGINT) AS n_est,
+           TRUE AS est_matches_exact
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("agg", "sketch"),
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1's approx_top_k frequent-items sketch, on the
+    agg_approx_distinct pattern (sketch value + exact self-audit in
+    one gate): the sketch's (item, count) pairs explode to rows and
+    broadcast-join the exact per-type counts; the oracle asserts
+    n_est == n_exact — legitimate, not optimistic, because at this
+    key cardinality (5 event types, far under the sketch's tracked-
+    item capacity) the space-saving summary holds every key exactly,
+    and it does so DETERMINISTICALLY, so a future fixture whose
+    cardinality overflows the sketch turns this gate loudly red
+    instead of silently approximate. At 100 TB the sketch is the
+    point: mergeable fixed-size partial state per partition (the
+    same rollup story as the HLL/KMV family) where an exact top-k
+    needs a full groupBy shuffle."""
+    e = table(spark, sf_dir, "events")
+    sketch = e.agg(F.expr("approx_top_k(event_type, 10)").alias("t")).select(
+        F.explode("t").alias("x")
+    ).select(
+        F.col("x.item").alias("event_type"),
+        F.col("x.count").cast("long").alias("n_est"),
+    )
+    exact = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        exact.join(F.broadcast(sketch), "event_type", "left")
+        .select(
+            "event_type",
+            "n_exact",
+            F.coalesce("n_est", F.lit(0)).alias("n_est"),
+            (F.col("n_exact") == F.coalesce("n_est", F.lit(0)))
+            .alias("est_matches_exact"),
+        )
+        .orderBy("event_type")
+    )

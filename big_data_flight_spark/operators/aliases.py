@@ -31,27 +31,26 @@ fixtures each round, but the driver row is the gate.
   agg_stats, distinct_rows, dq_profile, join_asof, join_broadcast,
   limit_topk, sim_topk_neighbors, text_minhash_lsh, text_pii_scrub,
   text_weighted_mix, udf_scalar_arrow, win_topk_per_group.
-* Slots 34-37 — r4-cohort picks with the remaining base slots,
-  highest-value-first: the flagship agg_groupby, the two largest
-  TPC-H joins graded that round (q5, q9), and — re-pointed mid-round
-  — the join_range_banded re-grade (the ninth vacuity incident,
-  found at sf0.001 by this round's first small-end sweep; its
-  original pick, mm_dedup_assets, heads the r10 queue). Session 2
-  displaced eight more tail picks (agg_percentile, udf_map_in_arrow,
+* Slots 34-35 — r4-cohort picks with the remaining base slots,
+  highest-value-first: the flagship agg_groupby, and — re-pointed
+  mid-round — the join_range_banded re-grade (the ninth vacuity
+  incident, found at sf0.001 by this round's first small-end sweep;
+  its original pick, mm_dedup_assets, heads the r10 queue). Session 2
+  displaced ten more tail picks (agg_percentile, udf_map_in_arrow,
   scan_csv, sim_ann_lsh, mm_audio_decode_wav,
-  text_dedup_clusters_lss, stream_source_sink, graph_pagerank) to
-  grade its eight newborns.
-* FINAL WINDOW = 37 base slots + 13 newcomer slots
+  text_dedup_clusters_lss, stream_source_sink, graph_pagerank,
+  tpch_q9, tpch_q5) to grade its ten newborns.
+* FINAL WINDOW = 35 base slots + 15 newcomer slots
   (_NEW_GATE_ALIASES): the five session-1 r9-born gates plus the
-  eight session-2 newborns (a gate born this round takes a slot the
+  ten session-2 newborns (a gate born this round takes a slot the
   round it ships — the r2/r3 lesson).
 
 r10 queue (displacement order for any gate born after this rotation
 lands, displacing from the TAIL of the r4 picks): mm_dedup_assets
 (displaced mid-round by the join_range_banded re-grade), then the
-eight session-2 displacements agg_percentile, udf_map_in_arrow,
+ten session-2 displacements agg_percentile, udf_map_in_arrow,
 scan_csv, sim_ann_lsh, mm_audio_decode_wav, text_dedup_clusters_lss,
-stream_source_sink, graph_pagerank.
+stream_source_sink, graph_pagerank, tpch_q9, tpch_q5.
 Every displaced pick heads the r10 queue, followed by the remaining
 r4-row gates (agg_approx_distinct, agg_collect, agg_cube,
 agg_distinct, agg_global, agg_grouping_sets, agg_pivot, fn_map,
@@ -115,10 +114,12 @@ _ALIASES = {
     "a0_text_weighted_mix": "text_weighted_mix",
     "a0_udf_scalar_arrow": "udf_scalar_arrow",
     "a0_win_topk_per_group": "win_topk_per_group",
-    # --- slots 34-37: r4-cohort picks, highest-value-first ---
+    # --- slots 34-35: r4-cohort picks, highest-value-first ---
     "a0_agg_groupby": "agg_groupby",
-    "a0_tpch_q5": "tpch_q5",
-    "a0_tpch_q9": "tpch_q9",
+    # (tpch_q9 and tpch_q5 — the 9th and 10th tail displacements —
+    # yielded their slots to agg_approx_top_k and fn_collation at the
+    # end of session 2; both r4 rows stay compare-green and join the
+    # r10 queue behind the other displacements.)
     # (stream_source_sink and graph_pagerank — the 7th and 8th tail
     # displacements — yielded their slots to evt_seasonal_anomaly and
     # stream_drift_tv late in session 2; their r4 rows stay
@@ -178,6 +179,10 @@ _NEW_GATE_ALIASES: dict[str, str] = {
     # histogram state, finished through the shared exact-TV algebra
     # and hash-checked against the SAME DuckDB oracle.
     "a0_stream_drift_tv": "stream_drift_tv",
+    # Spark 4.1 approx_top_k frequent-items sketch + exact self-audit.
+    "a0_agg_approx_top_k": "agg_approx_top_k",
+    # Spark 4 UTF8_LCASE collation-aware grouping (SortAggregate path).
+    "a0_fn_collation": "fn_collation",
 }
 
 # Gates born this round but NOT aliased — they join the r10 rotation

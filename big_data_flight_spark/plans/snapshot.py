@@ -675,6 +675,16 @@ SNAPSHOT = {
         "!SortMergeJoin",
         "!CartesianProduct",
     ],
+    # r9-s2. Frequent-items sketch: partial+final ObjectHashAggregate
+    # (the mergeable fixed-size state that makes the sketch the 100 TB
+    # form), exact audit joined by broadcast.
+    "agg_approx_top_k": ["ObjectHashAggregate", "BroadcastHashJoin"],
+    # r9-s2. Collated grouping: collation-aware keys take Spark's
+    # SORT-based aggregate path (collated strings aren't hash-agg
+    # keys) — pinning SortAggregate documents that deliberate engine
+    # behavior so a future planner change is a visible diff, not a
+    # silent one.
+    "fn_collation": ["SortAggregate", "!CartesianProduct"],
 }
 
 

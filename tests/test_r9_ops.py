@@ -201,6 +201,8 @@ S2_GATES = (
     "agg_listagg",
     "dq_drift_tv",
     "stream_drift_tv",
+    "agg_approx_top_k",
+    "fn_collation",
 )
 
 
@@ -453,3 +455,39 @@ def test_stream_drift_twin_equals_batch_gate(spark):
     batch = sorted(tuple(r) for r in dq_drift_tv(spark, SF_SMOKE).collect())
     stream = sorted(tuple(r) for r in stream_drift_tv(spark, SF_SMOKE).collect())
     assert batch == stream and len(batch) > 0
+
+
+def test_approx_top_k_audit_holds_and_covers_all_types(spark):
+    """Every event_type row must carry est == exact (the sketch is
+    exact below its tracked-item capacity) and the gate must cover
+    the full type set — a sketch that silently dropped a key would
+    fail the coverage check, not just the flag."""
+    import pyspark.sql.functions as F
+
+    from big_data_flight_spark.io import table
+    from big_data_flight_spark.operators.aggregates import agg_approx_top_k
+
+    rows = agg_approx_top_k(spark, SF_SMOKE).collect()
+    types = {
+        r["event_type"]
+        for r in table(spark, SF_SMOKE, "events").select("event_type").distinct().collect()
+    }
+    assert {r["event_type"] for r in rows} == types
+    for r in rows:
+        assert r["est_matches_exact"] and r["n_est"] == r["n_exact"] > 0, r
+
+
+def test_collation_merges_both_case_variants(spark):
+    """Each collated group must have merged exactly the two case
+    spellings the parity flip created (n_case_variants == 2 proves
+    the collation-aware grouping did real work), and group sizes
+    must total the customer count."""
+    from big_data_flight_spark.functions.scalar import fn_collation
+    from big_data_flight_spark.io import table
+
+    rows = fn_collation(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["segment_lc"] == r["segment_lc"].lower()
+        assert r["n_case_variants"] == 2, r
+    assert sum(r["n_rows"] for r in rows) == table(spark, SF_SMOKE, "customer").count()
