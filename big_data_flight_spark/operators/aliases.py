@@ -65,7 +65,8 @@ tests/test_scale_patterns.py). Every non-alias name displaced from the
 window is green in a prior CORRECTNESS round AND re-verified each
 round by COMPARE_LOCAL.json, so net driver-verified surface strictly
 grows (cumulative 274/274 after r8; this window converts the 33
-stalest rows to current-fixture evidence and grades the 5 newborns).
+stalest rows to current-fixture evidence and grades all 15 r9-born
+gates — 5 from session 1, 10 from session 2).
 """
 
 from __future__ import annotations
