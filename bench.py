@@ -157,6 +157,26 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _assert_lever_live(spark, name: str, width: str) -> None:
+    """Lever-reaches-plan loud guard (VERDICT r9 #5, the SHUFFLE_OVERRIDE
+    lesson institutionalized): the gate wrapper (session.configure) is
+    the LAST writer of spark.sql.shuffle.partitions before execution —
+    it re-applies RUNTIME_CONF on builder entry. If a future wrapper
+    change reads a different source of truth, the override mechanism
+    dies silently and every bench number quietly measures the base
+    width again (exactly what happened r2→r8). Read the conf INSIDE the
+    measurement window, after the builder (and thus configure()) ran,
+    and fail the whole bench loudly on mismatch — a dead lever must
+    never produce an artifact."""
+    got = spark.conf.get("spark.sql.shuffle.partitions")
+    if got != width:
+        raise AssertionError(
+            f"SHUFFLE_OVERRIDE dead for {name!r}: session conf is {got!r} "
+            f"inside the timed window, want {width!r} — the configure() "
+            "wrapper no longer re-applies the patched RUNTIME_CONF"
+        )
+
+
 def _time_query(spark, name: str, sf_dir: str, runs: int, base_shuffle: str):
     """One 1-warm-up + min-of-runs measurement window for a query.
     Returns (min_sec, build_sec).
@@ -180,6 +200,7 @@ def _time_query(spark, name: str, sf_dir: str, runs: int, base_shuffle: str):
             # Builder performs the work eagerly (e.g. drains a stream) —
             # the whole builder call IS the query.
             materialize(q.builder(spark, sf_dir))  # warm-up
+            _assert_lever_live(spark, name, width)
             samples = []
             for _ in range(runs):
                 t0 = time.perf_counter()
@@ -195,6 +216,7 @@ def _time_query(spark, name: str, sf_dir: str, runs: int, base_shuffle: str):
         tb = time.perf_counter()
         df = q.builder(spark, sf_dir)
         build = round(time.perf_counter() - tb, 3)
+        _assert_lever_live(spark, name, width)
         materialize(df)  # warm-up (codegen + page cache)
         samples = []
         for _ in range(runs):

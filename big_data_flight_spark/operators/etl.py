@@ -526,8 +526,11 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stack of 1-row aggregates is free). The FK check is the only
     extra pass: a left-anti join on the key, whose 1-row count
     broadcast-joins back onto the lineitem aggregate. At 100 TB the
-    anti-join runs on bucketed keys; everything else is map-side
-    partials."""
+    anti-join runs on bucketed keys — orders is a FACT table, so the
+    explicit broadcast below (and the BroadcastHashJoin LeftAnti pin
+    in PLANS.md) holds only at gate scale and MUST flip to a bucketed
+    shuffle join alongside it (ADVICE r9); everything else is
+    map-side partials."""
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     c = table(spark, sf_dir, "customer")
@@ -759,8 +762,9 @@ _DRIFT_TV_ORACLE = """
            CAST(MAX(na_tot) AS BIGINT) AS n_first,
            CAST(MAX(nb_tot) AS BIGINT) AS n_second,
            CAST(CASE WHEN MAX(na_tot) = 0 OR MAX(nb_tot) = 0 THEN 1000000
-                ELSE SUM(ABS(n_a * nb_tot - n_b * na_tot)) * 1000000
-                     // (2 * MAX(na_tot) * MAX(nb_tot)) END
+                ELSE SUM(ABS(CAST(n_a AS HUGEINT) * nb_tot
+                             - CAST(n_b AS HUGEINT) * na_tot)) * 1000000
+                     // (2 * CAST(MAX(na_tot) AS HUGEINT) * MAX(nb_tot)) END
                 AS BIGINT) AS tv_micro
     FROM tot
     GROUP BY event_type
@@ -790,11 +794,19 @@ def _drift_tv_finish(cnt: DataFrame) -> DataFrame:
             # an empty comparison window reads as MAXIMAL drift
             # (1e6), the correct monitoring semantic, in both engines
             # (CASE is lazy under ANSI, so the DIV never evaluates).
+            # Cross-multiplied terms in DECIMAL(38,0) (HUGEINT on the
+            # DuckDB side) — BIGINT would overflow if a regenerated
+            # fixture grew per-type counts ~100x; ANSI would error
+            # loudly, but exact headroom is free (ADVICE r9; the
+            # evt_seasonal_anomaly convention).
             F.expr(
                 "CAST(CASE WHEN MAX(na_tot) = 0 OR MAX(nb_tot) = 0 "
                 "THEN 1000000 "
-                "ELSE SUM(ABS(n_a * nb_tot - n_b * na_tot)) * 1000000 "
-                "DIV (2 * MAX(na_tot) * MAX(nb_tot)) END AS BIGINT)"
+                "ELSE SUM(ABS(CAST(n_a AS DECIMAL(38,0)) * nb_tot "
+                "            - CAST(n_b AS DECIMAL(38,0)) * na_tot)) "
+                "     * 1000000 "
+                "DIV (2 * CAST(MAX(na_tot) AS DECIMAL(38,0)) "
+                "       * MAX(nb_tot)) END AS BIGINT)"
             ).alias("tv_micro"),
         )
         .orderBy("event_type")
@@ -820,8 +832,9 @@ def dq_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side agg on (type, bin)), a per-type window over ≤10 rows, a
     ≤#types-row result. Time/value bounds are a 1-row broadcast (at
     100 TB: from table metadata). The cross-multiplied integers are
-    bounded by N_a·N_b·1e6 — fine at gate scale; a 100 TB deployment
-    divides into per-window fractions first (noted, not needed here).
+    bounded by N_a·N_b·1e6, so they ride in DECIMAL(38,0) / HUGEINT
+    (ADVICE r9) — exact headroom to ~1e38, far past any fixture
+    regrowth or a 100 TB window.
     `half` is integer midpoint math on epoch-µs, bin quantization is
     integer multiply + DIV — no float ever crosses an engine
     boundary except value→micro-units, the floor(x·1e6+0.5) rule."""

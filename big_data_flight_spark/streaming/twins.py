@@ -1410,9 +1410,10 @@ def stream_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT re-scan history — it maintains per-(type, half, bin) counts
     incrementally as events arrive against FIXED histogram edges, and
     evaluates the distance on demand. This gate runs exactly that
-    shape: the bin/half edges are derived once as a 4-scalar 1-row
-    config read (the tfidf-corpus-count sanctioned class; in
-    production they are static monitor config), the stream folds
+    shape: the bin/half edges are derived once as a 5-scalar 1-row
+    config read that ALSO carries the conservation row count — one
+    extra batch scan total, not two (ADVICE r9; the static-monitor-
+    config class now named in CLAUDE.md invariant 4) — the stream folds
     arrivals into a running count state (partial aggregation in the
     state store — the same map-side-combine story as batch, but across
     micro-batches), and the drained counts finish through the
@@ -1428,10 +1429,13 @@ def stream_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 1000000 + 0.5).cast("long").alias("vu"),
         F.unix_micros("ts").alias("tu"),
     )
+    # One combined scan serves config AND audit (ADVICE r9: the row
+    # count rides the same aggregate instead of a second full pass).
     row = ev_b.agg(
-        F.min("tu"), F.max("tu"), F.min("vu"), F.max("vu")
+        F.min("tu"), F.max("tu"), F.min("vu"), F.max("vu"), F.count(F.lit(1))
     ).collect()[0]
     tmin, tmax, vmin, vmax = int(row[0]), int(row[1]), int(row[2]), int(row[3])
+    src_rows = int(row[4])
 
     s = events_stream(spark, sf_dir)
     binned = s.selectExpr(
@@ -1449,7 +1453,6 @@ def stream_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Conservation self-audit (sanctioned O(1) scalar): state counts
     # must total the source rows exactly.
     folded = drained.agg(F.sum("n")).collect()[0][0]
-    src_rows = ev_b.count()
     if folded != src_rows:
         raise AssertionError(
             f"streaming histogram lost/duplicated rows: {folded} != {src_rows}"

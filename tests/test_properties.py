@@ -54,7 +54,10 @@ def test_session_invariants(spark, rows):
     for rs in by_user.values():
         assert rs[0]["session_id"] == 1
         for a, b in zip(rs, rs[1:]):
-            gap_us = (b["ts"] - a["ts"]).total_seconds() * 1e6
+            # integer µs from timedelta FIELDS — float total_seconds()
+            # loses precision past ~2^53/1e6 s (banned pattern, CLAUDE.md)
+            td = b["ts"] - a["ts"]
+            gap_us = (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
             if b["session_id"] == a["session_id"]:
                 assert gap_us <= _SESSION_GAP_US
             else:

@@ -183,10 +183,18 @@ def test_sliced_proxy_twins_are_green_in_committed_artifact():
     for name, rec in proxy.items():
         assert rec["twin_status"] == "OK", (name, rec)
         assert art["statuses"].get(rec["twin"]) == "OK", (name, rec)
-    # and the bare skip list is down to the mllib family only
-    assert all("minhash_mllib" in n for n in art.get("skipped", {})), art.get(
-        "skipped"
-    )
+    # r10 (VERDICT r9 #4): the bare skip list is EMPTY — the one
+    # twin-less slow-oracle gate (text_minhash_mllib) now carries
+    # rows+audit evidence at sf0.1 instead of a skip, recorded green.
+    assert art.get("skipped", {}) == {}, art.get("skipped")
+    audit = art.get("rows_audit")
+    assert audit, "sf0.1 artifact missing rows_audit (pre-r10 stamp?)"
+    assert any(
+        n.removeprefix("a0_") == "text_minhash_mllib"
+        and rec["status"] == "ROWS_AUDIT_OK"
+        and rec["rows"] > 0
+        for n, rec in audit.items()
+    ), audit
 
 
 # ---------------------------------------------------------------------------
@@ -203,6 +211,7 @@ S2_GATES = (
     "stream_drift_tv",
     "agg_approx_top_k",
     "fn_collation",
+    "evt_seasonal_anomaly",  # ADVICE r9: cover all ten newborns uniformly
 )
 
 

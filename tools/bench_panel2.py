@@ -1,0 +1,148 @@
+"""Bench panel 2 — tracked perf signal for the post-r1 gate families
+(VERDICT r9 #3).
+
+The headline bench (bench.py, 20 queries) has ratcheted BEST_KNOWN
+records since r4, but 269 of 289 gates carried NO tracked perf signal:
+a plan regression in an iterative (pagerank, k-means, BPE), ANN
+(IVF-PQ), sliced-dedup, or streaming gate would have been invisible
+between rounds. This panel times ten heavy representatives of those
+families under the SAME protocol discipline as bench.py — min-of-N on
+a warm session, stall-wave retry against committed records, noise
+flagging — and writes BENCH_PANEL2.json at the repo root. The driver
+doesn't run this file (its contract names only bench.py); the round
+routine runs it at stamp time and commits the artifact, and
+tests/test_bench_smoke.py smoke-runs its main() so a renamed gate or
+harness crash can't silently drop the panel.
+
+Protocol notes vs bench.py:
+- BUILDER-INCLUSIVE timing, every gate. Most of this panel is
+  iterative (the work happens in a driver-side loop with
+  localCheckpoint barriers) or eagerly-drained (streaming), so the
+  prepared-plan protocol doesn't apply; for uniformity the lazy
+  members (mm_interleaved_pack, sql_recursive_bfs) are timed
+  builder-inclusive too. Numbers are therefore comparable WITHIN this
+  panel across rounds, not to bench.py's prepared-plan numbers.
+- Same min-of-N + retry + noise_suspected machinery, shared by import
+  from bench.py where possible; records ratchet DOWN only, and only
+  from probe-confirmed QUIET windows (CLAUDE.md).
+
+Usage: python tools/bench_panel2.py          # sf0.1, min-of-3
+       BENCH_RUNS=5 SPARK_GRAFT_SF_DIR=... python tools/bench_panel2.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+# Same bench-session tuning as bench.py (see its header): these heavy
+# gates carry their own repartition()/checkpoint discipline internally,
+# so the env base matters less, but one consistent session shape keeps
+# rounds comparable.
+os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "8")
+os.environ.setdefault("SPARK_GRAFT_AQE", "false")
+
+PANEL = [
+    "graph_pagerank_converged",   # iterative: checkpointed loop + unrolled oracle
+    "sql_recursive_bfs",          # recursive-CTE BFS (UnionLoop plan)
+    "text_bpe_merge_train",       # iterative BPE merge training
+    "sim_ivf_pq",                 # composed IVF-PQ ANN stack
+    "sim_kmeans_lloyd",           # bit-exact Lloyd iterations
+    "text_dedup_clusters_sliced", # sliced label-propagation dedup
+    "agg_median_bisect",          # driver-side bisection loop
+    "stream_windowed_agg",        # streaming windowed aggregation drain
+    "mm_interleaved_pack",        # multimodal training-sample assembler
+    "text_substring_dedup_clean", # Lee-et-al substring dedup + clean
+]
+
+# Committed per-gate records (sec, builder-inclusive, sf0.1, min-of-N
+# in a probe-confirmed QUIET window). To be established by the panel's
+# first probe-gated run (r10); retry-pass reference from then on.
+# Ratchet DOWN only, and only from QUIET windows (CLAUDE.md).
+BEST_KNOWN: dict[str, float] = {}
+
+
+def _time_gate(spark, registry, name: str, sf_dir: str, runs: int) -> float:
+    """Warm-up + min-of-runs, builder-INCLUSIVE (see module docstring)."""
+    from bench import materialize
+
+    q = registry[name]
+    materialize(q.builder(spark, sf_dir))  # warm-up (codegen, page cache)
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        materialize(q.builder(spark, sf_dir))
+        samples.append(time.perf_counter() - t0)
+    return round(min(samples), 3)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    from big_data_flight_spark.registry import (
+        _REGISTRY,
+        _load_all_operator_modules,
+    )
+    from big_data_flight_spark.session import get_session
+
+    _load_all_operator_modules()
+    spark = get_session("bench-panel2")
+
+    timings: dict[str, float] = {}
+    for name in PANEL:
+        try:
+            timings[name] = _time_gate(spark, _REGISTRY, name, sf_dir, runs)
+        except Exception as exc:  # noqa: BLE001
+            print(f"panel2 error {name}: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    # Stall-wave retry pass against committed records (bench.py's
+    # machinery, same thresholds; sf0.1 records only apply at sf0.1).
+    noise_suspected: list[str] = []
+    for name in PANEL if sf == 0.1 else []:
+        ref = BEST_KNOWN.get(name)
+        if ref is None or timings[name] < 0:
+            continue
+        threshold = 1.25 * ref + 0.03
+        attempts = 0
+        while timings[name] > threshold and attempts < 2:
+            attempts += 1
+            try:
+                t2 = _time_gate(spark, _REGISTRY, name, sf_dir, runs)
+            except Exception as exc:  # noqa: BLE001
+                print(f"panel2 retry error {name}: {exc}", file=sys.stderr)
+                break
+            if t2 < timings[name]:
+                print(f"panel2 retry {name}: {timings[name]} -> {t2}",
+                      file=sys.stderr)
+                timings[name] = t2
+        if timings[name] > threshold:
+            noise_suspected.append(name)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    payload = {
+        "metric": f"panel2_{len(PANEL)}q_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "noise_suspected": noise_suspected,
+        "best_known_total": round(sum(BEST_KNOWN.values()), 3) if BEST_KNOWN else None,
+        "protocol": "builder-inclusive min-of-%d, warm session" % runs,
+    }
+    print(json.dumps(payload))
+    if not os.environ.get("PANEL2_NO_ARTIFACT"):
+        with open(os.path.join(_REPO, "BENCH_PANEL2.json"), "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -176,13 +176,26 @@ SLOW_ORACLE_AT_SF01 = {
 # quadratic oracle takes seconds — the twin runs in the normal sweep at
 # every scale, and at sf0.1 this map records it as the skipped gate's
 # value proxy (artifact key "sliced_proxy") instead of a bare skip.
-# text_minhash_mllib has NO twin and honestly stays skipped: MLlib's
-# hash family is JVM-seeded and not oracle-reproducible at any slice
-# (its deterministic-AUDIT oracle is checked at sf0.01).
+# text_minhash_mllib has NO twin (MLlib's hash family is JVM-seeded and
+# not oracle-reproducible at any slice; its deterministic-AUDIT oracle
+# is checked at sf0.01) — since r10 it carries ROWS+AUDIT evidence at
+# sf0.1 instead of a bare skip (below).
 SLICED_PROXY_SF01 = {
     "text_near_dedup_jaccard": "text_near_dedup_jaccard_sliced",
     "text_dedup_clusters": "text_dedup_clusters_sliced",
     "text_dedup_clusters_lss": "text_dedup_clusters_lss_sliced",
+}
+
+# sf0.1 evidence for the one slow-oracle gate with NO sliced twin
+# (VERDICT r9 #4): run the SPARK side only and demand (a) >0 rows and
+# (b) every row's in-row self-audit column holds — for
+# text_minhash_mllib that column is recall_ok, computed by the builder
+# itself against the exact shingle-Jaccard truth (which Spark computes
+# fine at sf0.1; only the DuckDB re-computation is quadratic). Weaker
+# than a hash match and recorded as its own status (ROWS_AUDIT_OK), so
+# the artifact says exactly what was and wasn't verified.
+ROWS_AUDIT_SF01: dict[str, str] = {
+    "text_minhash_mllib": "recall_ok",
 }
 
 
@@ -192,6 +205,7 @@ def main(argv: list[str]) -> int:
     names = argv or sorted(_REGISTRY)
     skipped: list[str] = []
     proxied: dict[str, str] = {}
+    rows_audit: list[str] = []
     if sf_dir.rstrip("/").endswith("sf0.1"):
         # Match by ORACLE identity, not name: a0_* delegation aliases
         # share the target's oracle object, so they must skip too.
@@ -217,10 +231,17 @@ def main(argv: list[str]) -> int:
             if twin is not None:
                 proxied[n] = twin
                 print("PRXY " + n.ljust(28) + f"SLICED_PROXY:{twin}", flush=True)
+            elif n.removeprefix("a0_") in ROWS_AUDIT_SF01:
+                rows_audit.append(n)
+                print("AUDT " + n.ljust(28) + "ROWS_AUDIT_SF01", flush=True)
             else:
                 skipped.append(n)
                 print("SKIP " + n.ljust(28) + "QUADRATIC_ORACLE_SF01", flush=True)
-        names = [n for n in names if n not in set(skipped) and n not in proxied]
+        names = [
+            n
+            for n in names
+            if n not in set(skipped) and n not in proxied and n not in set(rows_audit)
+        ]
         # A subset invocation naming ONLY a proxied gate must still run
         # its twin — otherwise "PRXY ..." prints, zero comparisons run,
         # and the tool exits 0 having verified nothing (r9 self-review).
@@ -232,6 +253,18 @@ def main(argv: list[str]) -> int:
     failed = []
     statuses: dict[str, str] = {}
     row_counts: dict[str, int] = {}
+    audited: dict[str, dict] = {}
+    for n in rows_audit:
+        col = ROWS_AUDIT_SF01[n.removeprefix("a0_")]
+        rows = _REGISTRY[n].builder(spark, sf_dir).collect()
+        ok = len(rows) > 0 and all(r[col] is True for r in rows)
+        status = "ROWS_AUDIT_OK" if ok else "ROWS_AUDIT_FAIL"
+        statuses[n] = status
+        row_counts[n] = len(rows)
+        audited[n] = {"audit_col": col, "rows": len(rows), "status": status}
+        print(("PASS " if ok else "FAIL ") + n.ljust(28) + status, flush=True)
+        if not ok:
+            failed.append({"name": n, "status": status, "rows": len(rows)})
     for name in names:
         q = _REGISTRY[name]
         r = compare_one(spark, con, name, q, sf_dir)
@@ -247,7 +280,8 @@ def main(argv: list[str]) -> int:
         for k, v in r.items():
             if k not in ("name", "status"):
                 print(f"  {k}: {v}")
-    print(f"\n{len(names) - len(failed)}/{len(names)} passed @ {sf_dir}")
+    n_total = len(names) + len(audited)
+    print(f"\n{n_total - len(failed)}/{n_total} passed @ {sf_dir}")
     # Full-registry runs persist a committed artifact so every gate —
     # not just the driver's alphabetical 50-name window — has a
     # recorded correctness result per round (ADVICE r2: the r2
@@ -264,8 +298,8 @@ def main(argv: list[str]) -> int:
             json.dump(
                 {
                     "sf_dir": sf_dir,
-                    "n_pass": len(names) - len(failed),
-                    "n_total": len(names),
+                    "n_pass": n_total - len(failed),
+                    "n_total": n_total,
                     "statuses": statuses,
                     # Per-gate Spark row counts: the non-vacuity guard's
                     # committed evidence (tests/test_r8_ops.py asserts
@@ -278,6 +312,11 @@ def main(argv: list[str]) -> int:
                     # scale — and since r9 only text_minhash_mllib
                     # remains a bare skip.
                     "skipped": {n: "QUADRATIC_ORACLE_SF01" for n in skipped},
+                    # Rows-only + in-row self-audit evidence (VERDICT
+                    # r9 #4): the one twin-less slow-oracle gate runs
+                    # Spark-side at sf0.1 and must return >0 rows with
+                    # its audit column TRUE on every row.
+                    "rows_audit": audited,
                     # sf0.1 value evidence by md5-slot slice: the named
                     # twin ran the gate's pipeline on the deterministic
                     # slice THIS sweep; its status is recorded beside it

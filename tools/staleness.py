@@ -1,0 +1,124 @@
+"""Mechanical staleness audit of driver-evidence rows (VERDICT r9 #1).
+
+The driver's correctness gate samples only the 50 alphabetically-first
+gate names per round; `operators/aliases.py` rotates targets through
+that window with zero-code ``a0_`` delegating aliases. The row of
+record for a gate is therefore the LATEST round in which the gate (or
+one of its per-round aliases) appears green in CORRECTNESS_r{NN}.json.
+
+VERDICT r9 found the r8/r9 purge queue undercounted the stale backlog
+13x because it treated only r<=3 rows as stale — but the r7 fixture
+regeneration makes EVERY r1-r6 row pre-current-fixtures evidence.
+This tool recomputes, mechanically and de-aliased through each round's
+COMMITTED alias map (read from git at the round's verdict commit), the
+latest green driver round per registered gate, and prints the stale
+cohort oldest-first. Run it before composing any rotation in
+aliases.py; tests/test_scale_patterns.py pins the r10 window against
+its output snapshot in tests/stale_rows_r10.json.
+"""
+
+from __future__ import annotations
+
+import ast
+import json
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+# Fixture regeneration boundary: rows from rounds < CURRENT_FIXTURE_ROUND
+# predate the current /root/testdata parquet and are "stale evidence".
+CURRENT_FIXTURE_ROUND = 7
+
+
+def _verdict_commits() -> dict[int, str]:
+    out = subprocess.run(
+        ["git", "log", "--format=%H %s"], cwd=REPO, capture_output=True, text=True
+    ).stdout
+    commits: dict[int, str] = {}
+    for line in out.splitlines():
+        m = re.match(r"([0-9a-f]{40}) round (\d+): verdict", line)
+        if m and int(m.group(2)) not in commits:
+            commits[int(m.group(2))] = m.group(1)
+    return commits
+
+
+def _alias_map_at(commit: str) -> dict[str, str]:
+    """Parse _ALIASES / _NEW_GATE_ALIASES dict literals from aliases.py
+    as committed at `commit`. Returns {} when the file didn't exist."""
+    proc = subprocess.run(
+        ["git", "show", f"{commit}:big_data_flight_spark/operators/aliases.py"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    )
+    if proc.returncode != 0:
+        return {}
+    tree = ast.parse(proc.stdout)
+    out: dict[str, str] = {}
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.Assign, ast.AnnAssign)):
+            targets = node.targets if isinstance(node, ast.Assign) else [node.target]
+            names = [t.id for t in targets if isinstance(t, ast.Name)]
+            if any(n in ("_ALIASES", "_NEW_GATE_ALIASES") for n in names):
+                if isinstance(node.value, ast.Dict):
+                    for k, v in zip(node.value.keys, node.value.values):
+                        if isinstance(k, ast.Constant) and isinstance(v, ast.Constant):
+                            out[k.value] = v.value
+    return out
+
+
+def latest_green_rounds() -> dict[str, int]:
+    """gate -> latest round with a fully-green de-aliased driver row."""
+    commits = _verdict_commits()
+    latest: dict[str, int] = {}
+    for n in sorted(commits):
+        art = REPO / f"CORRECTNESS_r{n:02d}.json"
+        if not art.exists():
+            continue
+        amap = _alias_map_at(commits[n])
+        rows = json.loads(art.read_text())
+        for key, row in rows.items():
+            if row.get("err") is not None:
+                continue
+            if not (row.get("rows_match") and row.get("schema_match")):
+                continue
+            # hash_match is absent on oracle-less rows-only checks
+            if row.get("hash_match") is False:
+                continue
+            gate = amap.get(key, key)
+            latest[gate] = max(latest.get(gate, 0), n)
+    return latest
+
+
+def main() -> None:
+    sys.path.insert(0, str(REPO))
+    from big_data_flight_spark.registry import _REGISTRY, _load_all_operator_modules
+
+    _load_all_operator_modules()
+    gates = sorted(n for n, q in _REGISTRY.items() if "alias" not in q.tags)
+    latest = latest_green_rounds()
+    stale = sorted(
+        ((latest.get(g, 0), g) for g in gates if latest.get(g, 0) < CURRENT_FIXTURE_ROUND),
+    )
+    fresh = [g for g in gates if latest.get(g, 0) >= CURRENT_FIXTURE_ROUND]
+    never = [g for g, r in stale if r == 0]
+    print(f"registered distinct gates : {len(gates)}")
+    print(f"fresh rows (r>={CURRENT_FIXTURE_ROUND})        : {len(fresh)}")
+    print(f"stale rows (r<{CURRENT_FIXTURE_ROUND})         : {len(stale)}")
+    if never:
+        print(f"NEVER driver-graded       : {never}")
+    print("\nstale cohort, oldest-first (round, gate):")
+    for r, g in stale:
+        print(f"  r{r}  {g}")
+    snap = {g: r for r, g in stale}
+    out = REPO / "tests" / "stale_rows_r10.json"
+    out.write_text(json.dumps({"fixture_round": CURRENT_FIXTURE_ROUND, "stale": snap},
+                              indent=1, sort_keys=True) + "\n")
+    print(f"\nsnapshot written: {out}")
+
+
+if __name__ == "__main__":
+    main()
