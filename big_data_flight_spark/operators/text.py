@@ -1905,30 +1905,44 @@ def _positioned_dup_grams(spark: SparkSession, sf_dir: str):
     filter, gram width, or the nd>=2 cross-doc threshold lands in both
     gates at once. Returns (base, sized, dup):
       base  = (doc_id, w: array<token>)           — repartitioned
-      sized = (doc_id, n_tokens, n_grams, grams)  — counters + grams
+      sized = (doc_id, n_tokens, n_grams)          — counters
       dup   = (doc_id, s)                          — duplicated starts
     A gram is 'duplicated' when it occurs in >= 2 DISTINCT documents
-    (within-doc repeats are text_repetition_gopher's signal)."""
+    (within-doc repeats are text_repetition_gopher's signal).
+
+    Positioned grams are built EXPLODE-FIRST (bare integer positions
+    explode, then ONE concat_ws per exploded row builds the gram from
+    the materialized token array). The obvious alternative —
+    posexplode over an inline transform(sequence, i -> concat_ws(8 x
+    element_at)) array — is a measured 100x pathology (r10 panel-2
+    catch: 27 s vs 0.25 s at sf0.1 for the identical 235k-row result,
+    checksum-verified): Generate over a non-trivial generator
+    expression abandons whole-stage codegen and re-evaluates the whole
+    gram-array construction per OUTPUT row, turning O(grams) work into
+    O(grams^2 * gram_width) per document."""
     d = table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
     base = d.select("doc_id", toks.alias("w")).repartition(32, "doc_id")
     n = F.size("w")
-    grams_arr = F.when(
-        n >= 8,
-        F.transform(
-            F.sequence(F.lit(0), n - 8),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at("w", i + k + 1) for k in range(8)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     sized = base.select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
         F.greatest(n - 7, F.lit(0)).cast("long").alias("n_grams"),
-        grams_arr.alias("grams"),
     )
-    pos = sized.select("doc_id", F.posexplode("grams").alias("s", "gram"))
+    pos = base.select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.when(n >= 8, F.sequence(F.lit(0), n - 8))
+            .otherwise(F.array().cast("array<int>"))
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        "s",
+        F.concat_ws(
+            " ", *[F.element_at("w", F.col("s") + k + 1) for k in range(8)]
+        ).alias("gram"),
+    )
     dup_grams = (
         pos.groupBy("gram")
         .agg(F.size(F.collect_set("doc_id")).alias("nd"))

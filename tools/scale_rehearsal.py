@@ -1,0 +1,147 @@
+"""One-off 10x scale-stress rehearsal (VERDICT r9 #6).
+
+Every 100 TB verdict so far is plan-shape reasoning; this grounds one
+of them empirically. It synthesizes ~10x copies of the sf0.1 fixture
+tables in a TEMP dir (never /root/testdata) by unioning key-shifted
+copies — 10 disjoint id-spaces, so the graph gets 10x nodes+edges and
+the corpus gets 10x docs with near-duplicate text across copies (each
+copy appends a distinct marker token, so cross-copy pairs are
+NEAR-dups, not byte-dups — the harder dedup load) — then runs the
+three heaviest iterative/dedup gates once each, builder-inclusive,
+and prints one JSON line with wall-times + output row counts. The
+numbers go into BASELINE.md's round-10 section by hand; the artifact
+of interest is "did the lineage/memory discipline (localCheckpoint per
+round, checkpointed loop-invariants, bounded inverted-index fan-out)
+hold one order of magnitude off the fixture ladder", not a record.
+
+Usage:  python tools/scale_rehearsal.py [gate ...]
+        SCALE_K=10 SCALE_DIR=/tmp/rehearsal python tools/scale_rehearsal.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+GATES = [
+    "graph_pagerank_converged",    # iterative loop: lineage + checkpoint behavior
+    "text_dedup_clusters_sliced",  # sliced label-propagation dedup
+    "text_substring_dedup_clean",  # 8-gram inverted index, one shuffle
+    "evt_sessionize_stats",        # events-table representative (cheap control)
+]
+
+SRC = "/root/testdata/sf0.1"
+
+
+def synthesize(spark, out: str, k: int) -> dict[str, int]:
+    """Write k key-shifted copies of the tables the rehearsal gates
+    read. Shifts keep every copy in a disjoint id space (graph grows
+    by nodes, not degree); document text gets a per-copy marker token
+    so cross-copy pairs are near-dups under shingle Jaccard."""
+    from pyspark.sql import functions as F
+
+    counts: dict[str, int] = {}
+
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    o = spark.read.parquet(f"{SRC}/orders.parquet")
+    d = spark.read.parquet(f"{SRC}/documents.parquet")
+    e = spark.read.parquet(f"{SRC}/events.parquet")
+
+    mo = o.agg(F.max("o_orderkey"), F.max("o_custkey")).collect()[0]
+    okey_span, cust_span = int(mo[0]) + 1, int(mo[1]) + 1
+    supp_span = int(li.agg(F.max("l_suppkey")).collect()[0][0]) + 1
+    doc_span = int(d.agg(F.max("doc_id")).collect()[0][0]) + 1
+    me = e.agg(F.max("event_id"), F.max("user_id")).collect()[0]
+    evt_span, user_span = int(me[0]) + 1, int(me[1]) + 1
+
+    def stack(df, shift_cols: dict[str, int], text_marker: bool = False):
+        parts = []
+        for i in range(k):
+            p = df
+            for c, span in shift_cols.items():
+                p = p.withColumn(c, (F.col(c) + F.lit(i * span)).cast(df.schema[c].dataType))
+            if text_marker and i > 0:
+                p = p.withColumn("text", F.concat(F.col("text"), F.lit(f" copymark{i}")))
+            parts.append(p)
+        out_df = parts[0]
+        for p in parts[1:]:
+            out_df = out_df.unionByName(p)
+        return out_df
+
+    jobs = {
+        "lineitem": stack(li, {"l_orderkey": okey_span, "l_suppkey": supp_span}),
+        "orders": stack(o, {"o_orderkey": okey_span, "o_custkey": cust_span}),
+        "documents": stack(d, {"doc_id": doc_span}, text_marker=True),
+        "events": stack(e, {"event_id": evt_span, "user_id": user_span}),
+    }
+    for name, df in jobs.items():
+        path = f"{out}/{name}.parquet"
+        # 16 output files per table: at 10x sf0.1 this keeps scan
+        # splits near maxPartitionBytes instead of one giant file
+        # (the single-file fixture pathology, CLAUDE.md invariant 4).
+        df.repartition(16).write.mode("overwrite").parquet(path)
+        counts[name] = spark.read.parquet(path).count()
+    return counts
+
+
+def main() -> int:
+    k = int(os.environ.get("SCALE_K", "10"))
+    out = os.environ.get("SCALE_DIR", "/tmp/scale_rehearsal_10x")
+    gates = sys.argv[1:] or GATES
+
+    from big_data_flight_spark.registry import (
+        _REGISTRY,
+        _load_all_operator_modules,
+    )
+    from big_data_flight_spark.session import get_session
+
+    _load_all_operator_modules()
+    spark = get_session("scale-rehearsal")
+
+    if os.path.isdir(out) and os.environ.get("SCALE_REUSE") != "1":
+        shutil.rmtree(out)
+    if not os.path.isdir(out):
+        t0 = time.perf_counter()
+        counts = synthesize(spark, out, k)
+        synth_sec = round(time.perf_counter() - t0, 1)
+    else:
+        counts, synth_sec = {"reused": 1}, 0.0
+
+    results: dict[str, dict] = {}
+    for name in gates:
+        q = _REGISTRY[name]
+        t0 = time.perf_counter()
+        try:
+            df = q.builder(spark, out)
+            n = df.count()
+            results[name] = {
+                "wall_sec": round(time.perf_counter() - t0, 1),
+                "rows": n,
+                "status": "OK" if n > 0 else "EMPTY",
+            }
+        except Exception as exc:  # noqa: BLE001
+            results[name] = {
+                "wall_sec": round(time.perf_counter() - t0, 1),
+                "rows": -1,
+                "status": f"ERROR: {exc}"[:300],
+            }
+        print(f"rehearsal {name}: {results[name]}", file=sys.stderr, flush=True)
+
+    print(json.dumps({
+        "k": k,
+        "dir": out,
+        "synth_sec": synth_sec,
+        "table_rows": counts,
+        "gates": results,
+    }))
+    return 0 if all(r["status"] == "OK" for r in results.values()) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
