@@ -389,17 +389,38 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     Shingling (not raw tokens) is what makes Jaccard discriminative:
     the fixture vocabulary is ~31 words, so token sets are near-
     identical across docs while shingle sets collide only for true
-    near-duplicates."""
+    near-duplicates.
+
+    Built EXPLODE-FIRST for the same reason as _positioned_dup_grams
+    (r10): exploding a transform-built shingle array invites
+    InferFiltersFromGenerate to clone the whole construction into a
+    pre-scan Filter (evaluated twice per row), and near_dup_pairs
+    consumes this subtree FOUR times (df, both join sides, sizes) —
+    the clone multiplied. Explode bare window starts, build each
+    shingle with one codegen'd concat_ws per exploded row, dedup with
+    one (doc_id, shingle) distinct (set-identical to the old per-doc
+    array_distinct; full-gate checksum-verified). Measured on the
+    jaccard gate at sf0.1, two interleaved windows: ~2x faster
+    (mins 3.77 -> 2.0 s in a stalled window; 0.56 -> 0.24 s on the
+    isolated stage in a clean one).
+    """
     w = F.split(F.lower(F.col("text")), " ")
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size(w) - k),
-        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(k)]),
-    )
+    n = F.size("w")
     # Docs shorter than k words: sequence(0, negative) DESCENDS in Spark
     # (would index element_at(w, 0) and crash) — guard with an empty
-    # shingle set, matching the oracle's range(1, len-1) = [] behavior.
-    sh = F.when(F.size(w) >= k, sh).otherwise(F.array().cast("array<string>"))
-    return docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    # start set, matching the oracle's range(1, len-1) = [] behavior.
+    starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    ex = docs.select("doc_id", w.alias("w")).select(
+        "doc_id", "w", F.explode(starts).alias("i")
+    )
+    return ex.select(
+        "doc_id",
+        F.concat_ws(
+            " ", *[F.element_at("w", F.col("i") + j + 1) for j in range(k)]
+        ).alias("shingle"),
+    ).distinct()
 
 
 # Shared by text_near_dedup_jaccard and (as a COUNT subquery) the
@@ -1913,13 +1934,21 @@ def _positioned_dup_grams(spark: SparkSession, sf_dir: str):
     Positioned grams are built EXPLODE-FIRST (bare integer positions
     explode, then ONE concat_ws per exploded row builds the gram from
     the materialized token array). The obvious alternative —
-    posexplode over an inline transform(sequence, i -> concat_ws(8 x
-    element_at)) array — is a measured 100x pathology (r10 panel-2
-    catch: 27 s vs 0.25 s at sf0.1 for the identical 235k-row result,
-    checksum-verified): Generate over a non-trivial generator
-    expression abandons whole-stage codegen and re-evaluates the whole
-    gram-array construction per OUTPUT row, turning O(grams) work into
-    O(grams^2 * gram_width) per document."""
+    posexplode over an ALIASED transform(sequence, i -> concat_ws(8 x
+    element_at)) grams column — is a measured ~30x pathology (r10
+    panel-2 catch, 27 s vs 0.25 s at sf0.1 for the identical 235k-row
+    result, checksum-verified; root cause isolated by .explain +
+    excludedRules A/B, 32 s -> 1.5 s): Catalyst's
+    InferFiltersFromGenerate clones the generator child into a
+    `size(c) > 0 AND isnotnull(c)` Filter, and filter pushdown
+    substitutes the alias all the way below the repartition Exchange —
+    there `w` doesn't exist yet, so every one of the 16 cloned
+    element_at calls inlines (and re-evaluates) the full
+    filter(split(lower(text))) tokenization: O(grams x width x tokens)
+    string work per row, paid TWICE (size + isnotnull), in an
+    interpreted pre-exchange Filter. Exploding bare positions keeps
+    the inferred filter trivial (size(sequence)>0) and the expensive
+    concat_ws safely ABOVE the Generate."""
     d = table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
     base = d.select("doc_id", toks.alias("w")).repartition(32, "doc_id")
