@@ -139,6 +139,9 @@ BEST_KNOWN = {
 SHUFFLE_OVERRIDE = {
     # inverted-index self-join + pair agg: 0.904 @8 / 0.848 @16 /
     # 0.832 @32 — the data-bound shuffle wants the full core count.
+    # Re-swept r10 after the explode-first shingles rewrite
+    # (interleaved min-of-(2x5), NOISY window): 0.819 @8 / 0.575 @16 /
+    # 0.568 @32 — 16 and 32 tie at the new floor, 8 still loses; keep.
     "text_near_dedup_jaccard": "32",
     # single-scan as-of window: 0.114 @8 / 0.093 @16 — 16 splits the
     # 200k-row per-user sort without doubling scheduling overhead.

@@ -69,12 +69,12 @@ PANEL = [
 # first reading was the pathology the panel was built to catch; see
 # BASELINE.md round-10).
 BEST_KNOWN: dict[str, float] = {
-    "graph_pagerank_converged": 5.068,
-    "sql_recursive_bfs": 2.716,
+    "graph_pagerank_converged": 4.925,
+    "sql_recursive_bfs": 2.528,
     "text_bpe_merge_train": 1.816,
     "sim_ivf_pq": 2.363,
     "sim_kmeans_lloyd": 1.462,
-    "text_dedup_clusters_sliced": 3.249,
+    "text_dedup_clusters_sliced": 2.248,
     "agg_median_bisect": 4.434,
     "stream_windowed_agg": 0.756,
     "mm_interleaved_pack": 0.605,
