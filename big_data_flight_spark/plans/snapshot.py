@@ -150,6 +150,11 @@ SNAPSHOT = {
         "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin",
         "!BroadcastNestedLoopJoin",
         "HashAggregate",
+        # r10 InferFiltersFromGenerate regression pin: the inferred
+        # size>0 filter must never re-inline the tokenization into
+        # per-element access (the 33x clone; see _positioned_dup_grams
+        # docstring). Also asserted GLOBALLY over every plan in main().
+        "!element_at(filter(split",
     ],
     # Convergence-gated PageRank: the early-stopped loop must leave the
     # same flat lineage as the fixed-depth gate (final plan reads the
@@ -714,9 +719,11 @@ def main() -> int:
         "",
     ]
     failures = []
+    all_plans: dict[str, str] = {}
     for name, props in SNAPSHOT.items():
         q = _REGISTRY[name]
         txt = plan_text(q.builder(spark, sf_dir))
+        all_plans[name] = txt
         checks = []
         for p in props:
             # Property micro-syntax: "A|B" = any-of (any equi-join
@@ -746,6 +753,16 @@ def main() -> int:
     with open(os.path.join(REPO, "PLANS.md"), "w") as fh:
         fh.write("\n".join(out))
     print(f"wrote PLANS.md ({len(SNAPSHOT)} plans)")
+    # GLOBAL r10 pin (the InferFiltersFromGenerate clone, 33x on the
+    # substring base, 2x on shingles): no snapshotted plan may contain
+    # per-element access into a re-inlined tokenization — the signature
+    # of an inferred/pushed filter (or collapsed projection) that
+    # re-evaluates split()/filter(split()) inside every element_at.
+    # Catches the pathology on any FUTURE gate, not just the fixed two.
+    for needle in ("element_at(split(", "element_at(filter(split"):
+        bad = [n for n, t in all_plans.items() if needle in t]
+        for n in bad:
+            failures.append((n, f"!{needle} [global clone pin]"))
     for name, p in failures:
         print(f"MISSING PLAN PROPERTY: {name}: {p}", file=sys.stderr)
     return 1 if failures else 0
