@@ -118,7 +118,7 @@ BEST_KNOWN = {
     # took the measured min 0.887 -> 0.460 even in a NOISY window —
     # records tighten from any regime.
     "text_near_dedup_jaccard": 0.460,
-    "sim_cosine_pairs": 0.477,
+    "sim_cosine_pairs": 0.464,  # r10 min
     "limit_topk": 0.049,
     "stream_source_sink": 0.478,
     "tpch_q8": 0.219,
