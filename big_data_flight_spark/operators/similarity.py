@@ -2084,3 +2084,243 @@ def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _HNM_K)
         .select("anchor_id", "anchor_label", "neg_id", "neg_label", "cos_sim", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_ann_recall_curve — ANN recall-vs-exact promoted from an in-row
+# boolean audit to a fully-oracled MEASURED curve (r11; VERDICT r10 #4).
+# ---------------------------------------------------------------------------
+
+# Operating points: cells probed of the 10 label cells. 10 probes =
+# every cell, so that row's ivf ranking is definitionally the exact
+# ranking — recall_micro = 1000000 is a built-in sanity anchor.
+_RECALL_NPROBES = (1, 2, 3, 5, 8, 10)
+_RECALL_NQUERIES = 50  # query slice: vec_id < 50
+_RECALL_K = 5  # top-k depth audited
+
+# The oracle is generated from the SAME Python constants as the Spark
+# loop below (the pagerank/BPE convention — shared constants mean the
+# two sides cannot drift). Every multi-referenced CTE is MATERIALIZED
+# (DuckDB inlines CTEs per reference; pagerank_converged lesson).
+_RECALL_CURVE_ORACLE = f"""
+    WITH cent AS MATERIALIZED (
+      SELECT label AS cell, i AS pos,
+             list_sum(list_sort(list(CAST(embedding[i] AS DOUBLE)))) / COUNT(*) AS cv
+      FROM embeddings CROSS JOIN range(1, {DIM + 1}) t(i)
+      GROUP BY label, i
+    ),
+    vec AS (
+      SELECT vec_id AS query_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS vv
+      FROM embeddings CROSS JOIN range(1, {DIM + 1}) t(i)
+      WHERE vec_id < {_RECALL_NQUERIES}
+    ),
+    dots AS (
+      SELECT query_id, cell,
+             list_sum(list_sort(list(vv * cv))) AS dot,
+             list_sum(list_sort(list(vv * vv))) AS v_sq,
+             list_sum(list_sort(list(cv * cv))) AS c_sq
+      FROM vec JOIN cent USING (pos)
+      GROUP BY query_id, cell
+    ),
+    cellrank AS MATERIALIZED (
+      SELECT query_id, cell,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY dot / sqrt(v_sq * c_sq) DESC, cell) AS cell_rank
+      FROM dots
+    ),
+    scored AS MATERIALIZED (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label AS cell,
+             ROUND({_DUCK_DOT} / ({_duck_norm('a')} * {_duck_norm('b')}), 6) AS cs
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {_RECALL_NQUERIES}
+    ),
+    exact AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rn
+        FROM scored
+      ) WHERE rn <= {_RECALL_K}
+    ),
+    np AS (SELECT unnest({list(_RECALL_NPROBES)}) AS nprobe),
+    cand AS (
+      SELECT np.nprobe, s.query_id, s.neighbor_id, s.cs
+      FROM scored s
+      JOIN cellrank cr ON s.query_id = cr.query_id AND s.cell = cr.cell
+      CROSS JOIN np
+      WHERE cr.cell_rank <= np.nprobe
+    ),
+    ivf_top AS MATERIALIZED (
+      SELECT nprobe, query_id, neighbor_id FROM (
+        SELECT nprobe, query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY nprobe, query_id
+                 ORDER BY cs DESC, neighbor_id) AS rn
+        FROM cand
+      ) WHERE rn <= {_RECALL_K}
+    ),
+    exn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_results FROM exact)
+    SELECT CAST(i.nprobe AS BIGINT) AS nprobe,
+           exn.n_exact_results,
+           CAST(COUNT(*) AS BIGINT) AS n_ivf_results,
+           CAST(SUM(CASE WHEN e.query_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_recalled,
+           CAST(CASE WHEN exn.n_exact_results > 0 THEN
+                  (SUM(CASE WHEN e.query_id IS NOT NULL THEN 1 ELSE 0 END)
+                   * 1000000) // exn.n_exact_results
+                ELSE 0 END AS BIGINT) AS recall_micro
+    FROM ivf_top i
+    LEFT JOIN exact e
+      ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+    CROSS JOIN exn
+    GROUP BY i.nprobe, exn.n_exact_results
+    ORDER BY nprobe
+"""
+
+
+@gate_query(
+    "sim_ann_recall_curve",
+    oracle=_RECALL_CURVE_ORACLE,
+    tags=("similarity", "approx", "audit"),
+)
+def sim_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall-vs-exact as a MEASURED, fully-oracled time series
+    (VERDICT r10 #4: promote the in-row recall audit to a tracked
+    value): sweep the IVF pipeline across nprobe operating points and
+    emit one row per point — (nprobe, n_exact_results, n_ivf_results,
+    n_recalled, recall_micro) — so every round's CORRECTNESS/COMPARE
+    artifact records the actual recall curve, and any drift in the
+    index's quality shows as a VALUE-hash change, not a boolean flip.
+
+    Division of labor in the ANN audit family: sim_ann_lsh keeps the
+    boolean-audit form because MLlib's seeded projections are not
+    DuckDB-reproducible; sim_ann_ivf demonstrates the IVF operator at
+    its production point (nprobe=5) with a recall-floor boolean; THIS
+    gate owns the measured curve, possible precisely because the whole
+    IVF pipeline — label cells, ordered-mean centroids (the
+    sim_centroid_assign sorted-fold pattern), raw-cosine cell ranking
+    with cell tie-break, round(cos,6)+id result ranking (the
+    sim_topk_neighbors pair) — is deterministic IEEE arithmetic both
+    engines replicate exactly. nprobe=10 probes every cell, so its
+    recall_micro = 1000000 row is a built-in sanity anchor; the
+    fixture's labels are random partitions (sim_ann_ivf docstring), so
+    intermediate points sit near nprobe/10 — the honest measurement,
+    recorded rather than asserted.
+
+    Scale shape: the audit necessarily pays the exact baseline (that
+    IS the ground truth), so cost is the 50-query exact scan the
+    sim_topk_neighbors family already bounds; the centroid table (640
+    rows) broadcasts, the nprobe sweep is a 6-row broadcast cross
+    join, and all windows key on (nprobe, query) — no all-pairs
+    anything beyond the declared exact baseline. Integer outputs only
+    (counts + micro-units); the one division is DIV with a lazy CASE
+    guard (CLAUDE.md invariant 1)."""
+    e = table(spark, sf_dir, "embeddings")
+
+    # Codebook: label cells, ordered-mean centroids (exact parity path).
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy(F.col("label").alias("cell"), "pos")
+        .agg(_ordered_mean(F.col("val")).alias("cv"))
+    )
+    # Query -> cell ranking via the sorted-fold groupBy (the
+    # sim_centroid_assign pattern — proven bit-identical to the
+    # oracle's list_sum(list_sort(list(...)))).
+    vec = (
+        e.filter(F.col("vec_id") < _RECALL_NQUERIES)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "pos",
+            F.col("val").cast("double").alias("vv"),
+        )
+    )
+    dots = vec.join(F.broadcast(cent), "pos").groupBy("query_id", "cell").agg(
+        _ordered_sum(F.col("vv") * F.col("cv")).alias("dot"),
+        _ordered_sum(F.col("vv") * F.col("vv")).alias("v_sq"),
+        _ordered_sum(F.col("cv") * F.col("cv")).alias("c_sq"),
+    )
+    c_sim = F.col("dot") / F.sqrt(F.col("v_sq") * F.col("c_sq"))
+    w_cell = Window.partitionBy("query_id").orderBy(c_sim.desc(), F.col("cell"))
+    cellrank = dots.withColumn("cell_rank", F.row_number().over(w_cell)).select(
+        "query_id", "cell", "cell_rank"
+    )
+
+    # Exact scoring over the full corpus — the audit's ground truth
+    # (round(cos,6)+id ranking: the sim_topk_neighbors proven pair).
+    q = e.filter(F.col("vec_id") < _RECALL_NQUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("eq"),
+        _norm(F.col("embedding")).alias("nq"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("cell"),
+        F.col("embedding").alias("ec"),
+        _norm(F.col("embedding")).alias("nc"),
+    ).repartition(32)
+    cos = _dot(F.col("eq"), F.col("ec")) / (F.col("nq") * F.col("nc"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "cell", F.round(cos, 6).alias("cs"))
+    )
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.col("cs").desc(), F.col("neighbor_id")
+    )
+    exact = (
+        scored.withColumn("rn", F.row_number().over(w_q))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+
+    npdf = spark.createDataFrame(
+        [(n,) for n in _RECALL_NPROBES], ["nprobe"]
+    )
+    cand = (
+        scored.join(cellrank, ["query_id", "cell"])
+        .crossJoin(F.broadcast(npdf))
+        .filter(F.col("cell_rank") <= F.col("nprobe"))
+    )
+    w_qn = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("cs").desc(), F.col("neighbor_id")
+    )
+    ivf_top = (
+        cand.withColumn("rn", F.row_number().over(w_qn))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+
+    per_np = (
+        ivf_top.join(
+            exact.withColumn("is_exact", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("nprobe")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ivf_results"),
+            F.sum(F.coalesce("is_exact", F.lit(0))).cast("long").alias(
+                "n_recalled"
+            ),
+        )
+    )
+    exn = exact.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_results")
+    )
+    return (
+        per_np.crossJoin(F.broadcast(exn))
+        .select(
+            F.col("nprobe").cast("long").alias("nprobe"),
+            "n_exact_results",
+            "n_ivf_results",
+            "n_recalled",
+            F.expr(
+                "CAST(CASE WHEN n_exact_results > 0 THEN "
+                "(n_recalled * 1000000L) div n_exact_results "
+                "ELSE 0 END AS BIGINT)"
+            ).alias("recall_micro"),
+        )
+    )

@@ -2161,6 +2161,174 @@ def text_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Paragraph width in tokens for the paragraph-keyed dedup pass. The
+# fixture corpus carries no newline structure (verified: zero docs
+# contain chr(10) at any SF), so "paragraph" is a fixed 32-token
+# block — the same declared-semantics move as the editdist gate's
+# 32-char prefix block: both engines derive identical paragraphs, so
+# the oracle is exact, and a production corpus would swap the splitter
+# for split(text, '\\n\\n') with the rest of the plan unchanged.
+TEXT_PARA_TOKENS = 32
+
+
+@gate_query(
+    "text_substring_dedup_paragraph",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS w
+      FROM documents
+    ),
+    paras AS (
+      SELECT doc_id,
+             unnest(range(0, CAST((len(w) + {TEXT_PARA_TOKENS - 1})
+                                  // {TEXT_PARA_TOKENS} AS INT))) AS para_id,
+             unnest([array_to_string(
+                 w[i * {TEXT_PARA_TOKENS} + 1 : (i + 1) * {TEXT_PARA_TOKENS}], ' ')
+               for i in range(0, CAST((len(w) + {TEXT_PARA_TOKENS - 1})
+                                      // {TEXT_PARA_TOKENS} AS INT))]) AS ptext,
+             unnest([len(w[i * {TEXT_PARA_TOKENS} + 1 : (i + 1) * {TEXT_PARA_TOKENS}])
+               for i in range(0, CAST((len(w) + {TEXT_PARA_TOKENS - 1})
+                                      // {TEXT_PARA_TOKENS} AS INT))]) AS plen
+      FROM base
+    ),
+    ranked AS (
+      SELECT doc_id, para_id, ptext, plen,
+             row_number() OVER (
+               PARTITION BY ptext ORDER BY doc_id, para_id) AS rn
+      FROM paras
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_paras,
+             CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+             CAST(COALESCE(SUM(CASE WHEN rn = 1 THEN plen ELSE 0 END), 0)
+               AS BIGINT) AS n_kept_tokens,
+             COALESCE(array_to_string(
+               list(ptext ORDER BY para_id) FILTER (rn = 1), ' '), '')
+               AS cleaned_text
+      FROM ranked GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(COALESCE(n_paras, 0) AS BIGINT) AS n_paras,
+           CAST(COALESCE(n_dropped, 0) AS BIGINT) AS n_dropped,
+           CAST(COALESCE(n_kept_tokens, 0) AS BIGINT) AS n_kept_tokens,
+           COALESCE(cleaned_text, '') AS cleaned_text
+    FROM base b LEFT JOIN agg USING (doc_id)
+    """,
+    tags=("text", "dedup"),
+)
+def text_substring_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAGRAPH-granularity corpus dedup — the keep-first form
+    production corpora actually ship (C4 dropped repeated three-
+    sentence spans; RefinedWeb/Falcon drop repeated paragraphs; both
+    public methods): split every document into paragraphs, drop each
+    paragraph whose exact content already occurred EARLIER in the
+    corpus (total order (doc_id, para_id) elects the keeper — a
+    deterministic election, unlike symmetric removal), and emit the
+    cleaned document. Division of labor within the substring family
+    (all three share the explode-first discipline): _positioned_dup_grams'
+    stats/clean pair owns SPAN-level (8-gram) symmetric removal — it
+    catches partial overlap anywhere in the text; this gate owns
+    PARAGRAPH-keyed keep-first dedup — the cheap first pass whose unit
+    is the paragraph boundary, catching boilerplate blocks verbatim-
+    repeated across documents (31/31/428 paragraphs dropped at
+    sf0.001/0.01/0.1 — probed at all three SFs, CLAUDE.md 3b).
+
+    Scale shape: paragraphs explode ~|tokens|/32 rows per doc; the
+    ONLY shuffle is the row_number window keyed by paragraph CONTENT
+    (the inverted-index move — identical paragraphs colocate; nothing
+    all-pairs anywhere), plus the per-doc reassembly groupBy. At
+    100 TB the content key would be sha256(ptext) so only 32-byte
+    hashes shuffle (mm_dedup_assets' pre-shuffle-hash rule); the
+    fixture's ~300-char paragraphs shuffle fine as-is and keeping the
+    raw text makes the keeper election directly value-checkable.
+    Explode-first: bare para_id indices explode (trivial inferred
+    filter), ONE array_join(slice(w)) per exploded row builds the
+    paragraph ABOVE the Generate — never a posexplode over an aliased
+    expensive array (the InferFiltersFromGenerate clone pathology,
+    CLAUDE.md known-perf; pinned globally in plans/snapshot.py)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    base = d.select("doc_id", toks.alias("w")).repartition(32, "doc_id")
+    # Integer paragraph count — (|w| + 31) div 32 — matches the
+    # oracle's `//`; empty docs (none in any fixture generation, but
+    # the guard is the shingles()/clean-gate convention) explode to
+    # zero paragraphs, matching range(0, 0).
+    n_paras = F.expr(
+        f"(size(w) + {TEXT_PARA_TOKENS - 1}) div {TEXT_PARA_TOKENS}"
+    )
+    paras = base.select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.when(
+                F.size("w") > 0,
+                F.sequence(F.lit(0).cast("long"), n_paras - 1),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("para_id"),
+    ).select(
+        "doc_id",
+        F.col("para_id").cast("long").alias("para_id"),
+        F.array_join(
+            F.slice(
+                "w",
+                (F.col("para_id") * TEXT_PARA_TOKENS + 1).cast("int"),
+                TEXT_PARA_TOKENS,
+            ),
+            " ",
+        ).alias("ptext"),
+        F.size(
+            F.slice(
+                "w",
+                (F.col("para_id") * TEXT_PARA_TOKENS + 1).cast("int"),
+                TEXT_PARA_TOKENS,
+            )
+        ).cast("long").alias("plen"),
+    )
+    w_first = Window.partitionBy("ptext").orderBy("doc_id", "para_id")
+    ranked = paras.withColumn("rn", F.row_number().over(w_first))
+    agg = ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long").alias(
+            "n_dropped"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("rn") == 1, F.col("plen")).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_kept_tokens"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1,
+                                F.struct("para_id", "ptext"),
+                            )
+                        )
+                    ),
+                    lambda s: s["ptext"],
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("cleaned_text"),
+    )
+    return (
+        base.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_paras", F.lit(0)).cast("long").alias("n_paras"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            F.coalesce("n_kept_tokens", F.lit(0)).cast("long").alias(
+                "n_kept_tokens"
+            ),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE merge training — distributed tokenizer-vocabulary learning
 # ---------------------------------------------------------------------------

@@ -690,6 +690,21 @@ SNAPSHOT = {
     # behavior so a future planner change is a visible diff, not a
     # silent one.
     "fn_collation": ["SortAggregate", "!CartesianProduct"],
+    # r11. Paragraph-keyed dedup: the keeper election must be the
+    # content-keyed window (inverted-index move — identical paragraphs
+    # colocate in ONE hash shuffle), never an all-pairs join; the
+    # global InferFiltersFromGenerate pin covers its explode too.
+    "text_substring_dedup_paragraph": [
+        "Window",
+        "HashAggregate",
+        "!BroadcastNestedLoopJoin",
+        "!CartesianProduct",
+    ],
+    # r11. ANN recall curve: the 640-row codebook and the 6-row nprobe
+    # sweep must both broadcast (BHJ for the pos-keyed centroid join;
+    # the exact-baseline query×corpus cross join is the DECLARED
+    # ground-truth cost, so BNLJ is expected and not banned here).
+    "sim_ann_recall_curve": ["BroadcastHashJoin", "HashAggregate"],
 }
 
 

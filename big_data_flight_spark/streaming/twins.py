@@ -1486,3 +1486,120 @@ def _share_drift_oracle() -> None:
 
 
 _share_drift_oracle()
+
+
+# ---------------------------------------------------------------------------
+# stream_dq_expectations — streaming twin of etl.dq_expectations (r11):
+# the data-contract check evaluated on the ARRIVAL path instead of a
+# batch re-scan before table promotion.
+# ---------------------------------------------------------------------------
+
+
+@gate_query(
+    "stream_dq_expectations",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS vu,
+             CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS vn,
+             CAST(SUM(CASE WHEN value < 0.0 OR value > 50.0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS vr,
+             CAST(SUM(CASE WHEN event_type NOT IN
+                        ('click', 'error', 'purchase', 'signup', 'view')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS vt,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-01'
+                             OR ts >= TIMESTAMP '2024-01-15'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS vw
+      FROM events
+    )
+    SELECT * FROM (
+      SELECT 'events.event_id.unique' AS expectation,
+             n AS n_checked, vu AS n_violations, vu = 0 AS passed FROM e
+      UNION ALL SELECT 'events.event_type.in_set', n, vt, vt = 0 FROM e
+      UNION ALL SELECT 'events.ts.window_jan01_15', n, vw, vw = 0 FROM e
+      UNION ALL SELECT 'events.user_id.not_null', n, vn, vn = 0 FROM e
+      UNION ALL SELECT 'events.value.range_0_50', n, vr, vr = 0 FROM e
+    )
+    ORDER BY expectation
+    """,
+    tags=("streaming", "dq"),
+)
+def stream_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of etl.dq_expectations (which see for the batch
+    form and the one-scan-per-table scale argument): a production data
+    contract is enforced on the ARRIVAL path — per-micro-batch checks
+    folded into standing state — not by re-scanning history before
+    each promotion. Division of labor: etl.dq_expectations owns the
+    multi-TABLE batch contract (uniqueness/range/FK across orders,
+    lineitem, customer); this gate owns the single-STREAM contract on
+    events, with the uniqueness expectation carried by keyed state.
+
+    Shape: ONE streaming groupBy(event_id) — the same standing
+    key-index a streaming dedup maintains (stream_incremental_dedup's
+    state story) — whose per-key aggregate carries every per-row rule
+    as a conditional-count column (adding a rule adds a column, not a
+    state or a pass; the dq_expectations convention). Uniqueness then
+    falls out of the drained state for free (sum(cnt) - n_keys), and
+    the four row-level rules finish as column sums over the drained
+    keys. The drained finish is a 5-expectation stack to the same
+    LONG form (expectation, n_checked, n_violations, passed) as the
+    batch gate, so downstream alerting keys on the expectation name
+    identically for both paths. A conservation self-audit (sanctioned
+    O(1) scalar; CLAUDE.md invariant 4) asserts the state totals the
+    source row count — a dropped or double-counted micro-batch cannot
+    pass. At 100 TB the state store shards by event_id hash across
+    executors (state-store width is the live lever stream_source_sink
+    documents); the fixed window literals are contract constants, not
+    data-derived, so no config scan is needed."""
+    # Conservation scalar: one count off the batch footprint.
+    src_rows = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    s = events_stream(spark, sf_dir)
+    allowed = ("click", "error", "purchase", "signup", "view")
+    lo = F.lit("2024-01-01").cast("timestamp")
+    hi = F.lit("2024-01-15").cast("timestamp")
+    per_key = s.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias("vn"),
+        F.sum(
+            F.when((F.col("value") < 0.0) | (F.col("value") > 50.0), 1).otherwise(0)
+        ).alias("vr"),
+        F.sum(
+            F.when(~F.col("event_type").isin(*allowed), 1).otherwise(0)
+        ).alias("vt"),
+        F.sum(
+            F.when((F.col("ts") < lo) | (F.col("ts") >= hi), 1).otherwise(0)
+        ).alias("vw"),
+    )
+    drained = run_to_memory(per_key, mode="complete")
+
+    folded = drained.agg(F.sum("cnt")).collect()[0][0]
+    if folded != src_rows:
+        raise AssertionError(
+            f"streaming contract state lost/duplicated rows: {folded} != {src_rows}"
+        )
+
+    agg = drained.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        (F.sum("cnt") - F.count(F.lit(1))).cast("long").alias("vu"),
+        F.sum("vn").cast("long").alias("vn"),
+        F.sum("vr").cast("long").alias("vr"),
+        F.sum("vt").cast("long").alias("vt"),
+        F.sum("vw").cast("long").alias("vw"),
+    )
+    long_form = agg.selectExpr(
+        "stack(5, "
+        "'events.event_id.unique', n, vu, "
+        "'events.event_type.in_set', n, vt, "
+        "'events.ts.window_jan01_15', n, vw, "
+        "'events.user_id.not_null', n, vn, "
+        "'events.value.range_0_50', n, vr"
+        ") AS (expectation, n_checked, n_violations)"
+    )
+    return long_form.select(
+        "expectation",
+        "n_checked",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )

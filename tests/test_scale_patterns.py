@@ -383,39 +383,51 @@ def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
     assert skippable >= 4, boxes
 
 
-def test_r10_window_purges_oldest_stale_rows_first():
-    """The r10 rotation contract (VERDICT r9 #1), pinned against the
-    mechanical audit snapshot (tools/staleness.py -> stale_rows_r10.json):
-    every r4-cohort gate (the oldest driver rows in the registry) must
-    be aliased into the 50-name window, and every remaining slot must
-    go to the alphabetically-first r5-cohort gates — newcomers (if any)
-    may displace only from the documented tail. This makes 'the purge
-    ran oldest-first' a checked property, not a docstring claim."""
+def test_r11_window_purges_oldest_stale_rows_first():
+    """The r11 rotation contract (the committed purge schedule's step
+    2; VERDICT r10 #1), pinned against the round-start mechanical
+    audit snapshot (tools/staleness.py -> stale_rows_r11.json, 95
+    stale: 46 r5 + 49 r6): every remaining r5-cohort gate (the oldest
+    driver rows left) must be aliased into the 50-name window, the r6
+    slots must fill alphabetically-first STRICTLY (oldest-first within
+    the cohort; the ADVICE-r10-hardened assertion), and newcomers
+    (≤5) may displace only from the documented tail — the r6 picks,
+    reverse-alphabetical. The r10 window's own pin lives in git
+    history alongside its snapshot (stale_rows_r10.json stays
+    committed as the audit trail); this test always pins the LIVE
+    window against the LIVE round's snapshot."""
     import json
     import os
 
     from big_data_flight_spark.operators.aliases import _ALIASES, _NEW_GATE_ALIASES
 
-    snap_path = os.path.join(os.path.dirname(__file__), "stale_rows_r10.json")
+    snap_path = os.path.join(os.path.dirname(__file__), "stale_rows_r11.json")
     with open(snap_path) as fh:
         snap = json.load(fh)["stale"]
-    r4 = {g for g, r in snap.items() if r == 4}
-    r5_sorted = sorted(g for g, r in snap.items() if r == 5)
+    r5 = {g for g, r in snap.items() if r == 5}
+    r6_sorted = sorted(g for g, r in snap.items() if r == 6)
     targets = set(_ALIASES.values()) | set(_NEW_GATE_ALIASES.values())
     n_newcomers = len(_NEW_GATE_ALIASES)
-    # every r4 gate is in the window unless displaced by a newcomer
-    # (newcomers displace r5 picks first, so r4 coverage must hold
-    # until newcomers exceed the 3 r5 slots)
-    missing_r4 = r4 - targets
-    assert len(missing_r4) <= max(0, n_newcomers - 3), (
-        "r4-cohort gates missing from the r10 window without enough "
-        f"newcomers to justify displacement: {sorted(missing_r4)}"
+    assert n_newcomers <= 5, "newcomer production is capped at 5 through r12"
+    # every r5 gate is in the window unless displaced by a newcomer
+    # beyond the 4 scheduled r6 slots (newcomers displace r6 picks
+    # first, so r5 coverage must hold until newcomers exceed 4)
+    missing_r5 = r5 - targets
+    assert len(missing_r5) <= max(0, n_newcomers - 4), (
+        "r5-cohort gates missing from the r11 window without enough "
+        f"newcomers to justify displacement: {sorted(missing_r5)}"
     )
-    # the non-r4 purge slots are the alphabetically-first r5 gates
-    r5_in_window = [g for g in targets if g in snap and snap[g] == 5]
-    assert set(r5_in_window) <= set(r5_sorted[: 3 + len(r5_in_window)]), (
-        "r5 slots must fill alphabetically-first (oldest-first within "
-        f"the cohort): {sorted(r5_in_window)}"
+    # the r6 slots fill alphabetically-first STRICTLY (oldest-first
+    # within the cohort — the ADVICE r10 tightening, kept)
+    r6_in_window = [g for g in targets if g in snap and snap[g] == 6]
+    assert set(r6_in_window) == set(r6_sorted[: len(r6_in_window)]), (
+        "r6 slots must fill alphabetically-first STRICTLY (oldest-first "
+        f"within the cohort): {sorted(r6_in_window)}"
+    )
+    # the scheduled 4 r6 slots minus newcomer displacement
+    assert len(r6_in_window) == max(0, 4 - n_newcomers), (
+        f"r6 slots ({len(r6_in_window)}) must be exactly 4 minus the "
+        f"{n_newcomers} newcomers (tail-displacement rule)"
     )
     # window stays exactly 50
     assert len(_ALIASES) + len(_NEW_GATE_ALIASES) == 50

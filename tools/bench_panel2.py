@@ -152,10 +152,20 @@ def main() -> int:
         "best_known_total": round(sum(BEST_KNOWN.values()), 3) if BEST_KNOWN else None,
         "protocol": "builder-inclusive min-of-%d, warm session" % runs,
     }
+    errors = sorted(n for n, t in timings.items() if t < 0)
+    if errors:
+        payload["errors"] = errors
     print(json.dumps(payload))
     if not os.environ.get("PANEL2_NO_ARTIFACT"):
         with open(os.path.join(_REPO, "BENCH_PANEL2.json"), "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)
+    # A gate error is recorded as -1.0 and excluded from the total; the
+    # panel exists so a regression can't hide, so a missing gate must
+    # fail the run loudly (ADVICE r10), not exit green with a short
+    # total that reads as "fast".
+    if errors:
+        print(f"panel2 FAILED gates: {errors}", file=sys.stderr)
+        return 1
     return 0
 
 

@@ -36,7 +36,25 @@ GATES = [
     "evt_sessionize_stats",        # events-table representative (cheap control)
 ]
 
+# r11 extension (VERDICT r10 #3): the embedding/ANN family, whose
+# 100 TB verdicts until now rested on plan shape alone. Run with
+#   python tools/scale_rehearsal.py --ann
+# (synthesizes 10x embeddings alongside the other tables). The dedup
+# cap-saturation sweep is the same tool at increasing duplication:
+#   SCALE_K=30 SCALE_DIR=/tmp/scale_rehearsal_30x \
+#       python tools/scale_rehearsal.py text_near_dedup_jaccard
+ANN_GATES = [
+    "sim_ivf_pq",                 # composed IVF-PQ ANN stack
+    "sim_kmeans_lloyd",           # bit-exact Lloyd iterations
+    "sim_semdedup_clustered",     # pairs only within k-means cells
+    "text_near_dedup_jaccard",    # shingle inverted index (cap gate)
+]
+
 SRC = "/root/testdata/sf0.1"
+
+# Written into every synthesized dir; rmtree refuses without it
+# (unless the dir is under /tmp) — see main()'s guard (ADVICE r10).
+MARKER = "_SCALE_REHEARSAL_MARKER"
 
 
 def synthesize(spark, out: str, k: int) -> dict[str, int]:
@@ -52,6 +70,7 @@ def synthesize(spark, out: str, k: int) -> dict[str, int]:
     o = spark.read.parquet(f"{SRC}/orders.parquet")
     d = spark.read.parquet(f"{SRC}/documents.parquet")
     e = spark.read.parquet(f"{SRC}/events.parquet")
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
 
     mo = o.agg(F.max("o_orderkey"), F.max("o_custkey")).collect()[0]
     okey_span, cust_span = int(mo[0]) + 1, int(mo[1]) + 1
@@ -74,12 +93,49 @@ def synthesize(spark, out: str, k: int) -> dict[str, int]:
             out_df = out_df.unionByName(p)
         return out_df
 
+    vec_span = int(emb.agg(F.max("vec_id")).collect()[0][0]) + 1
+
+    def stack_embeddings():
+        """k id-shifted copies of the embeddings table. Copy i's
+        vectors are circularly ROTATED by i positions (r11, VERDICT
+        r10 #3): a key-shifted verbatim copy would plant 10x exact-
+        duplicate vectors (degenerate cosine ties, unrepresentative
+        top-k), while rotation preserves norms and the within-copy
+        geometry but decorrelates copies — the corpus genuinely grows
+        instead of replicating. Deterministic, no randomness needed."""
+        parts = []
+        for i in range(k):
+            r = i % 64
+            p = emb.withColumn(
+                "vec_id",
+                (F.col("vec_id") + F.lit(i * vec_span)).cast(
+                    emb.schema["vec_id"].dataType
+                ),
+            )
+            if r:
+                p = p.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.slice("embedding", r + 1, 64 - r),
+                        F.slice("embedding", 1, r),
+                    ),
+                )
+            parts.append(p)
+        out_df = parts[0]
+        for p in parts[1:]:
+            out_df = out_df.unionByName(p)
+        return out_df
+
     jobs = {
         "lineitem": stack(li, {"l_orderkey": okey_span, "l_suppkey": supp_span}),
         "orders": stack(o, {"o_orderkey": okey_span, "o_custkey": cust_span}),
         "documents": stack(d, {"doc_id": doc_span}, text_marker=True),
         "events": stack(e, {"event_id": evt_span, "user_id": user_span}),
+        "embeddings": stack_embeddings(),
     }
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, MARKER), "w") as fh:
+        fh.write("synthesized by tools/scale_rehearsal.py — safe to delete\n")
     for name, df in jobs.items():
         path = f"{out}/{name}.parquet"
         # 16 output files per table: at 10x sf0.1 this keeps scan
@@ -93,7 +149,11 @@ def synthesize(spark, out: str, k: int) -> dict[str, int]:
 def main() -> int:
     k = int(os.environ.get("SCALE_K", "10"))
     out = os.environ.get("SCALE_DIR", "/tmp/scale_rehearsal_10x")
-    gates = sys.argv[1:] or GATES
+    args = sys.argv[1:]
+    if args == ["--ann"]:
+        gates = ANN_GATES
+    else:
+        gates = args or GATES
 
     from big_data_flight_spark.registry import (
         _REGISTRY,
@@ -105,6 +165,18 @@ def main() -> int:
     spark = get_session("scale-rehearsal")
 
     if os.path.isdir(out) and os.environ.get("SCALE_REUSE") != "1":
+        # Destructive-path guard (ADVICE r10): SCALE_DIR is env-provided,
+        # so refuse to rmtree anything that is not clearly ours — either
+        # under /tmp or carrying the marker file synthesize() writes.
+        # Without this, SCALE_DIR=/root/testdata/sf0.1 would delete real
+        # fixtures despite the docstring's "never /root/testdata" promise.
+        real = os.path.realpath(out)
+        if not (real.startswith("/tmp/") or os.path.exists(os.path.join(out, MARKER))):
+            print(
+                f"refusing to rmtree {out!r}: not under /tmp and no "
+                f"{MARKER} marker — not a rehearsal dir", file=sys.stderr,
+            )
+            return 2
         shutil.rmtree(out)
     if not os.path.isdir(out):
         t0 = time.perf_counter()

@@ -13,8 +13,21 @@ This tool recomputes, mechanically and de-aliased through each round's
 COMMITTED alias map (read from git at the round's verdict commit), the
 latest green driver round per registered gate, and prints the stale
 cohort oldest-first. Run it before composing any rotation in
-aliases.py; tests/test_scale_patterns.py pins the r10 window against
-its output snapshot in tests/stale_rows_r10.json.
+aliases.py; tests/test_scale_patterns.py pins each round's window
+against that round's output snapshot (tests/stale_rows_r{NN}.json —
+pass the round number as argv[1], default the latest CORRECTNESS
+round present, so re-runs never clobber a prior round's committed pin;
+ADVICE r10).
+
+Known approximation (ADVICE r10): de-aliasing uses the alias map at
+each round's VERDICT commit, not at the commit that produced each
+CORRECTNESS artifact. Aliases were re-pointed mid-round once (r9 slot
+45: the verdict-commit map is the one the driver actually graded
+under, because the driver grades at round END — after all in-round
+re-points — so the verdict-commit map is the LAST map of the round
+and matches the grading map whenever the artifact is produced at
+round end, which is the driver's contract). If a future driver ever
+grades mid-round, switch `_alias_map_at` to the artifact's own commit.
 """
 
 from __future__ import annotations
@@ -93,6 +106,23 @@ def latest_green_rounds() -> dict[str, int]:
     return latest
 
 
+def _snapshot_round() -> int:
+    """Round number for the snapshot filename: argv[1] if given, else
+    the latest CORRECTNESS_r{NN}.json present (the audit counts rows
+    through that round, so the snapshot is 'the backlog entering round
+    NN+1' and is committed as tests/stale_rows_r{NN+1}.json by the
+    rotation that consumes it — matching r10's naming, where
+    stale_rows_r10.json pinned the window built FROM the r1..r9 rows)."""
+    if len(sys.argv) > 1:
+        return int(sys.argv[1])
+    latest = 0
+    for p in REPO.glob("CORRECTNESS_r*.json"):
+        m = re.match(r"CORRECTNESS_r(\d+)\.json", p.name)
+        if m:
+            latest = max(latest, int(m.group(1)))
+    return latest + 1
+
+
 def main() -> None:
     sys.path.insert(0, str(REPO))
     from big_data_flight_spark.registry import _REGISTRY, _load_all_operator_modules
@@ -114,7 +144,7 @@ def main() -> None:
     for r, g in stale:
         print(f"  r{r}  {g}")
     snap = {g: r for r, g in stale}
-    out = REPO / "tests" / "stale_rows_r10.json"
+    out = REPO / "tests" / f"stale_rows_r{_snapshot_round():02d}.json"
     out.write_text(json.dumps({"fixture_round": CURRENT_FIXTURE_ROUND, "stale": snap},
                               indent=1, sort_keys=True) + "\n")
     print(f"\nsnapshot written: {out}")
