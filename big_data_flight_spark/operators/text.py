@@ -524,7 +524,24 @@ def text_near_dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFram
     executes and is oracle-checked. The `dropped_shingles` audit column
     (count of distinct stop-shingles removed) is recomputed
     independently by the oracle, so at a scale where the cap bites the
-    gate would report exactly what it dropped."""
+    gate would report exactly what it dropped.
+
+    MEASURED saturation boundary (r11 rehearsal, VERDICT r10 #3 —
+    synthetic k-fold near-dup corpora, tools/scale_rehearsal.py,
+    numbers in BASELINE.md round-11): recall vs the uncapped exact
+    pair set reads 1.000 at k=3, 0.681 at k=5, and 0.000 at k>=10 —
+    the cliff sits at duplication ~ cap / median-shingle-df (this
+    fixture's 30-word vocabulary gives median df 9 -> cliff ~7; web
+    text with median df ~1 saturates near the cap itself, ~64). Past
+    the cliff the capped path is NOT a dedup: every informative
+    shingle is a stop-shingle. The honest 100 TB guidance this
+    measurement buys: set the cap from the corpus df distribution
+    (>= expected duplication x median df), and above that regime stop
+    enumerating pairs at all — per-cluster pair output is inherently
+    Omega(k^2) (uncapped: 250,600 pairs at k=10, 2,405,400 at k=30,
+    wall 180 -> 286 s) — and hand the job to the label-propagation
+    clustering gates (text_dedup_clusters / _lss), which emit one
+    label per doc."""
     docs = table(spark, sf_dir, "documents").repartition(32, "doc_id")
     return near_dup_pairs(
         docs, threshold=0.5, max_doc_freq=_JACCARD_CAP, audit_dropped=True

@@ -146,3 +146,29 @@ def test_bench_panel2_emits_contract_json(spark, monkeypatch, capsys):
          "stream_windowed_agg", "mm_interleaved_pack",
          "text_substring_dedup_clean"]
     )
+
+
+def test_bench_panel2_fails_loud_on_gate_error(spark, monkeypatch, capsys):
+    """ADVICE r10: a panel gate that errors used to be recorded as
+    -1.0, excluded from the total, and the tool still exited 0 — a
+    committed artifact could silently miss gates while reading green.
+    main() must now return nonzero and list the failed gates in an
+    'errors' field."""
+    from tools import bench_panel2
+
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setenv("BENCH_RUNS", "1")
+    monkeypatch.setenv("PANEL2_NO_ARTIFACT", "1")
+    monkeypatch.setattr(
+        bench_panel2, "PANEL", ["mm_interleaved_pack", "no_such_gate_xyz"]
+    )
+
+    rc = bench_panel2.main()
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.splitlines() if ln.startswith('{"metric"')]
+    assert rc != 0 and len(lines) == 1, out
+    data = json.loads(lines[0])
+    assert data["errors"] == ["no_such_gate_xyz"]
+    assert data["queries"]["no_such_gate_xyz"] == -1.0
+    # the healthy gate still timed and still contributes to the total
+    assert data["queries"]["mm_interleaved_pack"] >= 0

@@ -133,6 +133,13 @@ def synthesize(spark, out: str, k: int) -> dict[str, int]:
         "events": stack(e, {"event_id": evt_span, "user_id": user_span}),
         "embeddings": stack_embeddings(),
     }
+    # Optional table filter (r11): the 30x dedup-cap saturation sweep
+    # only reads documents — synthesizing 45M lineitem rows for it
+    # would triple the setup cost for nothing.
+    only = os.environ.get("SCALE_TABLES")
+    if only:
+        keep = {t.strip() for t in only.split(",")}
+        jobs = {n: df for n, df in jobs.items() if n in keep}
     os.makedirs(out, exist_ok=True)
     with open(os.path.join(out, MARKER), "w") as fh:
         fh.write("synthesized by tools/scale_rehearsal.py — safe to delete\n")
