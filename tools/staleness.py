@@ -19,6 +19,17 @@ pass the round number as argv[1], default the latest CORRECTNESS
 round present, so re-runs never clobber a prior round's committed pin;
 ADVICE r10).
 
+Run it TWICE per round (CLAUDE.md invariant 3): once at round START —
+before any newborn registers — to produce the snapshot the rotation
+is composed against and the pin test reads (the committed version of
+record), and once at STAMP time as a CHECK: the stamp-time output may
+differ from the committed snapshot ONLY by the round's own newborns
+(never driver-graded yet, shown as r0 rows — they hold window slots
+via _NEW_GATE_ALIASES and get their rows when the driver grades the
+round). If the diff shows anything else, the backlog drifted from the
+schedule — investigate before committing. Do NOT overwrite the
+committed round-start snapshot with the stamp-time output.
+
 Known approximation (ADVICE r10): de-aliasing uses the alias map at
 each round's VERDICT commit, not at the commit that produced each
 CORRECTNESS artifact. Aliases were re-pointed mid-round once (r9 slot
@@ -145,8 +156,28 @@ def main() -> None:
         print(f"  r{r}  {g}")
     snap = {g: r for r, g in stale}
     out = REPO / "tests" / f"stale_rows_r{_snapshot_round():02d}.json"
-    out.write_text(json.dumps({"fixture_round": CURRENT_FIXTURE_ROUND, "stale": snap},
-                              indent=1, sort_keys=True) + "\n")
+    payload = json.dumps({"fixture_round": CURRENT_FIXTURE_ROUND, "stale": snap},
+                         indent=1, sort_keys=True) + "\n"
+    if out.exists() and "--write" not in sys.argv:
+        # Stamp-time CHECK mode (module docstring): the committed
+        # round-start snapshot is the rotation pin's source of truth;
+        # the only acceptable delta is this round's own newborns
+        # (never-graded r0 rows holding window slots via
+        # _NEW_GATE_ALIASES). Anything else = backlog drift.
+        committed = json.loads(out.read_text())["stale"]
+        extra = {g: r for g, r in snap.items() if g not in committed}
+        missing = {g: r for g, r in committed.items() if g not in snap}
+        changed = {g: (committed[g], r) for g, r in snap.items()
+                   if g in committed and committed[g] != r}
+        drift = missing or changed or any(r != 0 for r in extra.values())
+        print(f"\nstamp-time check vs committed {out.name}:")
+        print(f"  newborn r0 rows (expected): {sorted(extra) if extra else '[]'}")
+        if drift:
+            print(f"  DRIFT — missing: {missing}  changed: {changed}")
+            raise SystemExit(2)
+        print("  OK — no drift (snapshot left untouched; --write to overwrite)")
+        return
+    out.write_text(payload)
     print(f"\nsnapshot written: {out}")
 
 
