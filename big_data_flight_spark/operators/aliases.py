@@ -150,6 +150,15 @@ def _register_aliases() -> None:
         if alias in _REGISTRY:  # idempotent across re-imports
             continue
         if target not in _REGISTRY:
+            # A missing _NEW_GATE_ALIASES target is TOLERATED (skip,
+            # don't raise): the rotation may legitimately land before
+            # the round's new gates do, and raising here at import
+            # time would brick the whole registry for every consumer
+            # (r11 review restored the r10 behavior the strict merge
+            # had dropped). A missing _ALIASES target is still a hard
+            # error — those point at long-registered gates.
+            if alias in _NEW_GATE_ALIASES:
+                continue
             raise KeyError(f"alias target {target!r} not registered")
         t = _REGISTRY[target]
         _REGISTRY[alias] = GateQuery(

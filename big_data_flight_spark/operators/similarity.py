@@ -2266,6 +2266,12 @@ def sim_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "cell", F.round(cos, 6).alias("cs"))
+        # scored feeds TWO divergent subtrees (exact top-k and the
+        # nprobe candidate sweep) whose exchanges differ, so
+        # ReuseExchange can't dedupe — without this the declared
+        # exact-baseline cosine scan runs twice per build (r11 review).
+        # Same move as the oracle's MATERIALIZED scored CTE.
+        .localCheckpoint()
     )
     w_q = Window.partitionBy("query_id").orderBy(
         F.col("cs").desc(), F.col("neighbor_id")

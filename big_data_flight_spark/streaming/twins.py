@@ -1500,7 +1500,13 @@ _share_drift_oracle()
     oracle="""
     WITH e AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS vu,
+             -- uniqueness counts NULL as ONE key (matching the Spark
+             -- side's groupBy(event_id), where the null group is a
+             -- single state row): extra occurrences = rows minus
+             -- distinct non-null keys minus the null "key" if present.
+             CAST(COUNT(*) - COUNT(DISTINCT event_id)
+                  - CASE WHEN COUNT(*) > COUNT(event_id) THEN 1 ELSE 0 END
+                  AS BIGINT) AS vu,
              CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
                   AS BIGINT) AS vn,
              CAST(SUM(CASE WHEN value < 0.0 OR value > 50.0 THEN 1 ELSE 0 END)
@@ -1540,9 +1546,13 @@ def stream_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     state story) — whose per-key aggregate carries every per-row rule
     as a conditional-count column (adding a rule adds a column, not a
     state or a pass; the dq_expectations convention). Uniqueness then
-    falls out of the drained state for free (sum(cnt) - n_keys), and
-    the four row-level rules finish as column sums over the drained
-    keys. The drained finish is a 5-expectation stack to the same
+    falls out of the drained state for free (sum(cnt) - n_keys; a NULL
+    event_id is ONE state key like any other, and the oracle mirrors
+    that exactly — SQL COUNT(DISTINCT) ignores NULLs, so it subtracts
+    the null "key" explicitly when present; r11 review caught the
+    1-off divergence a regenerated fixture with null ids would have
+    exposed), and the four row-level rules finish as column sums over
+    the drained keys. The drained finish is a 5-expectation stack to the same
     LONG form (expectation, n_checked, n_violations, passed) as the
     batch gate, so downstream alerting keys on the expectation name
     identically for both paths. A conservation self-audit (sanctioned

@@ -66,9 +66,11 @@ def test_paragraph_dedup_keep_first_election(spark):
     n_paras, n_dropped = int(tot[0]), int(tot[1])
     assert 0 < n_dropped < n_paras  # probed: 31 dropped of 1106 at sf0.001
     for r in rows:
-        assert 0 <= r["n_dropped"] < r["n_paras"] or (
-            r["n_paras"] == 0 and r["n_dropped"] == 0
-        ), r
+        # n_dropped == n_paras is LEGAL per doc (a document that is
+        # entirely boilerplate repeated from earlier docs loses every
+        # paragraph — the exact case the gate exists for; r11 review);
+        # only the corpus-wide strict inequality above is an invariant.
+        assert 0 <= r["n_dropped"] <= r["n_paras"], r
         kept_tokens = (
             len([t for t in r["cleaned_text"].split(" ") if t != ""])
             if r["cleaned_text"]

@@ -41,8 +41,10 @@ GATES = [
 #   python tools/scale_rehearsal.py --ann
 # (synthesizes 10x embeddings alongside the other tables). The dedup
 # cap-saturation sweep is the same tool at increasing duplication:
-#   SCALE_K=30 SCALE_DIR=/tmp/scale_rehearsal_30x \
+#   SCALE_K=30 SCALE_DIR=/tmp/scale_rehearsal_30x SCALE_TABLES=documents \
 #       python tools/scale_rehearsal.py text_near_dedup_jaccard
+# (SCALE_TABLES limits synthesis to the tables the swept gates read —
+# without it the 30x run also writes 45M lineitem rows for nothing).
 ANN_GATES = [
     "sim_ivf_pq",                 # composed IVF-PQ ANN stack
     "sim_kmeans_lloyd",           # bit-exact Lloyd iterations
@@ -66,24 +68,14 @@ def synthesize(spark, out: str, k: int) -> dict[str, int]:
 
     counts: dict[str, int] = {}
 
-    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
-    o = spark.read.parquet(f"{SRC}/orders.parquet")
-    d = spark.read.parquet(f"{SRC}/documents.parquet")
-    e = spark.read.parquet(f"{SRC}/events.parquet")
-    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
-
-    mo = o.agg(F.max("o_orderkey"), F.max("o_custkey")).collect()[0]
-    okey_span, cust_span = int(mo[0]) + 1, int(mo[1]) + 1
-    supp_span = int(li.agg(F.max("l_suppkey")).collect()[0][0]) + 1
-    doc_span = int(d.agg(F.max("doc_id")).collect()[0][0]) + 1
-    me = e.agg(F.max("event_id"), F.max("user_id")).collect()[0]
-    evt_span, user_span = int(me[0]) + 1, int(me[1]) + 1
-
-    def stack(df, shift_cols: dict[str, int], text_marker: bool = False):
+    def stack(df, shift_cols: list[str], text_marker: bool = False):
+        # id spans read off the data (max+1), one 1-row agg per table.
+        row = df.agg(*[F.max(c) for c in shift_cols]).collect()[0]
+        spans = {c: int(row[j]) + 1 for j, c in enumerate(shift_cols)}
         parts = []
         for i in range(k):
             p = df
-            for c, span in shift_cols.items():
+            for c, span in spans.items():
                 p = p.withColumn(c, (F.col(c) + F.lit(i * span)).cast(df.schema[c].dataType))
             if text_marker and i > 0:
                 p = p.withColumn("text", F.concat(F.col("text"), F.lit(f" copymark{i}")))
@@ -93,19 +85,28 @@ def synthesize(spark, out: str, k: int) -> dict[str, int]:
             out_df = out_df.unionByName(p)
         return out_df
 
-    vec_span = int(emb.agg(F.max("vec_id")).collect()[0][0]) + 1
-
     def stack_embeddings():
         """k id-shifted copies of the embeddings table. Copy i's
-        vectors are circularly ROTATED by i positions (r11, VERDICT
-        r10 #3): a key-shifted verbatim copy would plant 10x exact-
-        duplicate vectors (degenerate cosine ties, unrepresentative
-        top-k), while rotation preserves norms and the within-copy
-        geometry but decorrelates copies — the corpus genuinely grows
-        instead of replicating. Deterministic, no randomness needed."""
+        vectors are circularly ROTATED by i % dim positions and SIGN-
+        FLIPPED every dim copies (r11, VERDICT r10 #3; review-hardened):
+        a key-shifted verbatim copy would plant k exact-duplicate
+        vectors (degenerate cosine ties, unrepresentative top-k);
+        rotation preserves norms and within-copy geometry but
+        decorrelates copies, and the sign flip keeps copy dim (rotation
+        0 again) from being a verbatim duplicate up to k = 2*dim. The
+        dimension is read off the data, never hardcoded.
+        Deterministic, no randomness needed."""
+        emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+        first = emb.select(F.size("embedding")).first()
+        dim = int(first[0])
+        vec_span = int(emb.agg(F.max("vec_id")).collect()[0][0]) + 1
+        if k > 2 * dim:
+            print(f"WARNING: SCALE_K={k} > 2*dim={2*dim}: copies beyond "
+                  f"{2*dim} repeat earlier copies' vectors verbatim",
+                  file=sys.stderr)
         parts = []
         for i in range(k):
-            r = i % 64
+            r = i % dim
             p = emb.withColumn(
                 "vec_id",
                 (F.col("vec_id") + F.lit(i * vec_span)).cast(
@@ -116,9 +117,13 @@ def synthesize(spark, out: str, k: int) -> dict[str, int]:
                 p = p.withColumn(
                     "embedding",
                     F.concat(
-                        F.slice("embedding", r + 1, 64 - r),
+                        F.slice("embedding", r + 1, dim - r),
                         F.slice("embedding", 1, r),
                     ),
+                )
+            if (i // dim) % 2 == 1:
+                p = p.withColumn(
+                    "embedding", F.transform("embedding", lambda x: -x)
                 )
             parts.append(p)
         out_df = parts[0]
@@ -126,12 +131,28 @@ def synthesize(spark, out: str, k: int) -> dict[str, int]:
             out_df = out_df.unionByName(p)
         return out_df
 
+    # Thunks, not DataFrames: span/dim scalars are read inside each
+    # builder, so a SCALE_TABLES-filtered table costs NOTHING — no
+    # scan, no 1-row collect (r11 review; the spans for all five
+    # tables used to run regardless of the filter).
     jobs = {
-        "lineitem": stack(li, {"l_orderkey": okey_span, "l_suppkey": supp_span}),
-        "orders": stack(o, {"o_orderkey": okey_span, "o_custkey": cust_span}),
-        "documents": stack(d, {"doc_id": doc_span}, text_marker=True),
-        "events": stack(e, {"event_id": evt_span, "user_id": user_span}),
-        "embeddings": stack_embeddings(),
+        "lineitem": lambda: stack(
+            spark.read.parquet(f"{SRC}/lineitem.parquet"),
+            ["l_orderkey", "l_suppkey"],
+        ),
+        "orders": lambda: stack(
+            spark.read.parquet(f"{SRC}/orders.parquet"),
+            ["o_orderkey", "o_custkey"],
+        ),
+        "documents": lambda: stack(
+            spark.read.parquet(f"{SRC}/documents.parquet"),
+            ["doc_id"], text_marker=True,
+        ),
+        "events": lambda: stack(
+            spark.read.parquet(f"{SRC}/events.parquet"),
+            ["event_id", "user_id"],
+        ),
+        "embeddings": stack_embeddings,
     }
     # Optional table filter (r11): the 30x dedup-cap saturation sweep
     # only reads documents — synthesizing 45M lineitem rows for it
@@ -139,11 +160,12 @@ def synthesize(spark, out: str, k: int) -> dict[str, int]:
     only = os.environ.get("SCALE_TABLES")
     if only:
         keep = {t.strip() for t in only.split(",")}
-        jobs = {n: df for n, df in jobs.items() if n in keep}
+        jobs = {n: fn for n, fn in jobs.items() if n in keep}
     os.makedirs(out, exist_ok=True)
     with open(os.path.join(out, MARKER), "w") as fh:
         fh.write("synthesized by tools/scale_rehearsal.py — safe to delete\n")
-    for name, df in jobs.items():
+    for name, build in jobs.items():
+        df = build()
         path = f"{out}/{name}.parquet"
         # 16 output files per table: at 10x sf0.1 this keeps scan
         # splits near maxPartitionBytes instead of one giant file
@@ -157,10 +179,16 @@ def main() -> int:
     k = int(os.environ.get("SCALE_K", "10"))
     out = os.environ.get("SCALE_DIR", "/tmp/scale_rehearsal_10x")
     args = sys.argv[1:]
-    if args == ["--ann"]:
-        gates = ANN_GATES
-    else:
-        gates = args or GATES
+    names = [a for a in args if not a.startswith("--")]
+    gates = list(names)
+    if "--ann" in args:
+        gates += ANN_GATES
+    if not gates:
+        gates = GATES
+    unknown = [g for g in gates if not g.replace("_", "").isalnum()]
+    if unknown:
+        print(f"unknown arguments: {unknown}", file=sys.stderr)
+        return 2
 
     from big_data_flight_spark.registry import (
         _REGISTRY,

@@ -118,20 +118,32 @@ def latest_green_rounds() -> dict[str, int]:
 
 
 def _snapshot_round() -> int:
-    """Round number for the snapshot filename: argv[1] if given, else
-    the latest CORRECTNESS_r{NN}.json present (the audit counts rows
-    through that round, so the snapshot is 'the backlog entering round
-    NN+1' and is committed as tests/stale_rows_r{NN+1}.json by the
-    rotation that consumes it — matching r10's naming, where
-    stale_rows_r10.json pinned the window built FROM the r1..r9 rows)."""
-    if len(sys.argv) > 1:
-        return int(sys.argv[1])
+    """Round number for the snapshot filename: the first non-flag
+    argv if given (flags like --write/--check must not be parsed as a
+    round — r11 review), else the latest CORRECTNESS_r{NN}.json
+    present (the audit counts rows through that round, so the snapshot
+    is 'the backlog entering round NN+1' and is committed as
+    tests/stale_rows_r{NN+1}.json by the rotation that consumes it —
+    matching r10's naming, where stale_rows_r10.json pinned the window
+    built FROM the r1..r9 rows)."""
+    for a in sys.argv[1:]:
+        if not a.startswith("--"):
+            return int(a)
     latest = 0
     for p in REPO.glob("CORRECTNESS_r*.json"):
         m = re.match(r"CORRECTNESS_r(\d+)\.json", p.name)
         if m:
             latest = max(latest, int(m.group(1)))
     return latest + 1
+
+
+def _newest_snapshot() -> Path | None:
+    best: tuple[int, Path] | None = None
+    for p in (REPO / "tests").glob("stale_rows_r*.json"):
+        m = re.match(r"stale_rows_r(\d+)\.json", p.name)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), p)
+    return best[1] if best else None
 
 
 def main() -> None:
@@ -158,7 +170,16 @@ def main() -> None:
     out = REPO / "tests" / f"stale_rows_r{_snapshot_round():02d}.json"
     payload = json.dumps({"fixture_round": CURRENT_FIXTURE_ROUND, "stale": snap},
                          indent=1, sort_keys=True) + "\n"
-    if out.exists() and "--write" not in sys.argv:
+    # --check (the stamp-time invocation CLAUDE.md invariant 3 names)
+    # always compares against the NEWEST committed snapshot and never
+    # writes — robust to the driver's CORRECTNESS artifact landing
+    # before the stamp run, which would otherwise shift the default
+    # round forward and silently take the write branch (r11 review).
+    check_target = _newest_snapshot() if "--check" in sys.argv else (
+        out if out.exists() and "--write" not in sys.argv else None
+    )
+    if check_target is not None:
+        out = check_target
         # Stamp-time CHECK mode (module docstring): the committed
         # round-start snapshot is the rotation pin's source of truth;
         # the only acceptable delta is this round's own newborns
