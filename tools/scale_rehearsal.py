@@ -67,11 +67,31 @@ def synthesize(spark, out: str, k: int) -> dict[str, int]:
     from pyspark.sql import functions as F
 
     counts: dict[str, int] = {}
+    _span_memo: dict[str, int] = {}
 
-    def stack(df, shift_cols: list[str], text_marker: bool = False):
-        # id spans read off the data (max+1), one 1-row agg per table.
-        row = df.agg(*[F.max(c) for c in shift_cols]).collect()[0]
-        spans = {c: int(row[j]) + 1 for j, c in enumerate(shift_cols)}
+    def orderkey_span() -> int:
+        # FK coherence across copies (ADVICE r11): lineitem.l_orderkey
+        # and orders.o_orderkey must shift by the SAME span, or any
+        # future rehearsal gate joining the two gets dangling
+        # cross-copy keys with no error. Derive the span ONCE from the
+        # max over BOTH tables' orderkeys (memoized; two 1-row aggs).
+        if "orderkey" not in _span_memo:
+            li = spark.read.parquet(f"{SRC}/lineitem.parquet").agg(
+                F.max("l_orderkey")).collect()[0][0]
+            od = spark.read.parquet(f"{SRC}/orders.parquet").agg(
+                F.max("o_orderkey")).collect()[0][0]
+            _span_memo["orderkey"] = max(int(li), int(od)) + 1
+        return _span_memo["orderkey"]
+
+    def stack(df, shift_cols: list[str], text_marker: bool = False,
+              span_overrides: dict[str, int] | None = None):
+        # id spans read off the data (max+1), one 1-row agg per table —
+        # except columns in span_overrides (shared FK spans).
+        own = [c for c in shift_cols if c not in (span_overrides or {})]
+        spans = dict(span_overrides or {})
+        if own:
+            row = df.agg(*[F.max(c) for c in own]).collect()[0]
+            spans.update({c: int(row[j]) + 1 for j, c in enumerate(own)})
         parts = []
         for i in range(k):
             p = df
@@ -139,10 +159,12 @@ def synthesize(spark, out: str, k: int) -> dict[str, int]:
         "lineitem": lambda: stack(
             spark.read.parquet(f"{SRC}/lineitem.parquet"),
             ["l_orderkey", "l_suppkey"],
+            span_overrides={"l_orderkey": orderkey_span()},
         ),
         "orders": lambda: stack(
             spark.read.parquet(f"{SRC}/orders.parquet"),
             ["o_orderkey", "o_custkey"],
+            span_overrides={"o_orderkey": orderkey_span()},
         ),
         "documents": lambda: stack(
             spark.read.parquet(f"{SRC}/documents.parquet"),
@@ -179,16 +201,22 @@ def main() -> int:
     k = int(os.environ.get("SCALE_K", "10"))
     out = os.environ.get("SCALE_DIR", "/tmp/scale_rehearsal_10x")
     args = sys.argv[1:]
+    # Strict argument validation (ADVICE r11): an unrecognized flag
+    # used to be silently dropped (a '--annn' typo ran the default
+    # sweep), and a misspelled gate name only raised KeyError AFTER
+    # the expensive synthesize() step.
+    known_flags = {"--ann"}
+    bad_flags = [a for a in args if a.startswith("--") and a not in known_flags]
+    if bad_flags:
+        print(f"unknown flags: {bad_flags} (known: {sorted(known_flags)})",
+              file=sys.stderr)
+        return 2
     names = [a for a in args if not a.startswith("--")]
     gates = list(names)
     if "--ann" in args:
         gates += ANN_GATES
     if not gates:
         gates = GATES
-    unknown = [g for g in gates if not g.replace("_", "").isalnum()]
-    if unknown:
-        print(f"unknown arguments: {unknown}", file=sys.stderr)
-        return 2
 
     from big_data_flight_spark.registry import (
         _REGISTRY,
@@ -197,6 +225,10 @@ def main() -> int:
     from big_data_flight_spark.session import get_session
 
     _load_all_operator_modules()
+    unknown = [g for g in gates if g not in _REGISTRY]
+    if unknown:
+        print(f"unknown gates (not in registry): {unknown}", file=sys.stderr)
+        return 2
     spark = get_session("scale-rehearsal")
 
     if os.path.isdir(out) and os.environ.get("SCALE_REUSE") != "1":

@@ -128,7 +128,15 @@ def _snapshot_round() -> int:
     built FROM the r1..r9 rows)."""
     for a in sys.argv[1:]:
         if not a.startswith("--"):
-            return int(a)
+            try:
+                return int(a)
+            except ValueError:
+                print(
+                    f"usage: python tools/staleness.py [ROUND] [--check|--write]"
+                    f"\n  ROUND must be an integer; got {a!r}",
+                    file=sys.stderr,
+                )
+                raise SystemExit(2) from None
     latest = 0
     for p in REPO.glob("CORRECTNESS_r*.json"):
         m = re.match(r"CORRECTNESS_r(\d+)\.json", p.name)
