@@ -1,4 +1,4 @@
-"""Driver-window rotation aliases (round 11 set).
+"""Driver-window rotation aliases (round 12 set — FINAL purge step).
 
 The driver's correctness gate samples only the 50 alphabetically-first
 gate names per round; rounds 1 and 2 both graded ``agg_*``…``fn_json``,
@@ -9,49 +9,56 @@ delegation: same builder object, same oracle SQL, registered under an
 ``a0_``-prefixed name that sorts before ``agg_`` so it lands inside
 the driver's alphabetical window.
 
-Round-11 rotation — step 2 of 3 of the committed staleness-purge
-schedule (VERDICT r9 #1 wrote it in; VERDICT r10 #1 directs this
-round's window). The mechanical audit (``python tools/staleness.py``,
-snapshot ``tests/stale_rows_r11.json`` — re-run at round start, 95
-stale: 46 r5-row + 49 r6-row, matching the judge's r10 recount) is
-the source of truth; the window below executes it:
+Round-12 rotation — step 3 of 3, the FINAL step of the committed
+staleness-purge schedule (VERDICT r9 #1 wrote it in; VERDICT r11 #1
+directs this round's window: "the 48 remaining r6-row gates; newcomers
+≤2"). The mechanical audit (``python tools/staleness.py``, snapshot
+``tests/stale_rows_r12.json`` — written at round start, 48 stale rows,
+ALL r6-cohort, matching the judge's r11 recount) is the source of
+truth; the window below executes it:
 
-* Slots 1-46 — ALL 46 remaining r5-cohort gates (the oldest driver
-  rows left in the registry after r10 took the full r4 cohort).
-* Slot 47 — the alphabetically-FIRST r6-cohort gate
-  (agg_heavy_hitters). The schedule reserved 4 r6 slots; this round
-  ships 3 brand-new gates (VERDICT r10 #4, ≤5 allowed), which
-  displace from the documented tail — the r6 picks,
-  reverse-alphabetical — so agg_median_bisect, agg_kmv_set_ops and
-  agg_histogram_quantile head the r12 queue instead.
-* Slots 48-50 — the round's newborns (_NEW_GATE_ALIASES): a gate born
+* Slots 1-48 — ALL 48 remaining r6-cohort gates (the only stale
+  driver rows left in the registry; heads agg_histogram_quantile,
+  agg_kmv_set_ops, agg_median_bisect = the three picks displaced by
+  r11's newborns, exactly as that round's tail rule promised).
+* Slot 49 — the round's newborn (_NEW_GATE_ALIASES):
+  text_near_dedup_jaccard_adaptive (VERDICT r11 #4 — the measured
+  cap-sizing rule turned into a self-enforcing operator). A gate born
   in-round takes a slot the round it ships (the r2/r3 lesson).
+* Slot 50 — steady-state head start (the r13+ rule beginning one
+  round early): after this round grades, the oldest driver rows in
+  the registry are the 45-gate r7 cohort; the alphabetically-first of
+  those (agg_bitmap_rolling_distinct) takes the spare slot so the
+  oldest-first rotation is already in motion when r13 composes its
+  window.
 
-MULTI-ROUND PURGE SCHEDULE (unchanged from r10's commitment):
+MULTI-ROUND PURGE SCHEDULE (completed by this file):
 * r10 (done): all 47 r4 rows + 3 r5 rows -> stale count 145→95.
-  CORRECTNESS_r10 graded 50/50 green; judge recount confirmed 95.
-* r11 (this file): the remaining 46 r5 rows + 1 r6 row + 3 newborns
-  -> stale count 95→48 after grading (46 r5 + agg_heavy_hitters
-  purged; 48 r6 rows remain, including the 3 newborn-displaced picks).
-* r12: the remaining 48 r6 rows + up to 2 newborns -> 48→0; every
-  gate then carries an r10+ row on current fixtures.
-* r13+: steady-state — rotate oldest-row-first so no row ages past
-  ~3 rounds; re-run ``python tools/staleness.py`` (bump its
-  CURRENT_FIXTURE_ROUND if the driver regenerates fixtures again)
-  before composing each window.
-Newcomer production stays ≤5 per round through r12 (VERDICT r9 #1);
-newborns displace from the TAIL of this window: first the r6 picks
-(reverse-alphabetical), then r5 gates reverse-alphabetical; displaced
-picks head the next round's queue.
+* r11 (done): the remaining 46 r5 rows + 1 r6 row + 3 newborns
+  -> 95→48. CORRECTNESS_r11 graded 50/50 green; judge recount
+  confirmed 48.
+* r12 (this file): all 48 remaining r6 rows + 1 newborn + 1
+  steady-state pick -> 48→0; after grading, every gate carries an
+  r10+ row on current fixtures — the backlog hits ZERO for the first
+  time since r5.
+* r13+: steady-state — rotate oldest-row-first (cohort ages after
+  this round: r7 ×45, r8 ×49, r9 ×50, …), alphabetical within a
+  cohort, so no row ages past ~6 rounds at 50 slots/round; re-run
+  ``python tools/staleness.py`` (bump CURRENT_FIXTURE_ROUND if the
+  driver regenerates fixtures again) before composing each window.
+Newborns displace from the TAIL of this window: FIRST the
+steady-state pick (slot 50), THEN r6 gates reverse-alphabetical;
+displaced picks head the next round's queue.
 
 Displacement math (window = 50 alphabetically-first names): the alias
 set below is exactly 50 names, all sorting before ``agg_``, so the
 window is exactly the alias set (pinned by
-tests/test_scale_patterns.py). Every non-alias name displaced from the
-window is green in a prior CORRECTNESS round AND re-verified each
-round by COMPARE_LOCAL.json at three SFs, so net driver-verified
-surface strictly grows (cumulative 289/289 after r10, judge-recomputed;
-292 distinct gates after this round's three newborns).
+tests/test_scale_patterns.py::test_r12_window_purges_remaining_stale_rows).
+Every non-alias name displaced from the window is green in a prior
+CORRECTNESS round AND re-verified each round by COMPARE_LOCAL.json at
+three SFs, so net driver-verified surface strictly grows (cumulative
+292/292 after r11, judge-recomputed; 293 distinct gates after this
+round's newborn).
 """
 
 from __future__ import annotations
@@ -64,74 +71,72 @@ from big_data_flight_spark.registry import (
 
 # alias -> existing gate name (family it finally gets driver-checked for)
 _ALIASES = {
-    # --- slots 1-46: the full remaining r5 cohort
-    # (tests/stale_rows_r11.json, oldest rows left) ---
-    "a0_fn_math": "fn_math",
-    "a0_fn_string": "fn_string",
-    "a0_graph_pagerank_converged": "graph_pagerank_converged",
-    "a0_graph_triangle_count": "graph_triangle_count",
-    "a0_join_asof_forward": "join_asof_forward",
-    "a0_join_cross": "join_cross",
-    "a0_join_interval_binned": "join_interval_binned",
-    "a0_join_left_right_full": "join_left_right_full",
-    "a0_join_self": "join_self",
-    "a0_join_semi": "join_semi",
-    "a0_join_theta": "join_theta",
-    "a0_mm_audio_features_wav": "mm_audio_features_wav",
-    "a0_mm_decode_image_ppm": "mm_decode_image_ppm",
-    "a0_mm_phash_dedup": "mm_phash_dedup",
-    "a0_mm_resize_ppm": "mm_resize_ppm",
-    "a0_multimodal_join": "multimodal_join",
-    "a0_project_select": "project_select",
-    "a0_scan_json": "scan_json",
-    "a0_scan_parquet": "scan_parquet",
-    "a0_set_intersect": "set_intersect",
-    "a0_set_union_all": "set_union_all",
-    "a0_set_union_distinct": "set_union_distinct",
-    "a0_sim_cosine_pairs": "sim_cosine_pairs",
-    "a0_sim_label_centroids": "sim_label_centroids",
-    "a0_sink_bucketed_join": "sink_bucketed_join",
-    "a0_sink_parquet": "sink_parquet",
-    "a0_sink_partitioned_layout": "sink_partitioned_layout",
-    "a0_sort_order": "sort_order",
-    "a0_sql_entry": "sql_entry",
-    "a0_stream_foreach_batch_sink": "stream_foreach_batch_sink",
-    "a0_stream_session_window": "stream_session_window",
-    "a0_text_exact_dedup": "text_exact_dedup",
-    "a0_text_lang_stats": "text_lang_stats",
-    "a0_text_near_dedup_jaccard_capped": "text_near_dedup_jaccard_capped",
-    "a0_text_substring_dedup_clean": "text_substring_dedup_clean",
-    "a0_text_substring_dedup_stats": "text_substring_dedup_stats",
-    "a0_text_tfidf": "text_tfidf",
-    "a0_text_tokenize_counts": "text_tokenize_counts",
-    "a0_udaf_grouped_agg": "udaf_grouped_agg",
-    "a0_udf_grouped_map": "udf_grouped_map",
-    "a0_udtf_explode_like": "udtf_explode_like",
-    "a0_win_first_last": "win_first_last",
-    "a0_win_lag_lead": "win_lag_lead",
-    "a0_win_moving": "win_moving",
-    "a0_win_ntile_percent": "win_ntile_percent",
-    "a0_win_rank": "win_rank",
-    # --- slot 47: the alphabetically-first r6-cohort gate; the other
-    # three scheduled r6 picks (agg_histogram_quantile,
-    # agg_kmv_set_ops, agg_median_bisect) were displaced by this
-    # round's three newborns (reverse-alphabetical tail rule) and head
-    # the r12 queue ---
-    "a0_agg_heavy_hitters": "agg_heavy_hitters",
+    # --- slots 1-48: the ENTIRE remaining r6 cohort
+    # (tests/stale_rows_r12.json — the last stale driver rows) ---
+    "a0_agg_histogram_quantile": "agg_histogram_quantile",
+    "a0_agg_kmv_set_ops": "agg_kmv_set_ops",
+    "a0_agg_median_bisect": "agg_median_bisect",
+    "a0_etl_incremental_agg": "etl_incremental_agg",
+    "a0_etl_snapshot_diff": "etl_snapshot_diff",
+    "a0_etl_table_fingerprint": "etl_table_fingerprint",
+    "a0_evt_ab_test": "evt_ab_test",
+    "a0_evt_anomaly_mad": "evt_anomaly_mad",
+    "a0_evt_attribution": "evt_attribution",
+    "a0_evt_ewma": "evt_ewma",
+    "a0_evt_gapfill_locf": "evt_gapfill_locf",
+    "a0_evt_top_paths": "evt_top_paths",
+    "a0_fn_url": "fn_url",
+    "a0_graph_bfs_layers": "graph_bfs_layers",
+    "a0_graph_hits": "graph_hits",
+    "a0_join_asof_nearest": "join_asof_nearest",
+    "a0_join_bloom_pruned": "join_bloom_pruned",
+    "a0_join_partition_pruned_runtime": "join_partition_pruned_runtime",
+    "a0_mm_audio_resample_wav": "mm_audio_resample_wav",
+    "a0_mm_image_hist_ppm": "mm_image_hist_ppm",
+    "a0_mm_scene_cut_ppm": "mm_scene_cut_ppm",
+    "a0_sample_reservoir_per_group": "sample_reservoir_per_group",
+    "a0_scan_csv_malformed": "scan_csv_malformed",
+    "a0_scan_python_datasource": "scan_python_datasource",
+    "a0_sim_ivf_pq": "sim_ivf_pq",
+    "a0_sim_kmeans_lloyd": "sim_kmeans_lloyd",
+    "a0_sim_pq_adc": "sim_pq_adc",
+    "a0_sim_rrf_fusion": "sim_rrf_fusion",
+    "a0_sim_semdedup_clustered": "sim_semdedup_clustered",
+    "a0_sink_dynamic_partition_overwrite": "sink_dynamic_partition_overwrite",
+    "a0_sink_nested_roundtrip": "sink_nested_roundtrip",
+    "a0_sink_retention_expire": "sink_retention_expire",
+    "a0_sink_zorder_layout": "sink_zorder_layout",
+    "a0_stream_checkpoint_recovery": "stream_checkpoint_recovery",
+    "a0_stream_ewma": "stream_ewma",
+    "a0_stream_sliding_window": "stream_sliding_window",
+    "a0_stream_static_join": "stream_static_join",
+    "a0_text_bigram_lm": "text_bigram_lm",
+    "a0_text_bm25": "text_bm25",
+    "a0_text_bpe_encode": "text_bpe_encode",
+    "a0_text_bpe_merge_train": "text_bpe_merge_train",
+    "a0_text_lm_score": "text_lm_score",
+    "a0_text_ngram_freq": "text_ngram_freq",
+    "a0_tpch_q21": "tpch_q21",
+    "a0_tpch_q8": "tpch_q8",
+    "a0_udf_cogrouped_map": "udf_cogrouped_map",
+    "a0_udtf_table_args": "udtf_table_args",
+    "a0_win_rolling_median": "win_rolling_median",
+    # --- slot 50: steady-state head start — the alphabetically-first
+    # gate of the r7 cohort (the oldest rows once the r6 purge above
+    # grades). Displaced FIRST if a second newborn ships. ---
+    "a0_agg_bitmap_rolling_distinct": "agg_bitmap_rolling_distinct",
 }
 
-# Round-11 brand-new gates (VERDICT r10 #4: ≤5, each with alias,
-# three-SF probe, plan pin, ledger row). Adding a name here REQUIRED
-# removing one from the displacement tail of _ALIASES (order in the
-# module docstring) to keep the window at exactly 50 (guarded by
-# tests/test_scale_patterns.py).
+# Round-12 brand-new gates (VERDICT r11 #1: ≤2 newcomers; #4 names this
+# one). Adding a name here REQUIRES removing one from the displacement
+# tail of _ALIASES (order in the module docstring: steady-state pick
+# first, then r6 reverse-alphabetical) to keep the window at exactly 50
+# (guarded by tests/test_scale_patterns.py).
 _NEW_GATE_ALIASES: dict[str, str] = {
-    "a0_sim_ann_recall_curve": "sim_ann_recall_curve",
-    "a0_stream_dq_expectations": "stream_dq_expectations",
-    "a0_text_substring_dedup_paragraph": "text_substring_dedup_paragraph",
+    "a0_text_near_dedup_jaccard_adaptive": "text_near_dedup_jaccard_adaptive",
 }
 
-# Gates born this round but NOT aliased — they join the r12 rotation
+# Gates born this round but NOT aliased — they join the r13 rotation
 # queue. Every brand-new gate MUST appear either in _NEW_GATE_ALIASES
 # or here — enforced by tests/test_scale_patterns.py against the
 # committed tests/known_gates.txt ledger.

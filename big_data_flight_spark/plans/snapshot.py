@@ -134,6 +134,20 @@ SNAPSHOT = {
         "=2:BroadcastNestedLoopJoin",
         "HashAggregate",
     ],
+    # r12: data-derived cap. Same contract as the static capped gate —
+    # stop-shingle filter through a broadcast semi, candidates from the
+    # inverted-index equi-join — plus the 1-row cap/audit attaches as
+    # broadcast nested loops: dropped-audit + cap-info cross joins
+    # (the cap->df attach itself rides the measure pass, which ends in
+    # the localCheckpoint). The checkpointed measure pass must leave
+    # the final plan reading cap_info as a materialized scan
+    # (ExistingRDD), not re-deriving the quantile tree per consumer.
+    "text_near_dedup_jaccard_adaptive": [
+        "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin",
+        "HashAggregate",
+        "ExistingRDD",
+    ],
     # PPM round-trip: same contract as the WAV codec — binary payloads
     # born and consumed inside one narrow Arrow pipeline, zero Exchange.
     "mm_decode_image_ppm": ["MapInPandas", "!Exchange"],

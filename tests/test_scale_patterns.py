@@ -383,51 +383,52 @@ def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
     assert skippable >= 4, boxes
 
 
-def test_r11_window_purges_oldest_stale_rows_first():
-    """The r11 rotation contract (the committed purge schedule's step
-    2; VERDICT r10 #1), pinned against the round-start mechanical
-    audit snapshot (tools/staleness.py -> stale_rows_r11.json, 95
-    stale: 46 r5 + 49 r6): every remaining r5-cohort gate (the oldest
-    driver rows left) must be aliased into the 50-name window, the r6
-    slots must fill alphabetically-first STRICTLY (oldest-first within
-    the cohort; the ADVICE-r10-hardened assertion), and newcomers
-    (≤5) may displace only from the documented tail — the r6 picks,
-    reverse-alphabetical. The r10 window's own pin lives in git
-    history alongside its snapshot (stale_rows_r10.json stays
-    committed as the audit trail); this test always pins the LIVE
-    window against the LIVE round's snapshot."""
+def test_r12_window_purges_remaining_stale_rows():
+    """The r12 rotation contract — the FINAL step of the committed
+    purge schedule (VERDICT r11 #1: "the 48 remaining r6-row gates;
+    newcomers ≤2") — pinned against the round-start mechanical audit
+    snapshot (tools/staleness.py -> stale_rows_r12.json, 48 stale, all
+    r6-cohort): EVERY remaining stale gate must be aliased into the
+    50-name window (newcomers displace the steady-state slot first,
+    then r6 reverse-alphabetical), the spare slots go to the
+    steady-state head start (oldest FRESH cohort = r7, alphabetically
+    first within it: agg_bitmap_rolling_distinct), and the window
+    stays exactly 50. The r10/r11 pins live in git history alongside
+    their snapshots (stale_rows_r1{0,1}.json stay committed as the
+    audit trail); this test always pins the LIVE window against the
+    LIVE round's snapshot."""
     import json
     import os
 
     from big_data_flight_spark.operators.aliases import _ALIASES, _NEW_GATE_ALIASES
 
-    snap_path = os.path.join(os.path.dirname(__file__), "stale_rows_r11.json")
+    snap_path = os.path.join(os.path.dirname(__file__), "stale_rows_r12.json")
     with open(snap_path) as fh:
         snap = json.load(fh)["stale"]
-    r5 = {g for g, r in snap.items() if r == 5}
-    r6_sorted = sorted(g for g, r in snap.items() if r == 6)
+    assert all(r == 6 for r in snap.values()), "r12 backlog must be pure r6"
+    r6_sorted = sorted(snap)
     targets = set(_ALIASES.values()) | set(_NEW_GATE_ALIASES.values())
     n_newcomers = len(_NEW_GATE_ALIASES)
-    assert n_newcomers <= 5, "newcomer production is capped at 5 through r12"
-    # every r5 gate is in the window unless displaced by a newcomer
-    # beyond the 4 scheduled r6 slots (newcomers displace r6 picks
-    # first, so r5 coverage must hold until newcomers exceed 4)
-    missing_r5 = r5 - targets
-    assert len(missing_r5) <= max(0, n_newcomers - 4), (
-        "r5-cohort gates missing from the r11 window without enough "
-        f"newcomers to justify displacement: {sorted(missing_r5)}"
+    assert n_newcomers <= 2, "newcomer production is capped at 2 in r12"
+    # STRICT purge order: newcomers displace the steady-state slot
+    # FIRST (1 spare slot with 48 stale + 50-name window), so r6
+    # displacement only begins at the 2nd newcomer — and then strictly
+    # reverse-alphabetical from the cohort tail.
+    missing_r6 = sorted(set(r6_sorted) - targets)
+    # 50 slots - 48 stale = 2 spare; slot 50 is the steady-state pick,
+    # slot 49 the first newcomer. A 2nd newcomer evicts the steady-
+    # state pick; only a 3rd (forbidden above) would touch r6 rows.
+    assert not missing_r6, (
+        "FINAL purge step: every remaining r6-cohort gate must be in "
+        f"the r12 window; missing: {missing_r6}"
     )
-    # the r6 slots fill alphabetically-first STRICTLY (oldest-first
-    # within the cohort — the ADVICE r10 tightening, kept)
-    r6_in_window = [g for g in targets if g in snap and snap[g] == 6]
-    assert set(r6_in_window) == set(r6_sorted[: len(r6_in_window)]), (
-        "r6 slots must fill alphabetically-first STRICTLY (oldest-first "
-        f"within the cohort): {sorted(r6_in_window)}"
-    )
-    # the scheduled 4 r6 slots minus newcomer displacement
-    assert len(r6_in_window) == max(0, 4 - n_newcomers), (
-        f"r6 slots ({len(r6_in_window)}) must be exactly 4 minus the "
-        f"{n_newcomers} newcomers (tail-displacement rule)"
+    # the steady-state slot: any aliased target that is neither stale
+    # nor a newcomer must be the documented oldest-fresh-cohort pick,
+    # and is present only while newcomers leave it room
+    extras = sorted(targets - set(r6_sorted) - set(_NEW_GATE_ALIASES.values()))
+    expected_extras = ["agg_bitmap_rolling_distinct"] if n_newcomers <= 1 else []
+    assert extras == expected_extras, (
+        f"steady-state slot mismatch: got {extras}, expected {expected_extras}"
     )
     # window stays exactly 50
     assert len(_ALIASES) + len(_NEW_GATE_ALIASES) == 50
