@@ -1561,7 +1561,22 @@ def stream_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass. At 100 TB the state store shards by event_id hash across
     executors (state-store width is the live lever stream_source_sink
     documents); the fixed window literals are contract constants, not
-    data-derived, so no config scan is needed."""
+    data-derived, so no config scan is needed.
+
+    MEASURED state growth (r12 10x rehearsal, VERDICT r11 #3 — the
+    claim above load-tested; numbers in BASELINE.md round-12): peak
+    state rows read EXACTLY the distinct-key count at every scale
+    (200k @ 2x, 1M @ 10x, 3M @ 30x; conservation audit green at each),
+    while the windowed-agg and drift drains held their input-invariant
+    150 / 87 rows. Linear keyed state is INHERENT to exact global
+    uniqueness — no algorithm checks "never seen before" with less —
+    and it scales OUT (hash-sharded per state-store partition: 10^11
+    keys over 10^4 partitions at ~60 B/key is ~600 MB/partition,
+    disk-backed RocksDB territory, not OOM). When even that is too
+    much, the honest relaxation is the WATERMARK-SCOPED contract ("no
+    duplicate within the lateness window") whose state expires with
+    the watermark — stream_dedup's dropDuplicatesWithinWatermark
+    path — at the cost of missing late re-sends of old keys."""
     # Conservation scalar: one count off the batch footprint.
     src_rows = spark.read.parquet(f"{sf_dir}/events.parquet").count()
 

@@ -52,6 +52,22 @@ ANN_GATES = [
     "text_near_dedup_jaccard",    # shingle inverted index (cap gate)
 ]
 
+# r12 extension (VERDICT r11 #3): the streaming family — the last
+# 10x-uncovered family. The three heaviest drains run availableNow
+# over a 10x events stream; a StreamingQueryListener records PEAK
+# STATE ROWS per drain (the 100 TB state-boundedness claim, finally
+# load-tested: dq's keyed-uniqueness state grows with distinct
+# event_ids — 1M keys at 10x — while windowed-agg and drift hold
+# O(windows) / O(types x halves x bins) rows regardless of input).
+# The drains' built-in conservation audits raise on any lost or
+# double-counted micro-batch, so a clean run IS the audit. Run with
+#   SCALE_TABLES=events python tools/scale_rehearsal.py --stream
+STREAM_GATES = [
+    "stream_windowed_agg",        # event-time tumbling windows
+    "stream_drift_tv",            # incremental fixed-edge histogram
+    "stream_dq_expectations",     # keyed-uniqueness contract state
+]
+
 SRC = "/root/testdata/sf0.1"
 
 # Written into every synthesized dir; rmtree refuses without it
@@ -189,12 +205,63 @@ def synthesize(spark, out: str, k: int) -> dict[str, int]:
     for name, build in jobs.items():
         df = build()
         path = f"{out}/{name}.parquet"
-        # 16 output files per table: at 10x sf0.1 this keeps scan
-        # splits near maxPartitionBytes instead of one giant file
-        # (the single-file fixture pathology, CLAUDE.md invariant 4).
-        df.repartition(16).write.mode("overwrite").parquet(path)
+        if name == "events":
+            # events must be a single FILE named events.parquet, like
+            # the real fixture (r12): the streaming twins' source is
+            # readStream.option(pathGlobFilter, "events.parquet") over
+            # sf_dir — part files inside an events.parquet/ DIRECTORY
+            # match no glob and the stream drains zero rows. 10x sf0.1
+            # is ~20 MB; parquet row groups keep the batch scan
+            # splittable anyway.
+            stage = f"{out}/_events_stage"
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(
+                f for f in os.listdir(stage)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            if os.path.exists(path):
+                (shutil.rmtree if os.path.isdir(path) else os.remove)(path)
+            shutil.move(os.path.join(stage, part), path)
+            shutil.rmtree(stage)
+        else:
+            # 16 output files per table: at 10x sf0.1 this keeps scan
+            # splits near maxPartitionBytes instead of one giant file
+            # (the single-file fixture pathology, CLAUDE.md invariant 4).
+            df.repartition(16).write.mode("overwrite").parquet(path)
         counts[name] = spark.read.parquet(path).count()
     return counts
+
+
+class _StatePeakListener:
+    """StreamingQueryListener capturing max state rows per progress.
+    Defined lazily (real base class needs an active session import);
+    instantiated via make() to keep module import Spark-free."""
+
+    @staticmethod
+    def make():
+        from pyspark.sql.streaming.listener import StreamingQueryListener
+
+        class _L(StreamingQueryListener):
+            def __init__(self) -> None:
+                self.progress_rows: list[tuple[str, int, int]] = []
+
+            def onQueryStarted(self, event) -> None:  # noqa: N802
+                pass
+
+            def onQueryProgress(self, event) -> None:  # noqa: N802
+                p = event.progress
+                for so in p.stateOperators:
+                    self.progress_rows.append(
+                        (str(p.id), int(so.numRowsTotal), int(so.numRowsUpdated))
+                    )
+
+            def onQueryIdle(self, event) -> None:  # noqa: N802
+                pass
+
+            def onQueryTerminated(self, event) -> None:  # noqa: N802
+                pass
+
+        return _L()
 
 
 def main() -> int:
@@ -205,7 +272,7 @@ def main() -> int:
     # used to be silently dropped (a '--annn' typo ran the default
     # sweep), and a misspelled gate name only raised KeyError AFTER
     # the expensive synthesize() step.
-    known_flags = {"--ann"}
+    known_flags = {"--ann", "--stream"}
     bad_flags = [a for a in args if a.startswith("--") and a not in known_flags]
     if bad_flags:
         print(f"unknown flags: {bad_flags} (known: {sorted(known_flags)})",
@@ -215,6 +282,8 @@ def main() -> int:
     gates = list(names)
     if "--ann" in args:
         gates += ANN_GATES
+    if "--stream" in args:
+        gates += STREAM_GATES
     if not gates:
         gates = GATES
 
@@ -252,9 +321,15 @@ def main() -> int:
     else:
         counts, synth_sec = {"reused": 1}, 0.0
 
+    listener = None
+    if "--stream" in args:
+        listener = _StatePeakListener.make()
+        spark.streams.addListener(listener)
+
     results: dict[str, dict] = {}
     for name in gates:
         q = _REGISTRY[name]
+        mark = len(listener.progress_rows) if listener else 0
         t0 = time.perf_counter()
         try:
             df = q.builder(spark, out)
@@ -270,6 +345,14 @@ def main() -> int:
                 "rows": -1,
                 "status": f"ERROR: {exc}"[:300],
             }
+        if listener is not None and name.startswith("stream_"):
+            # listener events arrive async; give the bus a moment
+            time.sleep(3)
+            window = listener.progress_rows[mark:]
+            results[name]["peak_state_rows"] = max(
+                (r for _, r, _ in window), default=0
+            )
+            results[name]["state_rows_updated"] = sum(u for _, _, u in window)
         print(f"rehearsal {name}: {results[name]}", file=sys.stderr, flush=True)
 
     print(json.dumps({
