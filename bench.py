@@ -101,6 +101,19 @@ EAGER_BUILDERS = {"stream_source_sink"}
 # run (total 5.539, noise_suspected []): agg_groupby 0.537->0.530,
 # text_tokenize_counts 0.139->0.135, join_broadcast 0.210->0.209,
 # join_inner_equi 0.293->0.286.
+# r12 update — the CODIFIED FALLBACK RATCHET (VERDICT r11 #2; third
+# consecutive round with zero probe-QUIET windows): a record may move
+# DOWN to the min across >=3 independent same-session protocol
+# windows (each itself a min-of-N, windows separated by fresh
+# processes) when that min beats the record by >10%; timing noise on
+# this box is one-sided (stalls inflate, never deflate), so an
+# observed min is an achieved run, and the >=3-window + >10% margin
+# guards against ratcheting on a single lucky scheduling fluke.
+# Quiet-window ratchets remain preferred when a quiet window lands.
+# Applied r12 (four windows: 5.524/5.537/5.956/5.643 totals):
+# text_near_dedup_jaccard 0.460->0.394 (readings 0.456/0.394/0.398/
+# 0.424 — the r10 explode-first win, now thrice-confirmed),
+# sim_cosine_pairs 0.464->0.413. All other mins sat above record.
 BEST_KNOWN = {
     "agg_groupby": 0.530,
     "tpch_q5": 0.219,
@@ -115,10 +128,10 @@ BEST_KNOWN = {
     "evt_sessionize_stats": 0.131,
     "text_tokenize_counts": 0.135,
     # r10: explode-first shingles() (InferFiltersFromGenerate fix)
-    # took the measured min 0.887 -> 0.460 even in a NOISY window —
-    # records tighten from any regime.
-    "text_near_dedup_jaccard": 0.460,
-    "sim_cosine_pairs": 0.464,  # r10 min
+    # took the measured min 0.887 -> 0.460 even in a NOISY window;
+    # r12 fallback-ratchet to 0.394 (see r12 note above).
+    "text_near_dedup_jaccard": 0.394,
+    "sim_cosine_pairs": 0.413,  # r10 min 0.464; r12 fallback-ratchet
     "limit_topk": 0.049,
     "stream_source_sink": 0.478,
     "tpch_q8": 0.219,
