@@ -575,8 +575,8 @@ JACCARD_ADAPTIVE_ORACLE = f"""
     flat AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
     dfr AS MATERIALIZED (SELECT shingle, COUNT(*) AS df FROM flat GROUP BY shingle),
     dfc AS MATERIALIZED (SELECT df, COUNT(*) AS c FROM dfr GROUP BY df),
-    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM dfc),
-    cum AS (SELECT df, SUM(c) OVER (ORDER BY df) AS cum FROM dfc),
+    tot AS MATERIALIZED (SELECT CAST(SUM(c) AS BIGINT) AS n FROM dfc),
+    cum AS MATERIALIZED (SELECT df, SUM(c) OVER (ORDER BY df) AS cum FROM dfc),
     -- type-1 (discrete) quantiles via cross-multiplied integer
     -- inequalities: min df with cum >= ceil(q*n); for integer cum,
     -- cum >= ceil(q*n)  <=>  cum/q >= n  <=>  (1/q)*cum >= n
@@ -593,7 +593,7 @@ JACCARD_ADAPTIVE_ORACLE = f"""
       FROM flat f JOIN dfr USING (shingle), cap WHERE df <= chosen_cap),
     dropped AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
                 FROM dfr, cap WHERE df > chosen_cap),
-    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    sizes AS MATERIALIZED (SELECT doc_id, len(shingles) AS n_sh FROM sh),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
       FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -634,7 +634,7 @@ def text_near_dedup_jaccard_adaptive(spark: SparkSession, sf_dir: str) -> DataFr
        quantile picks use cross-multiplied integer inequalities
        (2*cum >= n, 10*cum >= 9*n — CLAUDE.md parity rule: no
        float quantile arithmetic crosses the engine boundary).
-       chosen_cap = median_df x {_ADAPTIVE_TARGET_DUP}
+       chosen_cap = median_df x 8
        (_ADAPTIVE_TARGET_DUP — the duplication factor the pipeline is
        engineered to survive; the one remaining design constant, now a
        WORKLOAD property instead of a corpus property).

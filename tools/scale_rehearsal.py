@@ -244,9 +244,10 @@ class _StatePeakListener:
         class _L(StreamingQueryListener):
             def __init__(self) -> None:
                 self.progress_rows: list[tuple[str, int, int]] = []
+                self.started_ids: list[str] = []
 
             def onQueryStarted(self, event) -> None:  # noqa: N802
-                pass
+                self.started_ids.append(str(event.id))
 
             def onQueryProgress(self, event) -> None:  # noqa: N802
                 p = event.progress
@@ -329,7 +330,7 @@ def main() -> int:
     results: dict[str, dict] = {}
     for name in gates:
         q = _REGISTRY[name]
-        mark = len(listener.progress_rows) if listener else 0
+        smark = len(listener.started_ids) if listener else 0
         t0 = time.perf_counter()
         try:
             df = q.builder(spark, out)
@@ -348,7 +349,15 @@ def main() -> int:
         if listener is not None and name.startswith("stream_"):
             # listener events arrive async; give the bus a moment
             time.sleep(3)
-            window = listener.progress_rows[mark:]
+            # attribute by the QUERY IDS this gate started, never by
+            # list position: on a stall-wave box a previous gate's
+            # late progress event can land after the next gate's mark
+            # and a positional slice would misattribute its state
+            # rows (r12 review finding)
+            gate_ids = set(listener.started_ids[smark:])
+            window = [
+                row for row in listener.progress_rows if row[0] in gate_ids
+            ]
             results[name]["peak_state_rows"] = max(
                 (r for _, r, _ in window), default=0
             )
