@@ -133,12 +133,12 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     range violations, domain violations, key cardinality, plus FK
     orphans vs customer (left-anti count). All rule counters ride one
     scan with map-side partials; adding a rule adds a column, not a
-    pass. The FK check broadcasts the key side at gate scale (at
-    100 TB: anti-join on bucketed keys)."""
+    pass. The FK key side auto-broadcasts at gate scale (sized by the
+    planner, not forced — at 100 TB: anti-join on bucketed keys)."""
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer").select("c_custkey")
     orphans = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
         .agg(F.count(F.lit(1)).alias("fk_orphans"))
     )
     profile = o.agg(

@@ -70,8 +70,18 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 local-supplier volume: revenue from orders where customer and
     supplier share a nation, per nation, one year. Adapted: region
     filter dropped (only 5 regions and few suppliers — keeping all
-    regions keeps the result non-trivial). The n-way join broadcasts
-    every dimension; lineitem is the only shuffled input."""
+    regions keeps the result non-trivial).
+
+    Broadcast posture (r12, after the relational 10x rehearsal):
+    nation/region keep explicit hints — they are BOUNDED dims (25/5
+    rows at any corpus size). customer/supplier carry NO hint: they
+    are SF-SCALING tables (TPC-H: 150k x SF customers — billions of
+    rows at 100 TB), so a forced broadcast is a scale-killer the
+    planner can't undo; unhinted, the <10 MB static estimate still
+    broadcasts them at fixture scale (plan-pin-identical) while a
+    real cluster shuffles them. Verified both ways on the 60x
+    rehearsal corpus: hinted = forced 19 MB broadcast; unhinted =
+    the planner flips customer to a shuffle join on its own."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -83,8 +93,8 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = table(spark, sf_dir, "region")
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
@@ -152,7 +162,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
     )
     return (
@@ -192,7 +202,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     ratio = (
         100.0
         * F.sum(promo.cast("decimal(38,6)")).cast("double")
@@ -352,7 +362,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(100)
     c = table(spark, sf_dir, "customer")
     return (
-        top.join(F.broadcast(c), top.o_custkey == c.c_custkey)
+        top.join(c, top.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -410,8 +420,8 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
@@ -473,10 +483,10 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     joined = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
@@ -590,7 +600,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     return (
         rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -618,7 +628,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     Adapted: l_shipinstruct/l_shipmode conjuncts (absent) → returnflag."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    joined = li.join(p, li.l_partkey == p.p_partkey)
     branch = (
         (
             (F.col("p_brand") == "Brand#2")
@@ -705,7 +715,7 @@ def tpch_q21_threescan(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l3_suppkey") != F.col("l1_suppkey")),
             "left_anti",
         )
-        .join(F.broadcast(s), F.col("l1_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l1_suppkey") == F.col("s_suppkey"))
     )
     return (
         blamed.groupBy("s_name")
@@ -829,8 +839,8 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     joined = (
-        cost.join(F.broadcast(p), F.col("pk") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("sk") == F.col("s_suppkey"))
+        cost.join(p, F.col("pk") == F.col("p_partkey"))
+        .join(s, F.col("sk") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .withColumn("cost", F.floor(F.col("unit_cost") * 1e6 + 0.5) / 1e6)
@@ -879,8 +889,8 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .select("n_name", F.year("o_orderdate").cast("long").alias("yr"), amount.alias("amount"))
@@ -929,7 +939,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     val = (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("l_partkey").alias("pk"))
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double").alias("value"))
@@ -985,8 +995,8 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey") % 7 == 0
     ).select("s_suppkey")
     return (
-        ps.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        ps.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1042,7 +1052,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp")
     )
     shipped = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(
             F.sum(F.when(in_period, F.col("l_quantity").cast("bigint")).otherwise(0)).alias("qty_period"),
@@ -1055,6 +1065,11 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     return (
         s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        # F.broadcast(shipped) is a FIXTURE-SCALE hint only (like q18's
+        # `big`): shipped is supplier-cardinality (grows with SF), and
+        # its non-CBO size estimate inherits the lineitem join's blown-
+        # up product, so unhinted it would sort-merge even at 600 KB.
+        # At 100 TB this semi-join runs as a shuffle on s_suppkey.
         .join(F.broadcast(shipped), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
@@ -1113,7 +1128,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     return (
         blamed.join(o, blamed.l_orderkey == o.o_orderkey, "left_semi")
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))

@@ -68,6 +68,23 @@ STREAM_GATES = [
     "stream_dq_expectations",     # keyed-uniqueness contract state
 ]
 
+# r12 extension: the relational/TPC-H join family — the last heavy
+# family with no 10x empirical rehearsal (its 100 TB verdicts rest on
+# the 111 pinned plans). Facts (lineitem/orders/customer/supplier)
+# k-fold with FK-coherent shared key spans; nation/region stay FIXED
+# (25/5 rows — dimension tables don't grow with corpus size; this is
+# the realistic 100 TB shape, and it keeps every broadcast-dim
+# verdict honest: the dims stay broadcastable at any fact scale).
+# Run with
+#   SCALE_TABLES=lineitem,orders,customer,supplier,nation,region \
+#       python tools/scale_rehearsal.py --relational
+REL_GATES = [
+    "tpch_q5",                    # 6-table join incl both fixed dims
+    "tpch_q18",                   # HAVING carry-forward single fact scan
+    "tpch_q21",                   # 4-table join + per-group distinct-set
+    "agg_groupby",                # flagship lineitem aggregation
+]
+
 SRC = "/root/testdata/sf0.1"
 
 # Written into every synthesized dir; rmtree refuses without it
@@ -85,19 +102,37 @@ def synthesize(spark, out: str, k: int) -> dict[str, int]:
     counts: dict[str, int] = {}
     _span_memo: dict[str, int] = {}
 
+    def shared_span(key: str, sites: list[tuple[str, str]]) -> int:
+        # FK coherence across copies (ADVICE r11): every table carrying
+        # the same logical key must shift by the SAME span, or any
+        # future rehearsal gate joining them gets dangling cross-copy
+        # keys with no error. Derive the span ONCE from the max over
+        # ALL sites (memoized; one 1-row agg per site).
+        if key not in _span_memo:
+            _span_memo[key] = 1 + max(
+                int(
+                    spark.read.parquet(f"{SRC}/{t}.parquet")
+                    .agg(F.max(c))
+                    .collect()[0][0]
+                )
+                for t, c in sites
+            )
+        return _span_memo[key]
+
     def orderkey_span() -> int:
-        # FK coherence across copies (ADVICE r11): lineitem.l_orderkey
-        # and orders.o_orderkey must shift by the SAME span, or any
-        # future rehearsal gate joining the two gets dangling
-        # cross-copy keys with no error. Derive the span ONCE from the
-        # max over BOTH tables' orderkeys (memoized; two 1-row aggs).
-        if "orderkey" not in _span_memo:
-            li = spark.read.parquet(f"{SRC}/lineitem.parquet").agg(
-                F.max("l_orderkey")).collect()[0][0]
-            od = spark.read.parquet(f"{SRC}/orders.parquet").agg(
-                F.max("o_orderkey")).collect()[0][0]
-            _span_memo["orderkey"] = max(int(li), int(od)) + 1
-        return _span_memo["orderkey"]
+        return shared_span(
+            "orderkey", [("lineitem", "l_orderkey"), ("orders", "o_orderkey")]
+        )
+
+    def custkey_span() -> int:
+        return shared_span(
+            "custkey", [("orders", "o_custkey"), ("customer", "c_custkey")]
+        )
+
+    def suppkey_span() -> int:
+        return shared_span(
+            "suppkey", [("lineitem", "l_suppkey"), ("supplier", "s_suppkey")]
+        )
 
     def stack(df, shift_cols: list[str], text_marker: bool = False,
               span_overrides: dict[str, int] | None = None):
@@ -175,13 +210,37 @@ def synthesize(spark, out: str, k: int) -> dict[str, int]:
         "lineitem": lambda: stack(
             spark.read.parquet(f"{SRC}/lineitem.parquet"),
             ["l_orderkey", "l_suppkey"],
-            span_overrides={"l_orderkey": orderkey_span()},
+            span_overrides={
+                "l_orderkey": orderkey_span(),
+                "l_suppkey": suppkey_span(),
+            },
         ),
         "orders": lambda: stack(
             spark.read.parquet(f"{SRC}/orders.parquet"),
             ["o_orderkey", "o_custkey"],
-            span_overrides={"o_orderkey": orderkey_span()},
+            span_overrides={
+                "o_orderkey": orderkey_span(),
+                "o_custkey": custkey_span(),
+            },
         ),
+        "customer": lambda: stack(
+            spark.read.parquet(f"{SRC}/customer.parquet"),
+            ["c_custkey"],
+            span_overrides={"c_custkey": custkey_span()},
+        ),
+        "supplier": lambda: stack(
+            spark.read.parquet(f"{SRC}/supplier.parquet"),
+            ["s_suppkey"],
+            span_overrides={"s_suppkey": suppkey_span()},
+        ),
+        # Dimension tables stay FIXED-SIZE across copies (25/5 rows):
+        # c_nationkey/s_nationkey are NOT shifted, so every copy's
+        # customers and suppliers land on the same real nations — the
+        # realistic shape (at 100 TB the fact tables grow, the
+        # geography doesn't), and it keeps the broadcast-dim plan
+        # verdicts honest at any k.
+        "nation": lambda: spark.read.parquet(f"{SRC}/nation.parquet"),
+        "region": lambda: spark.read.parquet(f"{SRC}/region.parquet"),
         "documents": lambda: stack(
             spark.read.parquet(f"{SRC}/documents.parquet"),
             ["doc_id"], text_marker=True,
@@ -273,7 +332,7 @@ def main() -> int:
     # used to be silently dropped (a '--annn' typo ran the default
     # sweep), and a misspelled gate name only raised KeyError AFTER
     # the expensive synthesize() step.
-    known_flags = {"--ann", "--stream"}
+    known_flags = {"--ann", "--stream", "--relational"}
     bad_flags = [a for a in args if a.startswith("--") and a not in known_flags]
     if bad_flags:
         print(f"unknown flags: {bad_flags} (known: {sorted(known_flags)})",
@@ -285,6 +344,8 @@ def main() -> int:
         gates += ANN_GATES
     if "--stream" in args:
         gates += STREAM_GATES
+    if "--relational" in args:
+        gates += REL_GATES
     if not gates:
         gates = GATES
 
