@@ -85,6 +85,22 @@ REL_GATES = [
     "agg_groupby",                # flagship lineitem aggregation
 ]
 
+# r12 extension 2: the ETL/sink maintenance family — merge-upsert,
+# SCD2 interval building, CDC latest-snapshot, small-file compaction,
+# Z-order layout. These are the jobs that RUN the 100 TB lakehouse
+# day to day; until now their scale verdicts were plan-shape only.
+# The sink gates write to their own temp dirs, so a k-fold run also
+# load-tests the write path. Run with
+#   SCALE_TABLES=customer,events,lineitem \
+#       python tools/scale_rehearsal.py --etl
+ETL_GATES = [
+    "etl_merge_upsert",           # keyed upsert (full-outer + coalesce)
+    "etl_scd2_intervals",         # event-history -> validity intervals
+    "etl_cdc_latest_snapshot",    # latest-per-key CDC compaction
+    "sink_compaction",            # small-file maintenance rewrite
+    "sink_zorder_layout",         # 2-D clustered layout + box read-back
+]
+
 SRC = "/root/testdata/sf0.1"
 
 # Written into every synthesized dir; rmtree refuses without it
@@ -332,7 +348,7 @@ def main() -> int:
     # used to be silently dropped (a '--annn' typo ran the default
     # sweep), and a misspelled gate name only raised KeyError AFTER
     # the expensive synthesize() step.
-    known_flags = {"--ann", "--stream", "--relational"}
+    known_flags = {"--ann", "--stream", "--relational", "--etl"}
     bad_flags = [a for a in args if a.startswith("--") and a not in known_flags]
     if bad_flags:
         print(f"unknown flags: {bad_flags} (known: {sorted(known_flags)})",
@@ -346,6 +362,8 @@ def main() -> int:
         gates += STREAM_GATES
     if "--relational" in args:
         gates += REL_GATES
+    if "--etl" in args:
+        gates += ETL_GATES
     if not gates:
         gates = GATES
 
