@@ -684,25 +684,36 @@ _MEDB_BITS = 24
     tags=("agg", "iterative"),
 )
 def agg_median_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT median (k-th smallest, k = (n+1) DIV 2) by MSB radix
-    bisection over the integer-cents value domain — the order-statistic
-    pattern that survives 100 TB where both sorted-collect
-    (agg_percentile's per-group buffer) and a global sort do not: ONE
-    shuffle builds the value→count table, then _MEDB_BITS fixed,
-    data-independent rounds each aggregate that compact table once,
-    choosing one bit of the answer (classic selection-by-radix;
-    cf. the external quickselect in the DBMS literature).
+    """EXACT median (k-th smallest, k = (n+1) DIV 2) by two-level MSB
+    radix selection over the integer-cents value domain — the
+    order-statistic pattern that survives 100 TB where both
+    sorted-collect (agg_percentile's DATA-sized per-group buffer) and a
+    global sort do not: ONE shuffle builds the value→count table, then
+    two fixed, data-independent histogram passes each aggregate that
+    compact table once — pass 1 picks the 12-high-bit bucket holding
+    the k-th value, pass 2 the exact value inside it (classic external
+    quickselect / radix selection from the DBMS literature, radix
+    2^12). Each pass's histogram is DOMAIN-bounded (≤ 4096 rows at ANY
+    data size — the in-row n_over_domain audit guards the bound), so
+    the collect_list buffer is a bounded constant, and the winning
+    entry is chosen by a sort_array + running-sum `aggregate` fold — an
+    EXPRESSION over the bounded array, not a Sort operator and not a
+    driver collect.
 
-    No driver scalar anywhere: the (hi, r) bisection state rides a
-    1-ROW DataFrame broadcast into each round's conditional sum — the
-    same loop-state-as-DataFrame construction as text_bpe_merge_train's
-    argmax — and the loop-invariant counts table is localCheckpoint-ed
-    ONCE before the loop (the iterative-lineage rule). All-integer:
-    shiftright on BIGINT cents is exact in both engines, so the oracle
-    (a direct row_number() selection of the same k-th element) must
-    agree bit-for-bit; the single median_price division is one
-    identical IEEE BIGINT/double op. Invariant carried: after the
-    bit-0 round hi IS the k-th smallest value and r IS count(v < hi),
+    r12 optimization-round history, measured on this box: the original
+    24 bit-at-a-time rounds cost 24 eager 1-row-checkpoint jobs
+    (min 5.2 s matched-window @ sf0.1); a radix-16 rewrite (6 rounds ×
+    16 conditional sums + CASE-cascade selection) was MEASURED WORSE
+    (min 6.5 s — per-round planning/codegen grows with expression
+    width and eats the saved driver round trips); this two-pass
+    bounded-histogram form collapses the loop to 2 aggregations inside
+    ONE lazy plan. No driver scalar anywhere: the (bucket, r) state
+    rides 1-ROW broadcast DataFrames exactly as the loop form did.
+    All-integer: shiftright on BIGINT cents is exact in both engines,
+    so the oracle (a direct row_number() selection of the same k-th
+    element) must agree bit-for-bit; the single median_price division
+    is one identical IEEE BIGINT/double op. Invariant carried: after
+    pass 2, hi IS the k-th smallest value and r IS count(v < hi),
     exposed as n_below and re-derived independently by the oracle."""
     li = table(spark, sf_dir, "lineitem")
     v = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
@@ -712,34 +723,62 @@ def agg_median_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .localCheckpoint()  # loop-invariant input, materialized once
     )
-    state = counts.agg(
+    nk = counts.agg(
         F.sum("cnt").cast("long").alias("n"),
-    ).select(
-        "n",
-        F.expr("(n + 1L) DIV 2").alias("k"),
-        F.lit(0).cast("long").alias("hi"),
-        F.lit(0).cast("long").alias("r"),
+    ).select("n", F.expr("(n + 1L) DIV 2").alias("k"))
+    half = _MEDB_BITS // 2  # 12 high bits, then 12 low bits
+    # The running-sum fold shared by both passes: walk the (key, count)
+    # histogram in key order (sort_array — an EXPRESSION over a bounded
+    # array, not a Sort operator) and stop at the first key where the
+    # cumulative count reaches k. 'r' carries count(values < key), the
+    # same invariant the bit-at-a-time loop maintained.
+    def _fold(key_field: str, cnt_field: str, start: str) -> str:
+        return f"""aggregate(
+            h,
+            named_struct('cum', {start}, 'done', false, 'key', -1L, 'r', 0L),
+            (acc, x) -> CASE
+              WHEN acc.done THEN acc
+              WHEN acc.cum + x.{cnt_field} >= k THEN named_struct(
+                'cum', acc.cum + x.{cnt_field}, 'done', true,
+                'key', x.{key_field}, 'r', acc.cum)
+              ELSE named_struct(
+                'cum', acc.cum + x.{cnt_field}, 'done', false,
+                'key', -1L, 'r', 0L)
+            END)"""
+
+    # Pass 1: which 2^half-bucket holds the k-th value. The histogram is
+    # DOMAIN-bounded (≤ 4096 rows at any data size), so collect_list is
+    # a bounded buffer, not a data-sized one.
+    hist = counts.groupBy(F.shiftright(F.col("v"), half).alias("b")).agg(
+        F.sum("cnt").cast("long").alias("c")
     )
-    for b in range(_MEDB_BITS - 1, -1, -1):
-        j = counts.crossJoin(F.broadcast(state))
-        agg = j.groupBy().agg(
+    sel1 = (
+        hist.crossJoin(F.broadcast(nk))
+        .groupBy()
+        .agg(
             F.first("n").alias("n"),
             F.first("k").alias("k"),
-            F.first("hi").alias("hi"),
-            F.first("r").alias("r"),
-            F.sum(
-                F.when(F.shiftright(F.col("v"), b) == F.col("hi") * 2, F.col("cnt")).otherwise(0)
-            )
-            .cast("long")
-            .alias("c0"),
+            F.sort_array(F.collect_list(F.struct("b", "c"))).alias("h"),
         )
-        take0 = F.col("r") + F.col("c0") >= F.col("k")
-        state = agg.select(
-            "n",
-            "k",
-            F.when(take0, F.col("hi") * 2).otherwise(F.col("hi") * 2 + 1).alias("hi"),
-            F.when(take0, F.col("r")).otherwise(F.col("r") + F.col("c0")).alias("r"),
-        ).localCheckpoint()  # 1 row; truncates the per-round lineage
+        .select("n", "k", F.expr(_fold("b", "c", "0L")).alias("s"))
+        .select("n", "k", F.col("s.key").alias("b"), F.col("s.r").alias("r0"))
+    )
+    # Pass 2: the exact value within that bucket (≤ 2^half distinct
+    # values by the audited domain bound), resuming the running count
+    # at r0 = count(v in earlier buckets).
+    state = (
+        counts.crossJoin(F.broadcast(sel1))
+        .where(F.shiftright(F.col("v"), half) == F.col("b"))
+        .groupBy()
+        .agg(
+            F.first("n").alias("n"),
+            F.first("k").alias("k"),
+            F.first("r0").alias("r0"),
+            F.sort_array(F.collect_list(F.struct("v", "cnt"))).alias("h"),
+        )
+        .select("n", "k", F.expr(_fold("v", "cnt", "r0")).alias("s"))
+        .select("n", "k", F.col("s.key").alias("hi"), F.col("s.r").alias("r"))
+    )
     return (
         counts.crossJoin(F.broadcast(state))
         .groupBy()

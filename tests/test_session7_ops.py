@@ -58,6 +58,27 @@ class TestMedianBisect:
         assert row.median_cents == cents[k - 1]
         assert row.n_below == sum(c < cents[k - 1] for c in cents)
 
+    # r12: the two-pass bounded-histogram form replaced the 24-round
+    # bit loop — pin the cross-PASS invariants the generic cases don't
+    # isolate: the r0 running-count carry from pass 1 (bucket prefix)
+    # into pass 2, and selection exactly AT a 2^12 bucket boundary.
+
+    def test_median_in_later_bucket_carries_prefix_count(self, spark, tmp_path):
+        # cents 100, 5000, 10000, 15000, 20000 — one value per high-bit
+        # bucket (0,1,2,3,4); k=3 selects bucket 2 with r0=2 carried.
+        row = self._run(spark, tmp_path, [1.00, 50.00, 100.00, 150.00, 200.00])
+        assert (row.n, row.k) == (5, 3)
+        assert row.median_cents == 10000
+        assert (row.n_below, row.n_at) == (2, 1)
+
+    def test_duplicates_straddling_bucket_boundary(self, spark, tmp_path):
+        # cents 4095 (last of bucket 0) x2, 4096 (first of bucket 1) x3;
+        # k=3 -> median is the FIRST value of bucket 1 with r0=2.
+        row = self._run(spark, tmp_path, [40.95, 40.95, 40.96, 40.96, 40.96])
+        assert (row.n, row.k) == (5, 3)
+        assert row.median_cents == 4096
+        assert (row.n_below, row.n_at) == (2, 3)
+
 
 class TestKmeansLloyd:
     @staticmethod

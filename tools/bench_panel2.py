@@ -79,14 +79,33 @@ PANEL = [
 # misses the bar — correctly not ratcheted. The r11
 # stream_windowed_agg flag (1.0 vs 0.756) closed: r12 read
 # 0.777/0.810/0.992 — the record is reachable, r11 was regime.
+# r12 session 2: agg_median_bisect 4.434 -> 1.439 on the STRUCTURAL
+# basis (the r10 jaccard precedent — structural wins ratchet from any
+# regime): the 24 eager bit-bisection rounds were collapsed to two
+# domain-bounded histogram passes in one lazy plan (BASELINE.md r12
+# "24 eager rounds" section; matched-window sandwich 5.206 -> 1.422,
+# first panel window on the new form 20.155 total / medb 1.439).
+# Session-2 fallback ratchets (four same-session windows 23.788 /
+# 20.155 / 19.546 / 18.550, fresh processes, the last three ZERO-flag
+# and each in turn the best panel total ever recorded; probe still
+# NOISY 2.8x, so all four are min-of-N fallback-rule ratchets):
+# sql_recursive_bfs 2.528 -> 2.222 (readings 2.715/2.247/2.222/2.548 —
+# 12.1% under record), sim_kmeans_lloyd 1.462 -> 1.298
+# (1.503/1.298/1.425/1.410 — 11.2%), graph_pagerank_converged
+# 4.925 -> 4.226 (4.722/5.511/5.061/4.226 — 14.2%), and
+# agg_median_bisect's structural 1.439 tightened to 1.226 across the
+# three new-form windows (1.439/1.358/1.226 — 14.8%). Other mins
+# inside the 10% bar (bpe 4.9%, ivf_pq 4.3%, substring_clean 6.4%,
+# interleaved_pack 6.4% — floors confirmed again). Frozen here for
+# the round; any residual sub-record reading stays unratcheted.
 BEST_KNOWN: dict[str, float] = {
-    "graph_pagerank_converged": 4.925,
-    "sql_recursive_bfs": 2.528,
+    "graph_pagerank_converged": 4.226,
+    "sql_recursive_bfs": 2.222,
     "text_bpe_merge_train": 1.578,
     "sim_ivf_pq": 2.363,
-    "sim_kmeans_lloyd": 1.462,
+    "sim_kmeans_lloyd": 1.298,
     "text_dedup_clusters_sliced": 2.248,
-    "agg_median_bisect": 4.434,
+    "agg_median_bisect": 1.226,
     "stream_windowed_agg": 0.756,
     "mm_interleaved_pack": 0.605,
     "text_substring_dedup_clean": 1.065,
