@@ -18,6 +18,8 @@ bit-identical doubles.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -211,16 +213,45 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation percentiles (matches quantile_cont).
 
-    Implemented as ONE array_sort(collect_list) per group + rank
-    interpolation — measured 2.5× faster than the builtin
-    percentile(col, array(...)) (which maintains a value→count
-    OpenHashMap per group; the sorted-array form is a single
-    O(n log n) sort). The interpolation reproduces the builtin's
-    exact FP formula — lower*(ceil-pos) + higher*(pos-floor), with
-    pos = (n-1)*p — so results are bit-identical to both the builtin
-    and DuckDB's quantile_cont on this data. Same per-group buffering
-    class as the builtin; at 100 TB switch to percentile_approx
-    (t-digest-style sketch, mergeable map-side)."""
+    TWO result-identical physical forms, switched on input size (r13,
+    VERDICT r12 #1 — scale-adaptive per the conf/env rule, local
+    default keeps the driver's bench comparable):
+
+    - sorted (fixture-scale default): ONE array_sort(collect_list) per
+      group + rank interpolation — measured 2.5× faster than the
+      builtin percentile(col, array(...)) at bench SF. Its per-group
+      buffer is DATA-sized (every group row lands in one executor
+      array), which is exactly what does NOT survive 100 TB (§5).
+    - bounded (the 100 TB path; forced when the lineitem input exceeds
+      SPARK_GRAFT_PCTL_BOUNDED_BYTES, default 1 GiB, or with
+      SPARK_GRAFT_PCTL_FORM=bounded): the agg_median_bisect two-level
+      radix-2^12 selection, generalized to grouped, multi-quantile
+      BRACKETED-rank selection — per group it picks the two order
+      statistics around each pos=(n-1)*p rank via two domain-bounded
+      histogram passes (≤4096-row buffers at ANY data size), then
+      applies the identical interpolation to the picked RAW doubles.
+
+    Both forms evaluate the same FP formula — lower*(ceil-pos) +
+    higher*(pos-floor) on the same bracketing raw-double order
+    statistics — so they are bit-identical to each other, to the
+    builtin, and to DuckDB's quantile_cont (pinned by
+    tests/test_r13_ops.py equality + forced-form oracle compares at
+    all three SFs). The bounded form's bucket key floor(v*100+0.5) is
+    only a MONOTONE proxy (2-decimal currency domain, the same
+    _MEDB_BITS=24 audit basis as agg_median_bisect); selection and
+    interpolation read the raw doubles, never the cents."""
+    form = os.environ.get("SPARK_GRAFT_PCTL_FORM", "auto")
+    if form == "auto":
+        try:
+            big = (
+                os.path.getsize(os.path.join(sf_dir, "lineitem.parquet"))
+                >= int(os.environ.get("SPARK_GRAFT_PCTL_BOUNDED_BYTES", str(1 << 30)))
+            )
+        except OSError:
+            big = False
+        form = "bounded" if big else "sorted"
+    if form == "bounded":
+        return _agg_percentile_bounded(spark, sf_dir)
     li = table(spark, sf_dir, "lineitem")
     pcts = li.groupBy("l_returnflag").agg(
         F.array_sort(F.collect_list("l_extendedprice")).alias("a")
@@ -241,6 +272,137 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         interp(0.5).alias("p50_price"),
         interp(0.9).alias("p90_price"),
         interp(0.99).alias("p99_price"),
+    )
+
+
+_PCTL_PS = (0.5, 0.9, 0.99)  # shared by both agg_percentile forms
+
+
+def _agg_percentile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped bounded-buffer exact percentiles (agg_percentile's
+    100 TB form — see its docstring for the switch contract).
+
+    Shape: ONE shuffle builds the per-(group, value) count table
+    (domain-bounded: ≤ |groups| × 2^24 distinct cents rows at any data
+    size), localCheckpoint-ed once as the loop-invariant input of both
+    passes (the agg_median_bisect convention). Pass 1 histograms the
+    2^12 high bucket bits per group (≤4096-row collect per group) and,
+    for each of the 6 needed ranks (lo/hi bracket per quantile), folds
+    the sorted histogram to the owning bucket + the count of values in
+    earlier buckets (r0). Pass 2 re-aggregates ONLY the needed buckets
+    (≤4096 distinct values each under the 2-decimal domain), resuming
+    each fold at its r0, and emits the k-th raw DOUBLE per rank. The
+    final select re-applies the sorted form's exact interpolation
+    expression to those doubles. No Sort operator, no data-sized
+    buffer, no driver scalar — 3 aggregation passes over the compact
+    count table in one lazy plan after the checkpoint."""
+    half = _MEDB_BITS // 2
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    counts = (
+        li.where(F.col("l_extendedprice").isNotNull())
+        .groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "l_returnflag",
+            F.col("l_extendedprice").alias("v"),
+            "cnt",
+            F.shiftright(cents, half).alias("b"),
+        )
+        .localCheckpoint()  # loop-invariant input of both passes
+    )
+    nk = counts.groupBy("l_returnflag").agg(F.sum("cnt").cast("long").alias("n"))
+
+    # The 6 needed 1-based ranks per group: for each p, the two order
+    # statistics bracketing pos=(n-1)*p — k_lo = floor(pos)+1 and
+    # k_hi = min(k_lo+1, n) (capped only when pos==lower, where the
+    # interpolation never reads hi). floor(CAST(n-1 AS DOUBLE) * p)
+    # reproduces the sorted form's pos arithmetic exactly.
+    ks_sql = "array({})".format(
+        ", ".join(
+            f"named_struct('idx', {2 * i + w}, 'k', CAST(floor(CAST(n - 1 AS DOUBLE) * {p!r}) AS BIGINT) + {1 + w}L)"
+            if w == 0
+            else f"named_struct('idx', {2 * i + w}, 'k', least(CAST(floor(CAST(n - 1 AS DOUBLE) * {p!r}) AS BIGINT) + 2L, n))"
+            for i, p in enumerate(_PCTL_PS)
+            for w in (0, 1)
+        )
+    )
+    # Pass-1 fold (the agg_median_bisect running-sum expression): walk
+    # the sorted (bucket, count) histogram, stop at the first bucket
+    # where the cumulative count reaches x.k; 'r' = count(values in
+    # earlier buckets).
+    pick1_sql = """transform(ks, x -> named_struct('idx', x.idx, 'k', x.k, 'sel',
+        aggregate(h,
+          named_struct('cum', 0L, 'done', false, 'key', -1L, 'r', 0L),
+          (acc, e) -> CASE
+            WHEN acc.done THEN acc
+            WHEN acc.cum + e.c >= x.k THEN named_struct(
+              'cum', acc.cum + e.c, 'done', true, 'key', e.b, 'r', acc.cum)
+            ELSE named_struct(
+              'cum', acc.cum + e.c, 'done', false, 'key', -1L, 'r', 0L)
+          END)))"""
+    hist = counts.groupBy("l_returnflag", "b").agg(F.sum("cnt").cast("long").alias("c"))
+    needed = (
+        hist.groupBy("l_returnflag")
+        .agg(F.sort_array(F.collect_list(F.struct("b", "c"))).alias("h"))
+        .join(F.broadcast(nk), "l_returnflag")
+        .select("l_returnflag", F.expr(ks_sql).alias("ks"), "h")
+        .select("l_returnflag", F.explode(F.expr(pick1_sql)).alias("t"))
+        .select(
+            F.col("l_returnflag").alias("g"),
+            F.col("t.idx").alias("idx"),
+            F.col("t.k").alias("k"),
+            F.col("t.sel.key").alias("nb"),
+            F.col("t.sel.r").alias("r0"),
+        )
+    )
+    # Pass 2: only the needed buckets survive the broadcast semi-join;
+    # each (group, rank) folds its ≤4096-distinct-value bucket from r0.
+    pick2_sql = """aggregate(h,
+        named_struct('cum', r0, 'done', false, 'key', CAST(NULL AS DOUBLE)),
+        (acc, e) -> CASE
+          WHEN acc.done THEN acc
+          WHEN acc.cum + e.cnt >= k THEN named_struct(
+            'cum', acc.cum + e.cnt, 'done', true, 'key', e.v)
+          ELSE named_struct(
+            'cum', acc.cum + e.cnt, 'done', false, 'key', CAST(NULL AS DOUBLE))
+        END)"""
+    vals = (
+        counts.join(
+            F.broadcast(needed),
+            (counts["l_returnflag"] == needed["g"]) & (counts["b"] == needed["nb"]),
+        )
+        .groupBy("g", "idx", "k", "r0")
+        .agg(F.sort_array(F.collect_list(F.struct("v", "cnt"))).alias("h"))
+        .select("g", "idx", F.expr(pick2_sql).alias("s"))
+        .select("g", "idx", F.col("s.key").alias("val"))
+    )
+    wide = vals.groupBy("g").agg(
+        *[
+            F.max(F.when(F.col("idx") == i, F.col("val"))).alias(f"v{i}")
+            for i in range(2 * len(_PCTL_PS))
+        ]
+    )
+
+    def interp(i: int, p: float):
+        # IDENTICAL FP expression to the sorted form, applied to the
+        # selected bracketing raw doubles.
+        pos = (F.col("n") - 1).cast("double") * F.lit(p)
+        lower = F.floor(pos)
+        lo = F.col(f"v{2 * i}")
+        hi = F.coalesce(F.col(f"v{2 * i + 1}"), lo)
+        return F.when(pos == lower, lo).otherwise(
+            lo * (F.ceil(pos) - pos) + hi * (pos - lower)
+        )
+
+    return (
+        wide.join(F.broadcast(nk), wide["g"] == nk["l_returnflag"])
+        .select(
+            "l_returnflag",
+            interp(0, 0.5).alias("p50_price"),
+            interp(1, 0.9).alias("p90_price"),
+            interp(2, 0.99).alias("p99_price"),
+        )
     )
 
 

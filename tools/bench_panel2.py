@@ -94,7 +94,11 @@ PANEL = [
 # (1.503/1.298/1.425/1.410 — 11.2%), graph_pagerank_converged
 # 4.925 -> 4.226 (4.722/5.511/5.061/4.226 — 14.2%), and
 # agg_median_bisect's structural 1.439 tightened to 1.226 across the
-# three new-form windows (1.439/1.358/1.226 — 14.8%). Other mins
+# three new-form windows (1.439/1.358/1.226 — 14.8%); a FOURTH
+# new-form window (the final committed BENCH_PANEL2.json) read 1.136,
+# left unratcheted by the round-end record freeze (records move only
+# when the protocol is re-run, never retroactively — ADVICE r12 #3
+# notes the artifact/comment agreement here). Other mins
 # inside the 10% bar (bpe 4.9%, ivf_pq 4.3%, substring_clean 6.4%,
 # interleaved_pack 6.4% — floors confirmed again). Frozen here for
 # the round; any residual sub-record reading stays unratcheted.

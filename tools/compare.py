@@ -199,7 +199,30 @@ ROWS_AUDIT_SF01: dict[str, str] = {
 }
 
 
+def _source_sha() -> str:
+    """sha256 over the product sources (big_data_flight_spark/**/*.py +
+    __spark_entry__.py + bench.py), path-sorted. The artifact's
+    content-currency marker — recomputable from any checkout via
+    `python tools/compare.py --source-sha` (ADVICE r12 #2)."""
+    import glob as _glob
+    import hashlib
+
+    h = hashlib.sha256()
+    paths = sorted(
+        _glob.glob(os.path.join(_REPO, "big_data_flight_spark", "**", "*.py"),
+                   recursive=True)
+    ) + [os.path.join(_REPO, "__spark_entry__.py"), os.path.join(_REPO, "bench.py")]
+    for p in paths:
+        h.update(os.path.relpath(p, _REPO).encode())
+        with open(p, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()
+
+
 def main(argv: list[str]) -> int:
+    if argv == ["--source-sha"]:
+        print(_source_sha())
+        return 0
     sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
     _load_all_operator_modules()
     names = argv or sorted(_REGISTRY)
@@ -298,6 +321,13 @@ def main(argv: list[str]) -> int:
             json.dump(
                 {
                     "sf_dir": sf_dir,
+                    # Verifiable content-currency marker (ADVICE r12
+                    # #2): sha256 over the product sources AS RUN for
+                    # this sweep. Re-compute from any checkout
+                    # (tools/compare.py --source-sha) and match against
+                    # the committed artifact — "the stamp covers this
+                    # exact code" is now checkable, not asserted.
+                    "source_sha": _source_sha(),
                     "n_pass": n_total - len(failed),
                     "n_total": n_total,
                     "statuses": statuses,
